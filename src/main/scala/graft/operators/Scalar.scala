@@ -32,12 +32,12 @@ object Scalar {
         col("p_partkey"),
         lower(col("p_name")).as("name_lower"),
         regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowels"),
-        size(words).as("n_tokens"),
+        size(words).cast("long").as("n_tokens"),
         element_at(words, 1).as("first_token"),
         element_at(words, -1).as("last_token"),
         upper(trim(col("p_brand"))).as("brand_up"),
         concat_ws("|", col("p_type"), col("p_brand")).as("type_brand"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         substring(col("p_name"), 1, 4).as("name_pfx"))
       .orderBy(col("p_partkey"))
   }

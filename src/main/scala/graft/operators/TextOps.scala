@@ -1,0 +1,376 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Text-analysis + deduplication pack over the `documents` table — the
+  * LLM-training-data-pipeline operators (dedup, fingerprinting,
+  * language-ID, quality scoring, token counting) from the project north
+  * star, built scale-first:
+  *
+  *  - exact dedup = hash + groupBy (one shuffle on the hash);
+  *  - n-gram Jaccard = shingle self-join (candidate generation bounded
+  *    by shared shingles — quadratic only within a shingle's posting
+  *    list, the classic inverted-index bound);
+  *  - MinHash+LSH = the 100 TB path: constant-size signatures per doc,
+  *    banded bucketing, candidate verification — no all-pairs stage;
+  *  - everything below is built from codegen'd built-ins (split,
+  *    md5, higher-order array functions); no UDFs, no driver loops.
+  *
+  * Hash parity with the DuckDB oracle: both sides hash with md5 (hex,
+  * lowercase) and take lexicographic MIN over hex strings, so MinHash
+  * signatures are engine-exact.
+  */
+object TextOps {
+
+  /** Non-empty word array of the document text. */
+  private val wordsCol: Column =
+    expr("filter(split(text, ' '), w -> w != '')")
+  private val wordsSql: String =
+    "LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '')"
+
+  /** Exact dedup (hash groupBy): every doc keyed by md5(text); each row
+    * carries its group size and whether it is the canonical (min doc_id)
+    * copy. At scale: narrow hash + one shuffle on a 128-bit key.
+    */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h"))
+    Tables.documents(s, dir)
+      .withColumn("h", md5(col("text")))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("n_copies"),
+        (col("doc_id") === col("keep_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupExactOracle: String = """
+    SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS n_copies,
+           doc_id = MIN(doc_id) OVER (PARTITION BY h) AS is_canonical
+    FROM (SELECT doc_id, MD5(text) AS h FROM documents)
+    ORDER BY doc_id"""
+
+  /** Document fingerprint: md5 over the sorted distinct word set (a
+    * bag-of-words canonical form — the "document fingerprinting" op).
+    * Groups sharing a fingerprint are permutation/repetition dups that
+    * raw-text hashing misses.
+    */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(array_join(array_sort(array_distinct(wordsCol)), " "))
+    val w = Window.partitionBy(col("fp"))
+    Tables.documents(s, dir)
+      .withColumn("fp", fp)
+      .withColumn("n_same_bag", count(lit(1)).over(w))
+      .select(col("doc_id"), col("fp"), col("n_same_bag"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qFingerprintOracle: String = s"""
+    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same_bag
+    FROM (SELECT doc_id,
+            MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT($wordsSql)), ' ')) AS fp
+          FROM documents)
+    ORDER BY doc_id"""
+
+  /** Shingle relation: (doc_id, distinct 3-gram). Shared CTE of the
+    * Jaccard and MinHash queries.
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("words", wordsCol)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, greatest(size(words) - 2, 0)), " +
+          "i -> array_join(slice(words, i, 3), ' '))")).as("s"))
+      .distinct()
+  }
+
+  private val shinglesSql: String = s"""
+    SELECT DISTINCT doc_id,
+           UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 1, 1)),
+                                 i -> ARRAY_TO_STRING(words[i:i+2], ' '))) AS s
+    FROM (SELECT doc_id, $wordsSql AS words FROM documents)"""
+
+  /** N-gram Jaccard near-dup (exact): candidate pairs share ≥1 shingle
+    * (inverted-index join), then J = |∩| / |∪| ≥ 0.5. The self-join is
+    * the textbook exact method — kept as the correctness baseline that
+    * MinHash+LSH (below) approximates at scale.
+    */
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qNgramJaccardOracle: String = s"""
+    WITH sh AS ($shinglesSql),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, inter / (sa.n + sb.n - inter) AS jaccard
+    FROM pairs
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE inter / (sa.n + sb.n - inter) >= 0.5
+    ORDER BY doc_a, doc_b"""
+
+  /** MinHash + LSH near-dup — the scale path. k=8 hash functions
+    * (seeded md5, lexicographic string min), 4 bands × 2 rows; docs
+    * sharing any band signature become candidates; candidates are
+    * verified with exact Jaccard ≥ 0.5.
+    *
+    * At 100 TB: signatures are O(1) per doc (8 hashes), the band join
+    * shuffles only (band_id, signature) pairs, and verification touches
+    * only candidate pairs — this is the standard web-scale dedup layout
+    * (no all-pairs join anywhere).
+    */
+  def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val hashCols = (1 to 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(map(
+      lit(1), concat(col("h1"), col("h2")),
+      lit(2), concat(col("h3"), col("h4")),
+      lit(3), concat(col("h5"), col("h6")),
+      lit(4), concat(col("h7"), col("h8"))))
+      .as(Seq("band_id", "band_sig")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_sig") === col("y.band_sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qMinhashLshOracle: String = {
+    val hs = (1 to 8).map(i => s"MIN(MD5('$i:' || s)) AS h$i").mkString(", ")
+    s"""
+    WITH sh AS ($shinglesSql),
+    sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 1 AS band_id, h1 || h2 AS band_sig FROM sig
+      UNION ALL SELECT doc_id, 2, h3 || h4 FROM sig
+      UNION ALL SELECT doc_id, 3, h5 || h6 FROM sig
+      UNION ALL SELECT doc_id, 4, h7 || h8 FROM sig),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+       AND x.doc_id < y.doc_id),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT doc_a, doc_b, COUNT(*) AS inter
+      FROM cand
+      JOIN sh a ON doc_a = a.doc_id
+      JOIN sh b ON doc_b = b.doc_id AND a.s = b.s
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, inter / (sa.n + sb.n - inter) AS jaccard
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE inter / (sa.n + sb.n - inter) >= 0.5
+    ORDER BY doc_a, doc_b"""
+  }
+
+  /** SimHash (near-dup sketch #3): one 32-bit signature per doc.
+    * Bit j is the majority vote of hex-nibble-parity bits of each
+    * word's md5 — a deterministic, engine-portable formulation of the
+    * classic Charikar sketch. Docs are bucketed by the top half of the
+    * signature (16-bit band) for candidate generation.
+    */
+  def qSimhash(s: SparkSession, dir: String): DataFrame = {
+    val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val bitCols = (0 until 32).map { j =>
+      sum(when(substring(col("wh"), j + 1, 1).isin(odd: _*), 1).otherwise(-1))
+    }
+    val bits = (0 until 32).map(j =>
+      when(col(s"b$j") > 0, "1").otherwise("0"))
+    val agg = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(wordsCol).as("w"))
+      .withColumn("wh", md5(col("w")))
+      .groupBy(col("doc_id"))
+      .agg(bitCols.head.as("b0"), bitCols.tail.zipWithIndex.map {
+        case (c, i) => c.as(s"b${i + 1}") }: _*)
+    val w = Window.partitionBy(col("band"))
+    agg.withColumn("simhash", concat(bits: _*))
+      .withColumn("band", substring(col("simhash"), 1, 16))
+      .withColumn("n_bucket", count(lit(1)).over(w))
+      .select(col("doc_id"), col("simhash"), col("band"), col("n_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSimhashOracle: String = {
+    val bitSums = (0 until 32).map(j =>
+      s"SUM(CASE WHEN SUBSTRING(MD5(w), ${j + 1}, 1) IN " +
+      "('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS b" + j)
+      .mkString(", ")
+    val bits = (0 until 32).map(j =>
+      s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""
+    WITH wrds AS (SELECT doc_id, UNNEST($wordsSql) AS w FROM documents),
+    agg AS (SELECT doc_id, $bitSums FROM wrds GROUP BY doc_id),
+    sig AS (SELECT doc_id, $bits AS simhash FROM agg),
+    banded AS (SELECT doc_id, simhash, SUBSTRING(simhash, 1, 16) AS band FROM sig)
+    SELECT doc_id, simhash, band, COUNT(*) OVER (PARTITION BY band) AS n_bucket
+    FROM banded
+    ORDER BY doc_id"""
+  }
+
+  /** Language-ID by marker-word voting (n-gram-profile heuristic shape):
+    * score each doc against per-language marker sets, argmax with
+    * strict-majority, ties → 'und'. Pure per-row computation.
+    */
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val profiles = Seq(
+      "sqlish"  -> Seq("join", "merge", "hash", "sort", "scan", "filter"),
+      "sparkish" -> Seq("spark", "stream", "batch", "query", "window", "group"),
+      "bizish"  -> Seq("customer", "order", "line", "part", "value", "data"))
+    val scored = profiles.foldLeft(
+      Tables.documents(s, dir).withColumn("words", wordsCol)) {
+      case (df, (lang, ws)) =>
+        df.withColumn(s"s_$lang",
+          expr(s"size(filter(words, w -> w in (${ws.map("'" + _ + "'").mkString(",")})))")
+            .cast("long"))
+    }
+    val pred = when(col("s_sqlish") > col("s_sparkish") && col("s_sqlish") > col("s_bizish"), "sqlish")
+      .when(col("s_sparkish") > col("s_sqlish") && col("s_sparkish") > col("s_bizish"), "sparkish")
+      .when(col("s_bizish") > col("s_sqlish") && col("s_bizish") > col("s_sparkish"), "bizish")
+      .otherwise("und")
+    scored.withColumn("lang_pred", pred)
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang_pred"))
+  }
+
+  val qLangIdOracle: String = """
+    WITH scored AS (
+      SELECT doc_id,
+        LEN(LIST_FILTER(LIST_FILTER(STRING_SPLIT(text,' '), w -> w <> ''),
+            w -> w IN ('join','merge','hash','sort','scan','filter'))) AS s_sqlish,
+        LEN(LIST_FILTER(LIST_FILTER(STRING_SPLIT(text,' '), w -> w <> ''),
+            w -> w IN ('spark','stream','batch','query','window','group'))) AS s_sparkish,
+        LEN(LIST_FILTER(LIST_FILTER(STRING_SPLIT(text,' '), w -> w <> ''),
+            w -> w IN ('customer','order','line','part','value','data'))) AS s_bizish
+      FROM documents),
+    pred AS (
+      SELECT doc_id,
+        CASE WHEN s_sqlish > s_sparkish AND s_sqlish > s_bizish THEN 'sqlish'
+             WHEN s_sparkish > s_sqlish AND s_sparkish > s_bizish THEN 'sparkish'
+             WHEN s_bizish > s_sqlish AND s_bizish > s_sparkish THEN 'bizish'
+             ELSE 'und' END AS lang_pred
+      FROM scored)
+    SELECT lang_pred, COUNT(*) AS n, MIN(doc_id) AS first_doc
+    FROM pred
+    GROUP BY lang_pred
+    ORDER BY lang_pred"""
+
+  /** Quality scoring: length/diversity/stopword-ratio features and a
+    * weighted score — the training-data quality-filter shape. All
+    * ratios are int/int divisions evaluated in identical order on both
+    * engines.
+    */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    Tables.documents(s, dir)
+      .withColumn("words", wordsCol)
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("words"))).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(words, w -> w in (${stop.map("'" + _ + "'").mkString(",")})))")
+          .cast("long"))
+      .withColumn("distinct_ratio", col("n_distinct") / col("n_words"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_words"))
+      .withColumn("score",
+        col("distinct_ratio") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(col("n_words") / 50.0, lit(1.0)) * 0.2)
+      .withColumn("band",
+        when(col("score") >= 0.8, "good")
+          .when(col("score") >= 0.6, "fair").otherwise("low"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        col("n_stop"), col("score"), col("band"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualityScoreOracle: String = s"""
+    WITH f AS (
+      SELECT doc_id, $wordsSql AS words FROM documents),
+    g AS (
+      SELECT doc_id, LEN(words) AS n_words,
+             LEN(LIST_DISTINCT(words)) AS n_distinct,
+             LEN(LIST_FILTER(words, w -> w IN ('the','a','of','and','to'))) AS n_stop
+      FROM f),
+    h AS (
+      SELECT *, (n_distinct / n_words) * 0.5 + (1.0 - (n_stop / n_words)) * 0.3 +
+             LEAST(n_words / 50.0, 1.0) * 0.2 AS score
+      FROM g)
+    SELECT doc_id, n_words, n_distinct, n_stop, score,
+           CASE WHEN score >= 0.8 THEN 'good'
+                WHEN score >= 0.6 THEN 'fair' ELSE 'low' END AS band
+    FROM h
+    ORDER BY doc_id"""
+
+  /** Token counting: whitespace tokens plus a BPE-ish estimate
+    * (⌈len/4⌉ subword units per word, integer arithmetic only).
+    */
+  def qTokenCount(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("words", wordsCol)
+      .withColumn("ws_tokens", size(col("words")).cast("long"))
+      .withColumn("bpe_tokens",
+        expr("aggregate(words, 0L, (acc, w) -> acc + ((length(w) + 3) div 4))"))
+      .withColumn("chars", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+        col("chars"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTokenCountOracle: String = s"""
+    WITH f AS (SELECT doc_id, n_chars, LENGTH(text) AS chars, $wordsSql AS words
+               FROM documents),
+    t AS (SELECT doc_id, UNNEST(words) AS w FROM f),
+    b AS (SELECT doc_id, CAST(SUM((LENGTH(w) + 3) // 4) AS BIGINT) AS bpe_tokens,
+                 COUNT(*) AS ws_tokens
+          FROM t GROUP BY doc_id)
+    SELECT f.doc_id, b.ws_tokens, b.bpe_tokens, f.chars, f.n_chars
+    FROM f JOIN b ON f.doc_id = b.doc_id
+    ORDER BY f.doc_id"""
+
+  val all: Seq[GateQuery] = Seq(
+    GateQuery("t25_dedup_exact", qDedupExact, Some(qDedupExactOracle)),
+    GateQuery("t26_fingerprint", qFingerprint, Some(qFingerprintOracle)),
+    GateQuery("t27_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardOracle)),
+    GateQuery("t28_minhash_lsh", qMinhashLsh, Some(qMinhashLshOracle)),
+    GateQuery("t29_simhash", qSimhash, Some(qSimhashOracle)),
+    GateQuery("t30_langid", qLangId, Some(qLangIdOracle)),
+    GateQuery("t31_quality_score", qQualityScore, Some(qQualityScoreOracle)),
+    GateQuery("t32_token_count", qTokenCount, Some(qTokenCountOracle)),
+  )
+}
