@@ -1,0 +1,141 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.fic.FicSchema
+
+/** External-service clients used by the extract stage. The reference
+  * calls LLMWhisperer (PDF OCR) and Gemini (text → structured JSON) over
+  * HTTP (/root/reference/src/etl/extract.py:111-202); this container has
+  * zero egress, so production clients are out of scope — the trait is
+  * the seam, and [[StubOcrClient]]/[[StubStructurizer]] are
+  * deterministic fakes that keep the Spark-side plumbing (partitioning,
+  * retries, schema) real and testable.
+  */
+trait OcrClient extends Serializable {
+  /** PDF bytes → plain text. Throws on transient failure. */
+  def extractText(name: String, pdf: Array[Byte]): String
+}
+
+trait Structurizer extends Serializable {
+  /** Fact-sheet text → JSON string matching [[FicSchema.raw]]. */
+  def structure(text: String): String
+}
+
+/** Deterministic fake OCR: emits a synthetic fact-sheet text derived
+  * from the file name/size. `failEvery` simulates transient faults to
+  * exercise the retry path.
+  */
+final class StubOcrClient(failEvery: Int = 0) extends OcrClient {
+  private val calls = new java.util.concurrent.atomic.AtomicInteger()
+  override def extractText(name: String, pdf: Array[Byte]): String = {
+    if (failEvery > 0 && calls.incrementAndGet() % failEvery == 0)
+      throw new java.io.IOException("simulated transient OCR failure")
+    s"FICHA TECNICA ${name.toUpperCase}\nbytes=${pdf.length}"
+  }
+}
+
+final class StubStructurizer extends Structurizer {
+  override def structure(text: String): String = {
+    val name = text.linesIterator.next().stripPrefix("FICHA TECNICA ").trim
+    s"""```json
+       |{"fic": {"nombre_fic": "$name", "gestor": "stub", "custodio": null,
+       | "fecha_corte": "jul-25", "politica_de_inversion": "renta fija"}}
+       |```""".stripMargin
+  }
+}
+
+/** The LLM map operators (SURVEY S2/S3) — `mapPartitions` over a
+  * Dataset with the reference's resilience semantics re-created
+  * in-lambda:
+  *
+  *  - retry ×3 with exponential backoff 2^n seconds
+  *    (extract.py:111,160-164) INSIDE the lambda — a Spark task retry
+  *    would re-bill every record in the partition;
+  *  - bounded concurrency: `repartition(maxInFlight)` caps simultaneous
+  *    clients exactly like the reference's 3-worker pool
+  *    (script_extract.py:87) — at cluster scale each partition holds one
+  *    API client/connection, reused across its records;
+  *  - per-record failures are captured, not thrown (error column), so
+  *    one poisoned document cannot kill a 100 TB job — the quarantine
+  *    discipline of SURVEY §7.8.
+  */
+object LlmOperators {
+
+  val ocrSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("text", StringType),
+    StructField("error", StringType)))
+
+  private def withRetries[T](maxRetries: Int, sleepMs: Long => Long = n => n)(f: => T): Either[String, T] = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxRetries) {
+      try return Right(f)
+      catch {
+        case e: Throwable =>
+          last = e
+          attempt += 1
+          if (attempt < maxRetries)
+            Thread.sleep(sleepMs((1L << attempt) * 1000L))
+      }
+    }
+    Left(s"${last.getClass.getSimpleName}: ${last.getMessage}")
+  }
+
+  /** PDF binary rows (path, content) → (path, text, error). */
+  def ocr(pdfs: DataFrame, client: OcrClient, maxInFlight: Int = 3,
+      maxRetries: Int = 3, backoffMs: Long => Long = n => n): DataFrame = {
+    val spark = pdfs.sparkSession
+    import spark.implicits._
+    pdfs.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .repartition(maxInFlight) // rate limit ≈ reference's 3 workers
+      .mapPartitions { rows =>
+        // one client per partition ≈ one connection per worker
+        rows.map { case (path, bytes) =>
+          withRetries(maxRetries, backoffMs)(client.extractText(path, bytes)) match {
+            case Right(t) if t != null && t.trim.nonEmpty => (path, t, null: String)
+            case Right(_) => (path, null: String, "empty extraction") // extract.py:154-155
+            case Left(err) => (path, null: String, err)
+          }
+        }
+      }
+      .toDF("path", "text", "error")
+  }
+
+  /** Text rows → parsed FIC documents: LLM structure call (with fence
+    * stripping, extract.py:192-195) then `from_json` with the declared
+    * schema — untrusted output never throws (PERMISSIVE).
+    */
+  def structurize(texts: DataFrame, client: Structurizer,
+      maxInFlight: Int = 3, maxRetries: Int = 3,
+      backoffMs: Long => Long = n => n): DataFrame = {
+    val spark = texts.sparkSession
+    import spark.implicits._
+    texts.select(col("path"), col("text"))
+      .as[(String, String)]
+      .repartition(maxInFlight)
+      .mapPartitions { rows =>
+        rows.map { case (path, text) =>
+          if (text == null) (path, null: String, "no text")
+          else withRetries(maxRetries, backoffMs)(client.structure(text)) match {
+            case Right(j) => (path, stripFences(j), null: String)
+            case Left(err) => (path, null: String, err)
+          }
+        }
+      }
+      .toDF("path", "json", "error")
+      .withColumn("doc", from_json(col("json"), FicSchema.raw))
+  }
+
+  /** ```json fences → bare JSON (extract.py:192-195). */
+  def stripFences(s: String): String = {
+    if (s == null) return null
+    val t = s.trim
+    if (t.contains("```json")) t.split("```json", 2)(1).split("```", 2)(0).trim
+    else if (t.startsWith("```")) t.stripPrefix("```").split("```", 2)(0).trim
+    else t
+  }
+}

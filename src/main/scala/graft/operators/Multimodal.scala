@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque binary
+  * columns with typed metadata, processed by partition-mapped batch
+  * operators.
+  *
+  * The decode step itself is STUBBED (no media libraries in this
+  * container — see [[StubDecoder]], clearly deterministic-fake); the
+  * Spark-side contract is real: schema, batch shape (one decoder per
+  * partition, streamed record iterator — never materialize a partition),
+  * and the metadata/feature column layout a 100 TB media pipeline needs.
+  * On a real cluster only [[MediaDecoder]] changes.
+  */
+object Multimodal {
+
+  /** Typed media row: opaque payload + metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType),
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("codec", StringType))))))
+
+  /** Decode seam. Implementations must be cheap to construct per
+    * partition and safe to reuse across records.
+    */
+  trait MediaDecoder extends Serializable {
+    /** payload → fixed-size feature vector (e.g. embedding / histogram). */
+    def features(mime: String, content: Array[Byte]): Array[Float]
+    /** payload → (width, height) for images, (-1,-1) otherwise. */
+    def dimensions(mime: String, content: Array[Byte]): (Int, Int)
+  }
+
+  /** Deterministic fake: features are a seeded hash-derived vector, so
+    * tests are reproducible and the pipeline shape is exercised
+    * end-to-end without media libs.
+    */
+  final class StubDecoder(dim: Int = 16) extends MediaDecoder {
+    override def features(mime: String, content: Array[Byte]): Array[Float] = {
+      val h = java.util.Arrays.hashCode(content)
+      val rnd = new java.util.Random(h.toLong)
+      Array.fill(dim)(rnd.nextFloat() - 0.5f)
+    }
+    override def dimensions(mime: String, content: Array[Byte]): (Int, Int) =
+      if (mime != null && mime.startsWith("image/"))
+        (content.length % 1024 + 1, content.length % 768 + 1)
+      else (-1, -1)
+  }
+
+  /** Feature extraction over a media DataFrame: one decoder per
+    * partition, record-streamed (constant memory per task). Output keeps
+    * the id + mime and adds `features: array<float>`.
+    */
+  def extractFeatures(media: DataFrame, decoder: MediaDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("mime"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, mime, bytes) =>
+          (id, mime, decoder.features(mime, bytes))
+        }
+      }
+      .toDF("media_id", "mime", "features")
+  }
+
+  /** Metadata enrichment (decode dimensions) — same partition-mapped
+    * shape.
+    */
+  def probeDimensions(media: DataFrame, decoder: MediaDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("mime"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, mime, bytes) =>
+        val (w, h) = decoder.dimensions(mime, bytes)
+        (id, w, h)
+      })
+      .toDF("media_id", "width", "height")
+  }
+
+  /** Frame sampling for video-shaped payloads: emit every k-th chunk of
+    * the payload as a pseudo-frame (stub chunking; real impl swaps the
+    * chunker for a codec). Demonstrates the 1→N generator shape
+    * (flatMap) that keeps frame explosion distributed.
+    */
+  def sampleFrames(media: DataFrame, everyKth: Int = 10,
+      frameBytes: Int = 4096): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nChunks = math.max(1, bytes.length / frameBytes)
+        (0 until nChunks by everyKth).map { i =>
+          val from = i * frameBytes
+          val until = math.min(bytes.length, from + frameBytes)
+          (id, i, java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fic.{FicLookup, FicSchema}
+
+/** Sources and sinks for the FIC pipeline (SURVEY §2.1).
+  *
+  * Scan-time pruning is pushed into the source wherever the reference
+  * filtered file lists by hand: `pathGlobFilter` replaces the glob
+  * (script_extract.py:77), filename predicates replace the
+  * `_transformed.json` exclusion (script_transform.py:231-232) — both
+  * are evaluated at file-listing time, before any bytes are read.
+  */
+object FicSources {
+
+  /** S1: folder-of-PDFs scan with partition-friendly path metadata.
+    * Adds banco/anio/mes parsed from the `<banco>_<año>/<mes>/x.pdf`
+    * layout (load.py:33-50) when present.
+    */
+  def pdfFolder(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .withColumn("filename", regexp_extract(col("path"), "([^/]+)$", 1))
+      .withColumn("banco", regexp_extract(col("path"), "([^/_]+)_\\d{4}/", 1))
+      .withColumn("anio", regexp_extract(col("path"), "_(\\d{4})/", 1))
+      .withColumn("mes", regexp_extract(col("path"), "_\\d{4}/(\\d{1,2})/", 1))
+
+  /** S4: raw FIC JSON folder scan — one document per file (multiLine),
+    * explicit schema (never inferred), `*_transformed.json` excluded at
+    * listing time.
+    */
+  def rawJsonFolder(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("multiLine", true)
+      .option("pathGlobFilter", "*.json")
+      .schema(FicSchema.raw)
+      .json(dir)
+      .withColumn("filename", regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .filter(!col("filename").endsWith("_transformed.json"))
+
+  /** S5: transformed-JSON folder scan (inverted glob). */
+  def transformedJsonFolder(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("multiLine", true)
+      .option("pathGlobFilter", "*_transformed.json")
+      .schema(FicSchema.transformed)
+      .json(dir)
+      .withColumn("filename", regexp_extract(input_file_name(), "([^/]+)$", 1))
+
+  /** S7: skip-list scan (script_load.py:154-187): '#' comments and
+    * blanks dropped, names canonicalized to `*_transformed.json`.
+    * Returned as a DataFrame for a broadcast anti-join (F2):
+    * {{{ docs.join(broadcast(skips), Seq("filename"), "left_anti") }}}
+    */
+  def skipList(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(trim(col("value")).as("name"))
+      .filter(col("name") =!= "" && !col("name").startsWith("#"))
+      .select(
+        when(col("name").endsWith("_transformed.json"), col("name"))
+          .when(col("name").endsWith(".json"),
+            regexp_replace(col("name"), "\\.json$", "_transformed.json"))
+          .otherwise(concat(col("name"), lit("_transformed.json")))
+          .as("filename"))
+      .distinct()
+
+  /** S6: bank→fund→URL lookup file (`fics.json`). JSON-object key order
+    * is the reference's scan order, so parse with Jackson (insertion
+    * order preserved) into the ordered [[FicLookup]]. One small driver
+    * read — the result travels to executors inside UDF closures
+    * (broadcast by the task serializer).
+    */
+  def ficsLookup(path: String): FicLookup = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new java.io.File(path))
+    val banks = root.properties().asScala.toSeq.map { e =>
+      val funds = e.getValue.properties().asScala.toSeq
+        .map(f => f.getKey -> f.getValue.asText())
+      e.getKey -> funds
+    }
+    FicLookup(banks)
+  }
+
+  /** S8/S9: partitioned JSON sink — documents written under
+    * anio=/mes= directories (the reference's `json_raw_<año>_<mes>/`
+    * layout as proper partition columns).
+    */
+  def writePartitionedJson(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite")
+      .partitionBy("anio", "mes")
+      .json(outDir)
+}
