@@ -3,7 +3,7 @@
 
 Runs the reference implementation (/root/reference, pure stdlib) over its
 own committed raw fixtures and over function-level input tables, writing
-expected outputs to src/test/resources/golden/. The Scala engine's tests
+expected outputs to src/main/resources/golden/. The Scala engine's tests
 compare against these files. Run with two PYTHONHASHSEEDs to confirm the
 outputs are deterministic (difflib over set iteration order is the one
 risk — verified stable here).
@@ -15,7 +15,7 @@ logging.disable(logging.CRITICAL)
 
 from src.etl import transform as T  # noqa: E402
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "src/test/resources/golden")
+OUT = os.path.join(os.path.dirname(__file__), "..", "src/main/resources/golden")
 os.makedirs(OUT, exist_ok=True)
 
 # 1. Full-chain goldens: raw -> transform_fic_data (no fics.json present,
@@ -58,7 +58,8 @@ SIM_PAIRS = [
     ("abc", "xyz"), ("", "x"), ("x", ""), ("abcd", "bcda"),
     ("renta", "rentabilidad"), ("fondo", "fond"),
 ]
-sims = [[a, b, T._calcular_similitud(a, b)] for a, b in SIM_PAIRS]
+from difflib import SequenceMatcher
+sims = [[a, b, T._calcular_similitud(a, b), SequenceMatcher(None, a, b).ratio()] for a, b in SIM_PAIRS]
 json.dump(sims, open(os.path.join(OUT, "table_similarity.json"), "w"), indent=2)
 
 # 5. Agency fuzzy normalization (J2): upper/strip input ->
@@ -121,3 +122,41 @@ json.dump(fund, open(os.path.join(OUT, "table_fund.json"), "w"),
           ensure_ascii=False, indent=2, sort_keys=True)
 
 print("goldens written to", os.path.abspath(OUT))
+
+# 8. Gate docs: full-chain expected scalars for the driver's oracle gate.
+#    Inputs live in gate_docs.json (single source of truth for Scala+SQL).
+import copy
+gate_docs = json.load(open(os.path.join(OUT, "gate_docs.json")))
+gate_exp = {}
+for doc_id in sorted(gate_docs):
+    out = T.transform_fic_data(copy.deepcopy(gate_docs[doc_id]), f"{doc_id}_x_raw.json")
+    def g(*path):
+        cur = out
+        for p in path:
+            if isinstance(p, int):
+                if not isinstance(cur, list) or p >= len(cur): return None
+                cur = cur[p]
+            else:
+                if not isinstance(cur, dict) or p not in cur: return None
+                cur = cur[p]
+        return cur
+    gate_exp[doc_id] = {
+        "fecha_corte": g("fic", "fecha_corte"),
+        "tipo": g("fic", "tipo"),
+        "fecha_inicio": g("caracteristicas", "fecha_inicio_operaciones"),
+        "valor": g("caracteristicas", "valor"),
+        "unidades": g("caracteristicas", "no_unidades_en_circulacion"),
+        "entidad": g("calificacion", "entidad_calificadora"),
+        "ent_norm": g("calificacion", "entidad_calificadora_normalizada"),
+        "fecha_calif": g("calificacion", "fecha_ultima_calificacion"),
+        "plazo0": g("plazo_duracion", 0, "participacion"),
+        "plazo1": g("plazo_duracion", 1, "participacion"),
+        "activo0": g("composicion_portafolio", "por_activo", 0, "participacion"),
+        "inv0": g("principales_inversiones", 0, "participacion"),
+        "rent_6m": g("rentabilidad_volatilidad", 0, "rentabilidad_historica_ea", "ultimos_6_meses"),
+        "rent_ac": g("rentabilidad_volatilidad", 0, "rentabilidad_historica_ea", "anio_corrido"),
+        "vol_1a": g("rentabilidad_volatilidad", 0, "volatilidad_historica", "ultimo_anio"),
+        "n_plazos": len(g("plazo_duracion") or []),
+    }
+json.dump(gate_exp, open(os.path.join(OUT, "gate_expected.json"), "w"),
+          ensure_ascii=False, indent=2, sort_keys=True)
