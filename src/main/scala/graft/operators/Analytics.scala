@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Tables, Det}
+
+/** Analytic-surface pack: pivot, full window-function family, grouping
+  * sets, sessionization, exact percentiles, sketches — the §2.4/§2.5
+  * "Spark built-ins cover the gap" surface, exercised and oracle-pinned.
+  */
+object Analytics {
+
+  import Det._
+
+  /** Pivot (SURVEY J6's groupBy().pivot() shape): order counts and value
+    * per status pivoted across priorities.
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+      .groupBy(col("o_orderstatus"))
+      .pivot("prio", Seq("1", "2", "3", "4", "5"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qPivotOracle: String = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) FILTER (WHERE prio = '1') AS BIGINT) AS "1",
+           CAST(COUNT(*) FILTER (WHERE prio = '2') AS BIGINT) AS "2",
+           CAST(COUNT(*) FILTER (WHERE prio = '3') AS BIGINT) AS "3",
+           CAST(COUNT(*) FILTER (WHERE prio = '4') AS BIGINT) AS "4",
+           CAST(COUNT(*) FILTER (WHERE prio = '5') AS BIGINT) AS "5"
+    FROM (SELECT o_orderstatus, SUBSTRING(o_orderpriority, 1, 1) AS prio FROM orders)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus"""
+
+  /** The analytic window family on one query: lag, lead, rank,
+    * dense_rank, ntile, first/last over frames (SURVEY §2.5 note).
+    */
+  def qWindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        rank().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("price_rank"),
+        dense_rank().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderstatus"))).as("status_rank"),
+        ntile(4).over(w).as("quartile"),
+        first(col("o_orderkey")).over(wRows).as("first_order"),
+        count(lit(1)).over(w.rangeBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("n_so_far"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val qWindowAnalyticsOracle: String = """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+           LAG(o_orderkey, 1) OVER w AS prev_order,
+           LEAD(o_orderkey, 1) OVER w AS next_order,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_rank,
+           NTILE(4) OVER w AS quartile,
+           FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_so_far
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey"""
+
+  /** CUBE over two dimensions (grouping-set family, §2.4 note). */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .cube(col("o_orderstatus"), col("yr"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("yr").asc_nulls_first)
+  }
+
+  val qCubeOracle: String = """
+    SELECT o_orderstatus, yr, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (SELECT o_orderstatus, YEAR(o_orderdate) AS yr, o_totalprice FROM orders)
+    GROUP BY CUBE (o_orderstatus, yr)
+    ORDER BY o_orderstatus ASC NULLS FIRST, yr ASC NULLS FIRST"""
+
+  /** Sessionization: split each user's event stream on >30-minute gaps —
+    * lag + cumulative boundary sum, the stateful-streaming shape run as
+    * a batch window (one shuffle on user_id).
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+    Tables.events(s, dir)
+      .withColumn("new_session",
+        when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sumMoney(col("value")).as("session_value"))
+      .filter(col("n_events") >= 3)
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val qSessionizeOracle: String = """
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    g AS (
+      SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                      OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 30*60*1000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sid AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM g)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM sid
+    GROUP BY user_id, session_id
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id, session_id"""
+
+  /** Exact interpolated percentiles on an integer-valued measure —
+    * quarter fractions over integers are IEEE-exact, so both engines'
+    * interpolation formulas agree bit-for-bit.
+    */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qPercentilesOracle: String = """
+    SELECT l_returnflag,
+           QUANTILE_CONT(l_quantity, 0.5) AS p50,
+           QUANTILE_CONT(l_quantity, 0.25) AS p25,
+           QUANTILE_CONT(l_quantity, 0.75) AS p75,
+           MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
+  /** Sketch surface (HLL): approximate distinct counts are
+    * engine-specific, so this query is registered WITHOUT an oracle —
+    * the driver applies its weaker rows-only check. The exact counts
+    * ride along for human sanity-checking of the sketch error.
+    */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[GateQuery] = Seq(
+    GateQuery("q25_pivot", qPivot, Some(qPivotOracle)),
+    GateQuery("q26_window_analytics", qWindowAnalytics, Some(qWindowAnalyticsOracle)),
+    GateQuery("q27_cube", qCube, Some(qCubeOracle)),
+    GateQuery("q28_sessionize", qSessionize, Some(qSessionizeOracle)),
+    GateQuery("q29_percentiles", qPercentiles, Some(qPercentilesOracle)),
+    GateQuery("q30_approx_distinct", qApproxDistinct, None),
+  )
+}
