@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fic.{FicLookup, FicSchema, FicShredder, FicTransform}
+import graft.load.JdbcSink
+import graft.operators.Scale
+import graft.quality.Validation
+
+/** Scale utilities, quality side-outputs and the JDBC sink (embedded
+  * Derby standing in for Postgres).
+  */
+class ScaleAndSinkSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("wh").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val transformed = {
+    spark.sparkContext.setLogLevel("WARN")
+    val raw = spark.read.option("multiLine", true).schema(FicSchema.raw)
+      .json("/root/reference/data/json_raw_2025_07/*.json")
+      .withColumn("filename", regexp_extract(input_file_name(), "([^/]+)$", 1))
+    FicTransform(raw, FicLookup(Nil))
+  }
+
+  test("salted join equals plain join") {
+    import spark.implicits._
+    val left = (1 to 10000).map(i => (i % 5, i)).toDF("k", "v")  // 5 hot keys
+    val right = (0 to 4).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = left.join(right, "k")
+    val salted = Scale.saltedJoin(left, right, "k", saltFactor = 8)
+    assert(salted.count() == plain.count())
+    val a = plain.groupBy("k").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val b = salted.groupBy("k").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_lines")
+    val orders = (1 to 1000).map(i => (i.toLong, s"o$i")).toDF("id", "o")
+    val lines = (1 to 5000).map(i => ((i % 1000 + 1).toLong, i)).toDF("id", "ln")
+    Scale.writeBucketed(orders, "bt_orders", "id", 8)
+    Scale.writeBucketed(lines, "bt_lines", "id", 8)
+    // force a non-broadcast join so the bucket layout is what avoids
+    // the shuffle (at real scale neither side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bt_orders").join(spark.table("bt_lines"), "id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucket join:\n$plan")
+      assert(j.count() == 5000)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("sum warnings flag out-of-range percentage lists") {
+    val w = Validation.sumWarnings(transformed)
+    val rows = w.collect()
+    // the reference logs these same warnings for its own corpus
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Double]("suma") < 0.95 || r.getAs[Double]("suma") > 1.05))
+    val campos = rows.map(_.getAs[String]("campo")).toSet
+    assert(campos.contains("plazo_duracion") || campos.exists(_.startsWith("por_")))
+  }
+
+  test("date-vs-folder check flags only true mismatches, skip list written") {
+    val v = Validation.dateFolderCheck(transformed, "json_raw_2025_07")
+    val bad = v.filter(!col("fecha_valida")).collect()
+    // progresion_globalVista has fecha_corte 2025-01-31 in a 2025_07 folder
+    assert(bad.map(_.getString(0)).toSet ==
+      Set("progresion_globalVista_raw.json"))
+    val out = java.nio.file.Files.createTempDirectory("skip")
+      .resolve("skip_list.txt").toString
+    Validation.writeSkipList(v, out)
+    val content = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+    assert(content.contains("progresion_globalVista_raw"))
+    assert(content.startsWith("#"))
+  }
+
+  test("jdbc sink: transactional upsert into Derby, idempotent on rerun") {
+    val url = s"jdbc:derby:memory:ficdb;create=true"
+    val sh = FicShredder(transformed)
+    JdbcSink.loadShredded(sh.all, url, partitions = 4)
+
+    def count(table: String): Int = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(s"SELECT COUNT(*) FROM $table")
+        rs.next(); rs.getInt(1)
+      } finally c.close()
+    }
+    assert(count("fic") == 7)
+    assert(count("caracteristicas") == 7)
+    assert(count("composicion_portafolio") > 20)
+
+    // rerun: delete+insert by fic_id keeps counts identical (idempotent)
+    JdbcSink.loadShredded(sh.all, url, partitions = 4)
+    assert(count("fic") == 7)
+    assert(count("composicion_portafolio") ==
+      sh.composicionPortafolio.count().toInt)
+  }
+}
