@@ -48,6 +48,15 @@ class ScaleAndSinkSpec extends AnyFunSuite {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS bt_orders")
     spark.sql("DROP TABLE IF EXISTS bt_lines")
+    // the suite may share a session whose warehouse dir carries stale
+    // managed-table locations from an earlier JVM — clear them
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("bt_orders", "bt_lines").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
     val orders = (1 to 1000).map(i => (i.toLong, s"o$i")).toDF("id", "o")
     val lines = (1 to 5000).map(i => ((i % 1000 + 1).toLong, i)).toDF("id", "ln")
     Scale.writeBucketed(orders, "bt_orders", "id", 8)

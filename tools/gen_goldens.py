@@ -126,7 +126,7 @@ print("goldens written to", os.path.abspath(OUT))
 # 8. Gate docs: full-chain expected scalars for the driver's oracle gate.
 #    Inputs live in gate_docs.json (single source of truth for Scala+SQL).
 import copy
-gate_docs = json.load(open(os.path.join(OUT, "gate_docs.json")))
+gate_docs = json.load(open(os.path.join(OUT, "gate-docs.json")))
 gate_exp = {}
 for doc_id in sorted(gate_docs):
     out = T.transform_fic_data(copy.deepcopy(gate_docs[doc_id]), f"{doc_id}_x_raw.json")
@@ -158,5 +158,5 @@ for doc_id in sorted(gate_docs):
         "vol_1a": g("rentabilidad_volatilidad", 0, "volatilidad_historica", "ultimo_anio"),
         "n_plazos": len(g("plazo_duracion") or []),
     }
-json.dump(gate_exp, open(os.path.join(OUT, "gate_expected.json"), "w"),
+json.dump(gate_exp, open(os.path.join(OUT, "gate-expected.json"), "w"),
           ensure_ascii=False, indent=2, sort_keys=True)
