@@ -93,4 +93,32 @@ object FicSources {
     df.write.mode("overwrite")
       .partitionBy("anio", "mes")
       .json(outDir)
+
+  /** S9 byte-layout parity: one `<stem>_transformed.json` file per
+    * document (the reference's per-record naming,
+    * script_transform.py:144-146). Executed per partition through the
+    * Hadoop FileSystem API, so it works on file:// and hdfs:// alike and
+    * stays fully distributed — each task writes only its own rows.
+    */
+  def writePerDocumentJson(df: DataFrame, outDir: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val payload = df
+      .withColumn("__name", regexp_replace(col("filename"), "\\.json$", ""))
+      .select(col("__name"),
+        to_json(struct(df.columns.filter(_ != "filename").map(col): _*)).as("__json"))
+      .as[(String, String)]
+    payload.foreachPartition { (rows: Iterator[(String, String)]) =>
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(hadoopConf.value)
+      rows.foreach { case (name, json) =>
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(outDir, s"${name}_transformed.json"), true)
+        try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
+  }
 }
