@@ -51,8 +51,17 @@ object PyRound {
     else new JBigDecimal(v).setScale(scale, RoundingMode.HALF_EVEN).doubleValue()
   }
 
-  /** Register `py_round` for SQL / expr() use in a session. */
+  /** Register `py_round` for SQL / expr() use in a session. The value
+    * child is wrapped in a Cast to double so SQL decimal literals
+    * (`py_round(2.675, 2)`) work — the expression itself is
+    * double-typed and has no implicit coercion.
+    */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "py_round", exprs => PyRound(exprs(0), exprs(1)), "built-in")
+      "py_round",
+      exprs => PyRound(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          exprs(0), org.apache.spark.sql.types.DoubleType),
+        exprs(1)),
+      "built-in")
 }

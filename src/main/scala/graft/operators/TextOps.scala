@@ -78,12 +78,16 @@ object TextOps {
     * Jaccard and MinHash queries.
     */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the MinHash query reuses this relation four times
+    // (signatures, candidate bands, set sizes, intersection counts) —
+    // at scale you materialize the shingle relation once, not 4×.
     Tables.documents(s, dir)
       .withColumn("words", wordsCol)
       .select(col("doc_id"), explode(
         expr("transform(sequence(1, greatest(size(words) - 2, 0)), " +
           "i -> array_join(slice(words, i, 3), ' '))")).as("s"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private val shinglesSql: String = s"""

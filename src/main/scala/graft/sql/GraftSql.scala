@@ -1,0 +1,61 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.fic.FicTransform
+import graft.functions.{PyRound, Similarity, SpanishDate}
+
+/** SQL-facing surface: register the engine's scalar functions and the
+  * corpus tables so everything is reachable from `spark.sql(...)` —
+  * the thin relational surface of SURVEY §7.1.
+  */
+object GraftSql {
+
+  /** Register all custom functions for SQL use.
+    *
+    * `py_round` is a native Catalyst expression (codegen'd, usable in
+    * higher-order lambdas); the rest are procedural string algorithms
+    * registered as UDFs.
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    PyRound.register(spark)
+    spark.udf.register("parse_spanish_date",
+      (s: String) => SpanishDate.parse(s))
+    spark.udf.register("lcs_similarity",
+      (a: String, b: String) => Similarity.lcsSimilarity(a, b))
+    spark.udf.register("difflib_ratio",
+      (a: String, b: String) => Similarity.ratio(a, b))
+    spark.udf.register("clean_monetary",
+      (v: java.lang.Double) => FicTransform.limpiarValor(v))
+    spark.udf.register("normalize_bank",
+      (s: String) => if (s == null) null else FicTransform.normalizeBankName(s.toLowerCase))
+    spark.udf.register("normalize_fund",
+      (s: String) => if (s == null) null else FicTransform.normalizeFundName(s))
+    spark.udf.register("match_agency",
+      (s: String) => if (s == null) null
+        else FicTransform.matchAgency(s.toUpperCase.trim).orNull)
+  }
+
+  /** Create temp views for every synthetic-corpus table in `dir`.
+    * Goes through the dedicated loaders (not bare parquet reads) so
+    * table-specific handling — e.g. the events nanosecond-timestamp
+    * conversion — applies to the SQL surface too.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    val loaders: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "region" -> Tables.region, "nation" -> Tables.nation,
+      "customer" -> Tables.customer, "supplier" -> Tables.supplier,
+      "part" -> Tables.part, "orders" -> Tables.orders,
+      "lineitem" -> Tables.lineitem, "events" -> Tables.events,
+      "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
+    loaders.foreach { case (t, load) =>
+      load(spark, dir).createOrReplaceTempView(t)
+    }
+  }
+
+  /** One-call setup: functions + views. */
+  def init(spark: SparkSession, dir: String): Unit = {
+    registerFunctions(spark)
+    registerViews(spark, dir)
+  }
+}

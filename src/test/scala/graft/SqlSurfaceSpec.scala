@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fic.{FicShredder, FicSchema, FicTransform, FicLookup}
+import graft.sql.GraftSql
+
+/** The `spark.sql` surface: registered functions + corpus views. */
+class SqlSurfaceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("custom functions callable from SQL, including inside HOF lambdas") {
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSql.registerFunctions(spark)
+    val r = spark.sql("""
+      SELECT parse_spanish_date('31-jul-25') AS d,
+             py_round(2.675, 2) AS r,
+             lcs_similarity('sumar', 'sumarpersonas') AS s,
+             difflib_ratio('MOODYS', 'MOODY''S') AS dr,
+             clean_monetary(CAST(23232542280000.0 AS DOUBLE)) AS m,
+             match_agency('fitch ratings colombia') AS a,
+             transform(array(66.96D, 0.5D), x -> py_round(x / 100, 6)) AS arr
+    """).head()
+    assert(r.getString(0) == "2025-07-31")
+    assert(r.getDouble(1) == 2.67)
+    assert(r.getDouble(2) == 0.9)
+    assert(r.getDouble(3) > 0.9)
+    assert(r.getDouble(4) == 23232.54)
+    assert(r.getString(5) == "FITCH")
+    assert(r.getSeq[Double](6) == Seq(0.6696, 0.005))
+  }
+
+  test("corpus views queryable via SQL") {
+    GraftSql.init(spark, "/root/testdata/sf0.001")
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .head().getLong(0)
+    assert(n > 0)
+  }
+
+  test("typed dataset core over the shredded star") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.option("multiLine", true).schema(FicSchema.raw)
+      .json("/root/reference/data/json_raw_2025_07/*.json")
+      .withColumn("filename", regexp_extract(input_file_name(), "([^/]+)$", 1))
+    val sh = FicShredder(FicTransform(raw, FicLookup(Nil)))
+    val comps = graft.fic.FicModel.composiciones(sh)
+    // compile-time typed: groupByKey over the case class
+    import spark.implicits._
+    val byTipo = comps.groupByKey(_.tipo_composicion).count().collect().toMap
+    assert(byTipo.keySet.contains("activo"))
+    val heads = graft.fic.FicModel.heads(sh).collect()
+    assert(heads.length == 7)
+    assert(heads.forall(_._2.tipo.contains("Renta Fija")))
+  }
+}
