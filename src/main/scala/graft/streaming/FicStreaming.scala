@@ -45,7 +45,6 @@ object FicStreaming {
     transformed.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch((batch: DataFrame, id: Long) => merge(batch, id))
-      .trigger(Trigger.AvailableNow())
 
   /** Watermarked tumbling-window counts over an event stream with
     * event-time column `ts`.
