@@ -178,6 +178,32 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Top-k per key via the custom bounded TypedImperativeAggregate
+    * (graft.functions.TopKAgg) instead of a window sort: partial
+    * aggregation means the shuffle carries at most k pairs per
+    * (task, key) — the scalable formulation of q9's window top-k.
+    * The oracle is the window formulation: both must agree exactly.
+    */
+  def qTopkAggregate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.register(s)
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(expr("top_k_by_value(o_totalprice, o_orderkey, 3)").as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("o_custkey"), (col("pos") + 1).as("rank"),
+        col("p.id").as("o_orderkey"), col("p.value").as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+
+  val qTopkAggregateOracle: String = """
+    SELECT o_custkey, CAST(rn AS INT) AS rank, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey, rank"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("q25_pivot", qPivot, Some(qPivotOracle)),
     GateQuery("q26_window_analytics", qWindowAnalytics, Some(qWindowAnalyticsOracle)),
@@ -185,5 +211,6 @@ object Analytics {
     GateQuery("q28_sessionize", qSessionize, Some(qSessionizeOracle)),
     GateQuery("q29_percentiles", qPercentiles, Some(qPercentilesOracle)),
     GateQuery("q30_approx_distinct", qApproxDistinct, None),
+    GateQuery("q31_topk_aggregate", qTopkAggregate, Some(qTopkAggregateOracle)),
   )
 }
