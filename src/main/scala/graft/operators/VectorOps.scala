@@ -198,10 +198,89 @@ object VectorOps {
     GROUP BY label
     ORDER BY label"""
 
+  /** IVF (inverted-file) ANN — the second scale path beside sign-LSH.
+    * Coarse quantizer: per-label centroids (the labels stand in for a
+    * k-means coarse assignment, which at 100 TB would be trained
+    * offline). Centroid coordinates are decimal-exact sums / count so
+    * both engines derive identical doubles; queries probe the top-2
+    * centroids by cosine and search only those partitions — candidate
+    * generation is an equi-join on label, never a cross join.
+    */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"), vec.as("v"))
+    // exact per-dimension centroid: posexplode -> decimal sum -> double/count
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = {
+      val scored = q.join(broadcast(cent))
+        .withColumn("csim",
+          dot("qv", "cv") / (sqrt(dot("qv", "qv")) * sqrt(dot("cv", "cv"))))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("csim").desc, col("label"))
+      scored.withColumn("p", row_number().over(w)).filter(col("p") <= 2)
+        .select(col("query_id"), col("qv"), col("label"))
+    }
+    val joined = probes.join(e, Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot("qv", "v") / (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("label"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qAnnIvfOracle: String = """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (
+      SELECT label, i AS dim, x
+      FROM (SELECT label, UNNEST(v) AS x,
+                   UNNEST(RANGE(0, LEN(v))) AS i
+            FROM e)),
+    cdim AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY label, dim),
+    cent AS (SELECT label, LIST(c ORDER BY dim) AS cv FROM cdim GROUP BY label),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, label FROM (
+        SELECT q.query_id, q.qv, cent.label,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 LIST_DOT_PRODUCT(qv, cv) /
+                   (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
+                 cent.label) AS p
+        FROM q CROSS JOIN cent)
+      WHERE p <= 2),
+    scored AS (
+      SELECT probes.query_id, e.vec_id AS neighbor_id, e.label,
+             LIST_DOT_PRODUCT(qv, v) /
+               (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(v, v))) AS cosine
+      FROM probes JOIN e ON probes.label = e.label
+      WHERE e.vec_id <> probes.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, label, cosine
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("v33_ann_bruteforce", qAnnBruteForce, Some(qAnnBruteForceOracle)),
     GateQuery("v34_ann_lsh", qAnnLsh, Some(qAnnLshOracle)),
     GateQuery("v35_cosine_dedup", qCosineDedup, Some(qCosineDedupOracle)),
     GateQuery("v36_vector_stats", qVectorStats, Some(qVectorStatsOracle)),
+    GateQuery("v37_ann_ivf", qAnnIvf, Some(qAnnIvfOracle)),
   )
 }
