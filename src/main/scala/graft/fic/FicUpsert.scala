@@ -36,6 +36,21 @@ object FicUpsert {
     * (fic_id, nombre_fic, url, fecha_corte, ...).
     */
   def merge(snapshot: DataFrame, incoming: DataFrame): Merged = {
+    // Batch-internal resolution first: the reference processes files
+    // sequentially, so among DATED versions of one key only the latest
+    // would survive; null-dated versions always insert (the quirk) and
+    // bypass resolution. Without this, two dated versions in one batch
+    // would both classify as updates and both land in the snapshot.
+    val dated = incoming.filter(col("fecha_corte").isNotNull)
+    val nullDated = incoming.filter(col("fecha_corte").isNull)
+    val wLatest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url"), col("nombre_fic"))
+      .orderBy(col("fecha_corte").desc, col("fic_id"))
+    val resolved = dated
+      .withColumn("__rn", row_number().over(wLatest))
+      .filter(col("__rn") === 1).drop("__rn")
+      .unionByName(nullDated)
+
     val snap = snapshot.select(
       col("fic_id").as("old_fic_id"),
       col("url").as("old_url"),
@@ -51,7 +66,7 @@ object FicUpsert {
           .orderBy(col("old_fecha").desc_nulls_last, col("old_fic_id"))))
       .filter(col("rn") === 1).drop("rn")
 
-    val probed = incoming.join(dedupSnap,
+    val probed = resolved.join(dedupSnap,
       col("url") === col("old_url") && col("nombre_fic") === col("old_nombre"),
       "left_outer")
 

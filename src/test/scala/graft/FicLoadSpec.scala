@@ -75,6 +75,22 @@ class FicLoadSpec extends AnyFunSuite {
     assert(m.replacedIds.collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("batch-internal collisions resolve to the latest dated version") {
+    import spark.implicits._
+    val snapshot = Seq((1L, "F1", "u1", "2025-05-31"))
+      .toDF("fic_id", "nombre_fic", "url", "fecha_corte")
+    val incoming = Seq(
+      (10L, "F1", "u1", "2025-06-30"), // superseded within the batch
+      (11L, "F1", "u1", "2025-07-31"), // latest -> the only update
+      (12L, "F1", "u1", null))         // null-dated still inserts (quirk)
+      .toDF("fic_id", "nombre_fic", "url", "fecha_corte")
+    val m = FicUpsert.merge(snapshot, incoming)
+    val ids = m.fic.collect().map(_.getLong(0)).toSet
+    assert(ids == Set(11L, 12L), ids.toString)
+    val act = m.actions.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(act == Map(11L -> "update", 12L -> "insert"))
+  }
+
   test("child cascade follows parent updates") {
     import spark.implicits._
     val snapChild = Seq((1L, "a"), (2L, "b")).toDF("fic_id", "v")
