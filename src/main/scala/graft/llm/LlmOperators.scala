@@ -77,8 +77,8 @@ object LlmOperators {
         case e: Throwable =>
           last = e
           attempt += 1
-          if (attempt < maxRetries)
-            Thread.sleep(sleepMs((1L << attempt) * 1000L))
+          if (attempt < maxRetries) // 2^(n-1) s: 1s, 2s — extract.py:164
+            Thread.sleep(sleepMs((1L << (attempt - 1)) * 1000L))
       }
     }
     Left(s"${last.getClass.getSimpleName}: ${last.getMessage}")
