@@ -45,11 +45,15 @@ object GraftExtract {
     val spark = Cli.session("graft-extract")
     val pdfs = FicSources.pdfFolder(spark, folder)
     val texts = LlmOperators.ocr(pdfs, new StubOcrClient(), maxInFlight = workers)
+    // persist: the write and both counters must NOT re-run the external
+    // OCR/LLM calls (three actions over one lineage = triple API cost)
     val docs = LlmOperators.structurize(texts, new StubStructurizer, maxInFlight = workers)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.select(col("path"), col("json"), col("error"))
       .write.mode("overwrite").json(out)
     val failed = docs.filter(col("error").isNotNull).count()
     println(s"extract complete: ${docs.count()} docs, $failed failed")
+    docs.unpersist()
     spark.stop()
   }
 }
@@ -94,8 +98,35 @@ object GraftLoad {
         Seq("filename"), "left_anti")
     }
     val shredded = FicShredder(docs)
-    JdbcSink.loadShredded(shredded.all, url)
-    println(s"load complete: ${shredded.fic.count()} documents")
+
+    // Latest-wins against the EXISTING database state (load.py:104-111):
+    // probe the current fic table; replaced parents cascade-delete, only
+    // applied (insert/update) documents and their children are written.
+    val existing = JdbcSink.readTable(spark, url, "fic")
+    val (toWrite, replaced) = existing match {
+      case Some(snapshot) =>
+        val m = FicUpsert.merge(
+          snapshot.select("fic_id", "nombre_fic", "url", "fecha_corte"),
+          shredded.fic.select("fic_id", "nombre_fic", "url", "fecha_corte"))
+        // materialize the classification BEFORE mutating the table it
+        // was derived from — the JDBC snapshot is re-read lazily
+        val actions = m.actions
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        actions.count()
+        val applied = actions.filter(col("action") =!= "noop").select("fic_id")
+        (applied, m.replacedIds.collect().map(_.getLong(0)).toSeq)
+      case None =>
+        (shredded.fic.select("fic_id"), Seq.empty[Long])
+    }
+    val tables = shredded.all.map { case (name, df) =>
+      name -> df.join(toWrite, Seq("fic_id"), "left_semi")
+    }
+    tables.foreach { case (name, _) =>
+      JdbcSink.deleteByIds(url, name, replaced)
+    }
+    JdbcSink.loadShredded(tables, url)
+    val n = tables.head._2.count()
+    println(s"load complete: $n documents (${replaced.size} replaced)")
     spark.stop()
   }
 }

@@ -95,11 +95,13 @@ object FicTransform {
     */
   def matchBank(banco: String, keys: Seq[String]): Option[String] = {
     val bn = squash(banco)
-    keys.find(k => squash(k) == bn)
-      .orElse(keys.find { k =>
-        val kn = squash(k); bn.contains(kn) || kn.contains(bn)
-      })
-      .orElse(Similarity.closeMatch(banco, keys, 0.6))
+    // single ordered loop checking exact OR containment per candidate —
+    // the reference returns the FIRST candidate satisfying either, so an
+    // earlier containment match beats a later exact match
+    keys.find { k =>
+      val kn = squash(k)
+      kn == bn || bn.contains(kn) || kn.contains(bn)
+    }.orElse(Similarity.closeMatch(banco, keys, 0.6))
   }
 
   /** `_buscar_coincidencia_difusa` (transform.py:712-733): difflib
@@ -171,14 +173,20 @@ object FicTransform {
   // SQL fragments (pass 1) — evaluated entirely inside the row.
   // ---------------------------------------------------------------------
 
-  /** Parse a string-or-number percentage: direct cast first (number
-    * tokens), then the reference's string cleaning (strip all but
-    * [0-9.,%-], comma→dot; a surviving '%' fails the parse → null,
-    * preserving transform.py:592-597 behavior).
+  /** Parse a string-or-number percentage. The schema reads numeric
+    * leaves as strings, so JSON NUMBER tokens (incl. exponent notation)
+    * arrive as number-literal text and take the direct cast — matching
+    * the reference's float branch. Everything else takes the reference's
+    * STRING branch: strip all but [0-9.,%-], comma→dot; a surviving '%'
+    * fails the parse → null (transform.py:592-597), and 'NaN'/'Infinity'
+    * strings clean to unparseable → null, exactly like Python.
     */
+  private def numberLit(x: String): String =
+    s"trim($x) rlike '^-?[0-9]+(\\\\.[0-9]+)?([eE][+-]?[0-9]+)?$$'"
+
   private def parseSql(x: String): String =
-    s"coalesce(try_cast($x as double), " +
-      s"try_cast(replace(regexp_replace(trim($x), '[^0-9.,%-]', ''), ',', '.') as double))"
+    s"case when ${numberLit(x)} then cast(trim($x) as double) " +
+      s"else try_cast(replace(regexp_replace(trim($x), '[^0-9.,%-]', ''), ',', '.') as double) end"
 
   /** Category format inference (`_determinar_formato_categoria`,
     * transform.py:537-566) over the parsed values of one array column.
@@ -215,11 +223,15 @@ object FicTransform {
         ELSE py_round($v, 6)
       END"""
 
-  /** One percentage array rebuilt with its category format applied. */
-  private def pctArraySql(arr: String, key: String): String =
+  /** One percentage array rebuilt with its category format applied.
+    * `fmtRef` is a pre-computed per-row column holding [[formatSql]]'s
+    * result — hoisted out of the element lambda so the whole-array
+    * aggregation runs once per row instead of once per element.
+    */
+  private def pctArraySql(arr: String, key: String, fmtRef: String): String =
     s"""transform($arr, it -> named_struct(
        '$key', it.$key,
-       'participacion', ${convertSql(s"(${parseSql("it.participacion")})", formatSql(arr))}))"""
+       'participacion', ${convertSql(s"(${parseSql("it.participacion")})", fmtRef)}))"""
 
   /** Simple conversion for returns/volatilities
     * (`_convertir_si_es_necesario`, transform.py:635-661).
@@ -236,12 +248,13 @@ object FicTransform {
       "ultimo_anio", "ultimos_2_anios", "ultimos_3_anios")
       .map(h => s"'$h', ${simpleConvSql(s"$st.$h")}").mkString(", ") + ")"
 
-  /** `_parse_numero` (transform.py:790-805): direct cast, else strip all
-    * but [0-9.-] and cast.
+  /** `_parse_numero` (transform.py:790-805): number tokens cast
+    * directly (the reference's float branch); strings strip all but
+    * [0-9.-] and cast.
     */
   private def parseNumeroSql(x: String): String =
-    s"coalesce(try_cast($x as double), " +
-      s"try_cast(regexp_replace(trim($x), '[^0-9.-]', '') as double))"
+    s"case when ${numberLit(x)} then cast(trim($x) as double) " +
+      s"else try_cast(regexp_replace(trim($x), '[^0-9.-]', '') as double) end"
 
   // ---------------------------------------------------------------------
   // The chain.
@@ -255,7 +268,9 @@ object FicTransform {
     PyRound.register(spark)
 
     val parseDateUdf = udf { s: String =>
-      if (s == null || s.isEmpty) null
+      // falsy values pass through UNCHANGED ("" stays "", null stays
+      // null) — the reference's `if fecha_val` guard skips them
+      if (s == null || s.isEmpty) s
       else {
         val p = SpanishDate.parse(s)
         if (p != null) p else s
@@ -272,9 +287,14 @@ object FicTransform {
       "por_moneda" -> "moneda", "por_calificacion" -> "calificacion")
 
     // -- pass 1: percentages --------------------------------------------
+    // category formats computed once per row, then applied per element
+    val fmtPlazo = "__fmt_plazo"
+    val fmtInv = "__fmt_inv"
+    val fmtComp = compCats.map { case (cat, _) => cat -> s"__fmt_$cat" }.toMap
+
     val compRebuild = expr(
       "named_struct(" + compCats.map { case (cat, key) =>
-        s"'$cat', ${pctArraySql(s"composicion_portafolio.$cat", key)}"
+        s"'$cat', ${pctArraySql(s"composicion_portafolio.$cat", key, fmtComp(cat))}"
       }.mkString(", ") + ")")
 
     val rvRebuild = expr(
@@ -283,13 +303,21 @@ object FicTransform {
          'rentabilidad_historica_ea', ${horizonsSql("rv.rentabilidad_historica_ea")},
          'volatilidad_historica', ${horizonsSql("rv.volatilidad_historica")}))""")
 
-    val p1 = df
-      .withColumn("plazo_duracion", expr(pctArraySql("plazo_duracion", "plazo")))
+    val withFmts = compCats.foldLeft(
+      df.withColumn(fmtPlazo, expr(formatSql("plazo_duracion")))
+        .withColumn(fmtInv, expr(formatSql("principales_inversiones")))) {
+      case (d, (cat, _)) =>
+        d.withColumn(fmtComp(cat), expr(formatSql(s"composicion_portafolio.$cat")))
+    }
+
+    val p1 = withFmts
+      .withColumn("plazo_duracion", expr(pctArraySql("plazo_duracion", "plazo", fmtPlazo)))
       .withColumn("composicion_portafolio",
         when(col("composicion_portafolio").isNotNull, compRebuild))
       .withColumn("principales_inversiones",
-        expr(pctArraySql("principales_inversiones", "emisor")))
+        expr(pctArraySql("principales_inversiones", "emisor", fmtInv)))
       .withColumn("rentabilidad_volatilidad", rvRebuild)
+      .drop((fmtPlazo +: fmtInv +: compCats.map(c => fmtComp(c._1))): _*)
 
     // -- pass 2: rating agencies ----------------------------------------
     val entOrig = col("calificacion.entidad_calificadora")

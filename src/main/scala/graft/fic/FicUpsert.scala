@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * compare lexicographically, which is exactly the reference's string
   * comparison (SURVEY D4).
   *
+  * Known, deliberate divergence: on the not-newer ("noop") path the
+  * reference still APPENDS the incoming document's child rows under the
+  * existing parent id (load.py:115-135 run unconditionally; only the
+  * update path deletes first), accumulating duplicate children. We
+  * treat that as a defect and drop noop rows entirely; callers needing
+  * strict replication can attach children via `actions`.
+  *
   * Batch-internal collisions: the reference processes files one-by-one,
   * each seeing the previous commit. A distributed batch applies the same
   * rule associatively: among dated versions of one key, only the

@@ -29,7 +29,7 @@ case class PyRound(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable
+  override def nullable: Boolean = left.nullable || right.nullable
 
   override def nullSafeEval(value: Any, scale: Any): Any =
     PyRound.round(value.asInstanceOf[Double], scale.asInstanceOf[Int])

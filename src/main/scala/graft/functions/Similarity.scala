@@ -74,11 +74,15 @@ object Similarity {
     else 2.0 * totalMatches(a, b) / t
   }
 
-  /** difflib.get_close_matches(word, candidates, n=1, cutoff). */
+  /** difflib.get_close_matches(word, candidates, n=1, cutoff).
+    * Argument order matters: difflib sets seq2 = word and seq1 = each
+    * candidate, and Ratcliff/Obershelp is order-dependent — so the
+    * ratio here is ratio(candidate, word), not the reverse.
+    */
   def closeMatch(word: String, candidates: Seq[String], cutoff: Double): Option[String] = {
     var best: Option[(Double, String)] = None
     candidates.foreach { c =>
-      val r = ratio(word, c)
+      val r = ratio(c, word)
       if (r >= cutoff) {
         val better = best match {
           case None => true

@@ -129,6 +129,35 @@ object JdbcSink {
     }
   }
 
+  /** Read an existing table as a DataFrame, or None if absent. */
+  def readTable(spark: org.apache.spark.sql.SparkSession, url: String,
+      table: String): Option[DataFrame] = {
+    val conn = DriverManager.getConnection(url)
+    val exists =
+      try {
+        val st = conn.createStatement()
+        try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0"); true }
+        catch { case _: java.sql.SQLException => false }
+        finally st.close()
+      } finally conn.close()
+    if (!exists) None
+    else Some(spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load())
+  }
+
+  /** Driver-side cascade delete of a small id set across one table. */
+  def deleteByIds(url: String, table: String, ids: Seq[Long]): Unit = {
+    if (ids.isEmpty) return
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.prepareStatement(s"DELETE FROM $table WHERE fic_id = ?")
+      try ids.foreach { id => st.setLong(1, id); st.addBatch() }
+      finally { st.executeBatch(); st.close() }
+    } catch {
+      case _: java.sql.SQLException => // table may not exist yet
+    } finally conn.close()
+  }
+
   /** Load a whole shredded document set: parents and children
     * partitioned on fic_id so each document's rows share a transaction
     * per table.

@@ -84,8 +84,11 @@ object TextOps {
     Tables.documents(s, dir)
       .withColumn("words", wordsCol)
       .select(col("doc_id"), explode(
-        expr("transform(sequence(1, greatest(size(words) - 2, 0)), " +
-          "i -> array_join(slice(words, i, 3), ' '))")).as("s"))
+        // guard: sequence(1, 0) in Spark is the DESCENDING array [1, 0],
+        // so docs with < 3 words must short-circuit to an empty array
+        expr("case when size(words) < 3 then array() " +
+          "else transform(sequence(1, size(words) - 2), " +
+          "i -> array_join(slice(words, i, 3), ' ')) end")).as("s"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
