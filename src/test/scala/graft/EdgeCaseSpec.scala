@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fic.{FicLookup, FicSchema, FicTransform}
+import graft.operators.TextOps
+
+/** Edge cases pinned after review: tiny documents through the shingle
+  * pipeline, falsy date passthrough.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("dedup pipeline survives documents with fewer than 3 words") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tinydocs").toString
+    Seq(
+      (0L, "one", "en", "s", 3L),
+      (1L, "two words", "en", "s", 9L),
+      (2L, "now three words", "en", "s", 15L),
+      (3L, "now three words", "en", "s", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // 1- and 2-word docs produce no shingles; the 3-word duplicates match
+    val jac = TextOps.qNgramJaccard(spark, dir).collect()
+    assert(jac.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
+    assert(jac.head.getDouble(2) == 1.0)
+    val lsh = TextOps.qMinhashLsh(spark, dir).collect()
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
+  }
+
+  test("falsy dates pass through the transform unchanged") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"fic": {"nombre_fic": "F", "gestor": "G", "custodio": null,
+        | "fecha_corte": "", "politica_de_inversion": "renta fija"},
+        | "calificacion": {"calificacion": "A",
+        | "fecha_ultima_calificacion": null, "entidad_calificadora": ""}}"""
+        .stripMargin)
+    val df = raw.toDF("json")
+      .withColumn("doc", from_json(col("json"), FicSchema.raw))
+      .select(lit("b_f_raw.json").as("filename"), col("doc.*"))
+    val out = FicTransform(df, FicLookup(Nil)).head()
+    val fic = out.getStruct(out.fieldIndex("fic"))
+    assert(fic.getAs[String]("fecha_corte") == "")       // "" stays ""
+    val cal = out.getStruct(out.fieldIndex("calificacion"))
+    assert(cal.getAs[String]("fecha_ultima_calificacion") == null)
+    // empty entidad: pass not applied, flag stays null, value stays ""
+    assert(cal.getAs[String]("entidad_calificadora") == "")
+    assert(cal.getAs[Any]("entidad_calificadora_normalizada") == null)
+  }
+}
