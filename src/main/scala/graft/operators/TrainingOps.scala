@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Training-data curation operators beyond dedup/quality: deterministic
+  * splitting, weighted source mixing, benchmark decontamination and
+  * repetition filtering — the remaining core ops of a 100 TB pretraining
+  * pipeline, all engine-portable (hash-based, no RNG) and oracle-checked.
+  */
+object TrainingOps {
+
+  /** Deterministic train/eval/test split by md5 bucket of the document
+    * id: reproducible across engines, runs and partitionings (no RNG),
+    * stable under re-runs — the property a data pipeline actually needs
+    * from its splits. 2-hex-digit bucket (256 values): < 0x0d → test
+    * (~5%), < 0x27 → eval (~10%), rest train.
+    */
+  def qSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(bucket < 13, "test").when(bucket < 39, "eval").otherwise("train"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("split"))
+  }
+
+  val qSplitOracle: String = """
+    WITH b AS (
+      SELECT *, CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 13 THEN 'test'
+                WHEN bucket < 39 THEN 'eval' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           MIN(doc_id) AS first_doc
+    FROM b
+    GROUP BY 1
+    ORDER BY split"""
+
+  /** Weighted source mixing: per-source quotas (weight × total docs of
+    * the smallest source, the "epochs per source" shape), filled
+    * deterministically by doc_id order — one window per source, no
+    * sampling randomness. Emits the mixed manifest's per-source stats.
+    */
+  def qSourceMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val weights = map(
+      lit("src0"), lit(1.0), lit("src1"), lit(0.5),
+      lit("src2"), lit(2.0), lit("src3"), lit(0.25))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .withColumn("quota",
+        floor(element_at(weights, col("source")) * 100).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("quota").isNotNull && col("rn") <= col("quota"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"),
+        max(col("rn")).cast("long").as("max_rank"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"))
+  }
+
+  val qSourceMixOracle: String = """
+    WITH q AS (
+      SELECT *, CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                            WHEN 'src2' THEN 200 WHEN 'src3' THEN 25 END AS quota,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT source, COUNT(*) AS n_selected,
+           CAST(MAX(rn) AS BIGINT) AS max_rank,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM q
+    WHERE quota IS NOT NULL AND rn <= quota
+    GROUP BY source
+    ORDER BY source"""
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥ 3
+    * distinct 3-gram shingles with any "benchmark" document (here:
+    * doc_id < 5 stands in for the eval set). Inverted-index join on the
+    * shingle — the same no-all-pairs layout as the dedup suite, which is
+    * exactly how web-scale decontamination runs.
+    */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val words = "filter(split(text, ' '), w -> w != '')"
+    val sh = Tables.documents(s, dir)
+      .withColumn("words", expr(words))
+      .select(col("doc_id"), explode(
+        expr("case when size(words) < 3 then array() " +
+          "else transform(sequence(1, size(words) - 2), " +
+          "i -> array_join(slice(words, i, 3), ' ')) end")).as("s"))
+      .distinct()
+    val bench = sh.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    val corpus = sh.filter(col("doc_id") >= 5)
+    corpus.join(bench, "s")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  val qDecontaminateOracle: String = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 1, 1)),
+                                   i -> ARRAY_TO_STRING(words[i:i+2], ' '))) AS s
+      FROM (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '') AS words
+            FROM documents)),
+    bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 5),
+    corpus AS (SELECT * FROM sh WHERE doc_id >= 5)
+    SELECT corpus.doc_id, bench_id, COUNT(*) AS n_shared
+    FROM corpus JOIN bench ON corpus.s = bench.s
+    GROUP BY corpus.doc_id, bench_id
+    HAVING COUNT(*) >= 3
+    ORDER BY doc_id, bench_id"""
+
+  /** Repetition filter (Gopher-style): fraction of all bigram
+    * occurrences taken by the single most frequent bigram; high values
+    * mean degenerate/repetitive text. Pure per-row computation via a
+    * bigram explode + two-level aggregation.
+    */
+  def qRepetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    val words = "filter(split(text, ' '), w -> w != '')"
+    val bigrams = Tables.documents(s, dir)
+      .withColumn("words", expr(words))
+      .select(col("doc_id"), explode(
+        expr("case when size(words) < 2 then array() " +
+          "else transform(sequence(1, size(words) - 1), " +
+          "i -> array_join(slice(words, i, 2), ' ')) end")).as("bg"))
+    val perBigram = bigrams.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    perBigram.groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_count"),
+        sum(col("c")).as("n_bigrams"))
+      .withColumn("top_fraction", col("top_bigram_count") / col("n_bigrams"))
+      .withColumn("flagged", col("top_fraction") > 0.18)
+      .orderBy(col("doc_id"))
+  }
+
+  val qRepetitionFilterOracle: String = """
+    WITH bg AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words), 1)),
+                                   i -> ARRAY_TO_STRING(words[i:i+1], ' '))) AS bg
+      FROM (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '') AS words
+            FROM documents)),
+    per AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg)
+    SELECT doc_id, MAX(c) AS top_bigram_count,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           MAX(c) / CAST(SUM(c) AS BIGINT) AS top_fraction,
+           MAX(c) / CAST(SUM(c) AS BIGINT) > 0.18 AS flagged
+    FROM per
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
+  val all: Seq[GateQuery] = Seq(
+    GateQuery("t33_split", qSplit, Some(qSplitOracle)),
+    GateQuery("t34_source_mix", qSourceMix, Some(qSourceMixOracle)),
+    GateQuery("t35_decontaminate", qDecontaminate, Some(qDecontaminateOracle)),
+    GateQuery("t36_repetition_filter", qRepetitionFilter, Some(qRepetitionFilterOracle)),
+  )
+}
