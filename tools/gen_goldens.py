@@ -4,9 +4,13 @@
 Runs the reference implementation (/root/reference, pure stdlib) over its
 own committed raw fixtures and over function-level input tables, writing
 expected outputs to src/main/resources/golden/. The Scala engine's tests
-compare against these files. Run with two PYTHONHASHSEEDs to confirm the
-outputs are deterministic (difflib over set iteration order is the one
-risk — verified stable here).
+compare against these files.
+
+ALWAYS regenerate with PYTHONHASHSEED=1 (canonical). The reference's
+agency containment scan iterates a Python set, so multi-match inputs
+(e.g. 'BRC RATINGS - S&P GLOBAL' containing both BRC and S&P) flip with
+the hash seed; the engine's deterministic tie policy
+(FicTransform.AgenciesByLength) is calibrated to the seed-1 outputs.
 """
 import sys, os, json, glob, logging
 
