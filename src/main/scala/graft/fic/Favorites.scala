@@ -21,7 +21,8 @@ object Favorites {
     * existing rows are kept untouched.
     */
   def seedUsers(current: DataFrame, seeds: DataFrame): DataFrame = {
-    val fresh = seeds.join(current.select("correo"), Seq("correo"), "left_anti")
+    val fresh = seeds.dropDuplicates("correo")
+      .join(current.select("correo"), Seq("correo"), "left_anti")
     current.unionByName(fresh)
   }
 
@@ -30,6 +31,7 @@ object Favorites {
     */
   def seedFavorites(currentFavs: DataFrame, fics: DataFrame,
       userIds: Seq[(Long, Int)]): DataFrame = {
+    if (userIds.isEmpty) return currentFavs
     val spark = fics.sparkSession
     import spark.implicits._
     val top = fics.select(col("fic_id")).orderBy(col("fic_id"))

@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Latest-`fecha_corte`-wins upsert — the reference's load-stage head
   * semantics (/root/reference/src/etl/load.py:173-236), including its
-  * explicit quirk: when either date is NULL the incoming record is
-  * inserted as a DUPLICATE row instead of updating (load.py:217-219).
+  * explicit quirk: when either date is falsy (None OR empty string —
+  * load.py:197 `if fecha_existente and fecha_nueva:`) the incoming
+  * record is inserted as a DUPLICATE row instead of updating
+  * (load.py:217-219).
   *
   * Distributed shape (SURVEY §2.9 U1/U2): one equi-join between the
   * incoming batch and the current snapshot on the upsert key
@@ -39,17 +41,24 @@ object FicUpsert {
       /** fic_ids whose child rows must be replaced (update path) */
       replacedIds: DataFrame)
 
+  /** Python truthiness for dates: load.py:197 gates the compare with
+    * `if fecha_existente and fecha_nueva:` — an EMPTY STRING is falsy
+    * just like None, so ''-dated rows take the duplicate-insert branch.
+    */
+  private def truthyDate(c: org.apache.spark.sql.Column) =
+    c.isNotNull && c =!= lit("")
+
   /** `snapshot` and `incoming` both carry the fic-table columns
     * (fic_id, nombre_fic, url, fecha_corte, ...).
     */
   def merge(snapshot: DataFrame, incoming: DataFrame): Merged = {
     // Batch-internal resolution first: the reference processes files
     // sequentially, so among DATED versions of one key only the latest
-    // would survive; null-dated versions always insert (the quirk) and
+    // would survive; falsy-dated versions always insert (the quirk) and
     // bypass resolution. Without this, two dated versions in one batch
     // would both classify as updates and both land in the snapshot.
-    val dated = incoming.filter(col("fecha_corte").isNotNull)
-    val nullDated = incoming.filter(col("fecha_corte").isNull)
+    val dated = incoming.filter(truthyDate(col("fecha_corte")))
+    val nullDated = incoming.filter(!truthyDate(col("fecha_corte")))
     val wLatest = org.apache.spark.sql.expressions.Window
       .partitionBy(col("url"), col("nombre_fic"))
       .orderBy(col("fecha_corte").desc, col("fic_id"))
@@ -78,13 +87,13 @@ object FicUpsert {
       "left_outer")
 
     val bothDated = col("old_fic_id").isNotNull &&
-      col("fecha_corte").isNotNull && col("old_fecha").isNotNull
+      truthyDate(col("fecha_corte")) && truthyDate(col("old_fecha"))
 
     val action =
       when(col("old_fic_id").isNull, "insert")
         .when(bothDated && col("fecha_corte") > col("old_fecha"), "update")
         .when(bothDated, "noop")
-        .otherwise("insert") // null-date duplicate-insert quirk
+        .otherwise("insert") // falsy-date duplicate-insert quirk
 
     val classified = probed.withColumn("action", action)
 

@@ -47,4 +47,26 @@ class FavoritesSpec extends AnyFunSuite {
       Map(1L -> 7L, 11L -> 2L, 12L -> 3L))
     assert(report.head.getSeq[String](3).head == "F101")
   }
+
+  test("seed batch dedups within itself on correo — existing rows win") {
+    import spark.implicits._
+    val current = Seq((1L, "a@owl.com", "A")).toDF("usuario_id", "correo", "nombre")
+    val seeds = Seq(
+      (10L, "b@owl.com", "B v1"),
+      (11L, "b@owl.com", "B v2"), // same correo within the batch
+      (12L, "a@owl.com", "A v2")) // collides with current
+      .toDF("usuario_id", "correo", "nombre")
+    val users = Favorites.seedUsers(current, seeds)
+    assert(users.count() == 2, users.collect().mkString(","))
+    assert(users.filter($"correo" === "b@owl.com").count() == 1)
+    assert(users.filter($"correo" === "a@owl.com").head().getString(2) == "A")
+  }
+
+  test("seedFavorites with no users is a no-op, not an exception") {
+    import spark.implicits._
+    val favs = Seq((1L, 101L)).toDF("usuario_id", "fic_id")
+    val fics = Seq(101L, 102L).toDF("fic_id")
+    val out = Favorites.seedFavorites(favs, fics, Seq.empty)
+    assert(out.count() == 1)
+  }
 }

@@ -91,6 +91,28 @@ class FicLoadSpec extends AnyFunSuite {
     assert(act == Map(11L -> "update", 12L -> "insert"))
   }
 
+  test("empty-string fecha_corte is falsy: duplicate-insert on either side") {
+    import spark.implicits._
+    // load.py:197 gates the date compare with Python truthiness, so ''
+    // behaves exactly like None: no update, no noop, no cascade-delete.
+    val snapshot = Seq(
+      (1L, "F1", "u1", ""),           // existing ''-dated snapshot row
+      (2L, "F2", "u2", "2025-06-30"))
+      .toDF("fic_id", "nombre_fic", "url", "fecha_corte")
+    val incoming = Seq(
+      (10L, "F1", "u1", "2025-07-31"), // dated vs ''-dated -> insert dup, keep old
+      (11L, "F2", "u2", ""),           // ''-dated vs dated -> insert dup, not noop
+      (12L, "F2", "u2", ""))           // second ''-dated version also inserts
+      .toDF("fic_id", "nombre_fic", "url", "fecha_corte")
+    val m = FicUpsert.merge(snapshot, incoming)
+    val act = m.actions.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(act == Map(10L -> "insert", 11L -> "insert", 12L -> "insert"), act.toString)
+    // nothing is replaced; the ''-dated snapshot row survives
+    assert(m.replacedIds.count() == 0)
+    val ids = m.fic.collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 10L, 11L, 12L), ids.toString)
+  }
+
   test("child cascade follows parent updates") {
     import spark.implicits._
     val snapChild = Seq((1L, "a"), (2L, "b")).toDF("fic_id", "v")
