@@ -74,24 +74,29 @@ object TextOps {
           FROM documents)
     ORDER BY doc_id"""
 
-  /** Shingle relation: (doc_id, distinct 3-gram). Shared CTE of the
-    * Jaccard and MinHash queries.
+  /** Per-document DISTINCT 3-gram shingle array, computed entirely
+    * in-row: the global `DISTINCT (doc_id, s)` of the naive layout is a
+    * full shuffle of the exploded shingle relation, but distinctness is
+    * per document, so `array_distinct` inside the row does the same work
+    * shuffle-free. (Guard: Spark's `sequence(1, 0)` is the DESCENDING
+    * array [1, 0], so docs with < 3 words short-circuit to empty.)
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    // persisted: the MinHash query reuses this relation four times
-    // (signatures, candidate bands, set sizes, intersection counts) —
-    // at scale you materialize the shingle relation once, not 4×.
+  private val shingleArr: Column = array_distinct(
+    expr("case when size(words) < 3 then array() " +
+      "else transform(sequence(1, size(words) - 2), " +
+      "i -> array_join(slice(words, i, 3), ' ')) end"))
+
+  /** (doc_id, shs: array of distinct shingles, n: shingle count) —
+    * persisted: the Jaccard query reads it from three plan branches and
+    * the MinHash query from two; at scale you materialize the shingle
+    * relation once, not per-branch.
+    */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("words", wordsCol)
-      .select(col("doc_id"), explode(
-        // guard: sequence(1, 0) in Spark is the DESCENDING array [1, 0],
-        // so docs with < 3 words must short-circuit to an empty array
-        expr("case when size(words) < 3 then array() " +
-          "else transform(sequence(1, size(words) - 2), " +
-          "i -> array_join(slice(words, i, 3), ' ')) end")).as("s"))
-      .distinct()
+      .select(col("doc_id"), shingleArr.as("shs"))
+      .withColumn("n", size(col("shs")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
 
   private val shinglesSql: String = s"""
     SELECT DISTINCT doc_id,
@@ -105,8 +110,9 @@ object TextOps {
     * MinHash+LSH (below) approximates at scale.
     */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ds = docShingles(s, dir)
+    val sh = ds.select(col("doc_id"), explode(col("shs")).as("s"))
+    val sizes = ds.select(col("doc_id"), col("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -146,31 +152,38 @@ object TextOps {
     * (no all-pairs join anywhere).
     */
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val hashCols = (1 to 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
-    val bands = sig.select(col("doc_id"), explode(map(
+    // Signatures are per-document minima, so compute them IN-ROW with
+    // array_min over the shingle array — the naive layout's
+    // explode → groupBy(doc_id) shuffle of every shingle disappears.
+    // array_min on strings is the same lexicographic MIN the oracle's
+    // MIN(md5 hex) aggregate takes.
+    val sigd = (1 to 8).foldLeft(docShingles(s, dir).filter(col("n") > 0)) {
+      case (df, i) => df.withColumn(s"h$i",
+        array_min(transform(col("shs"), x => md5(concat(lit(s"$i:"), x)))))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sigd.select(col("doc_id"), explode(map(
       lit(1), concat(col("h1"), col("h2")),
       lit(2), concat(col("h3"), col("h4")),
       lit(3), concat(col("h5"), col("h6")),
       lit(4), concat(col("h7"), col("h8"))))
       .as(Seq("band_id", "band_sig")))
+    // band join shuffles 4 small rows per doc — the only wide exchange
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_sig") === col("y.band_sig") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    // verification: intersect the per-doc shingle ARRAYS of candidate
+    // pairs — same |∩| as the shingle-equality join, two joins fewer
+    val ds = sigd.select(col("doc_id"), col("shs"), col("n"))
+    cand
+      .join(ds.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(ds.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("a.shs"), col("b.shs"))).cast("long"))
       .withColumn("jaccard",
-        col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
+        col("inter") / (col("a.n") + col("b.n") - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

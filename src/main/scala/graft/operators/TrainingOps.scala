@@ -89,18 +89,23 @@ object TrainingOps {
     * exactly how web-scale decontamination runs.
     */
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    // Per-doc distinctness in-row (array_distinct before the explode)
+    // replaces the naive global DISTINCT shuffle of every shingle; the
+    // benchmark side is a handful of documents, so it broadcasts and the
+    // corpus stream never shuffles — at 100 TB the eval set is always
+    // the broadcastable side.
     val words = "filter(split(text, ' '), w -> w != '')"
-    val sh = Tables.documents(s, dir)
+    def sh(df: DataFrame): DataFrame = df
       .withColumn("words", expr(words))
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), explode(array_distinct(
         expr("case when size(words) < 3 then array() " +
           "else transform(sequence(1, size(words) - 2), " +
-          "i -> array_join(slice(words, i, 3), ' ')) end")).as("s"))
-      .distinct()
-    val bench = sh.filter(col("doc_id") < 5)
+          "i -> array_join(slice(words, i, 3), ' ')) end"))).as("s"))
+    val docs = Tables.documents(s, dir)
+    val bench = sh(docs.filter(col("doc_id") < 5))
       .select(col("doc_id").as("bench_id"), col("s"))
-    val corpus = sh.filter(col("doc_id") >= 5)
-    corpus.join(bench, "s")
+    val corpus = sh(docs.filter(col("doc_id") >= 5))
+    corpus.join(broadcast(bench), "s")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
@@ -124,24 +129,23 @@ object TrainingOps {
 
   /** Repetition filter (Gopher-style): fraction of all bigram
     * occurrences taken by the single most frequent bigram; high values
-    * mean degenerate/repetitive text. Pure per-row computation via a
-    * bigram explode + two-level aggregation.
+    * mean degenerate/repetitive text. The statistic is per-document, so
+    * it is computed entirely IN-ROW: sort the bigram array and take the
+    * longest run of equal neighbors — zero shuffles instead of the
+    * naive explode + two groupBy exchanges over every bigram occurrence.
     */
   def qRepetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopBigramCount.register(s)
     val words = "filter(split(text, ' '), w -> w != '')"
-    val bigrams = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .withColumn("words", expr(words))
-      .select(col("doc_id"), explode(
-        expr("case when size(words) < 2 then array() " +
-          "else transform(sequence(1, size(words) - 1), " +
-          "i -> array_join(slice(words, i, 2), ' ')) end")).as("bg"))
-    val perBigram = bigrams.groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-    perBigram.groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_bigram_count"),
-        sum(col("c")).as("n_bigrams"))
+      .filter(size(col("words")) >= 2) // mirrors the explode dropping empty docs
+      .withColumn("top_bigram_count", expr("top_bigram_count(words)"))
+      .withColumn("n_bigrams", (size(col("words")) - 1).cast("long"))
       .withColumn("top_fraction", col("top_bigram_count") / col("n_bigrams"))
       .withColumn("flagged", col("top_fraction") > 0.18)
+      .select(col("doc_id"), col("top_bigram_count"), col("n_bigrams"),
+        col("top_fraction"), col("flagged"))
       .orderBy(col("doc_id"))
   }
 

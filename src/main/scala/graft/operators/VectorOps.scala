@@ -75,17 +75,29 @@ object VectorOps {
     * Candidates = same-bucket pairs; exact cosine re-ranks within the
     * bucket. Each vector is hashed once; the join key has 256 values.
     */
+  /** Attach the 8-bit sign-LSH bucket IN-ROW: the 8 hyperplanes arrive
+    * as one broadcast single-row array and each vector folds over them
+    * in place — versus the naive explode-8×-then-groupBy layout, which
+    * shuffles every (vector, plane) pair and then joins the vectors
+    * back. Bit sums are order-independent integers, so the bucket is
+    * engine-exact regardless of collect_list order.
+    */
+  private def withBuckets(e: DataFrame): DataFrame = {
+    val planesArr = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("plane_id"), col("v").as("pv"))
+      .agg(collect_list(struct(col("plane_id"), col("pv"))).as("ps"))
+    e.crossJoin(broadcast(planesArr))
+      .withColumn("bucket", expr(
+        """aggregate(ps, 0L, (acc, p) -> acc +
+             if(aggregate(zip_with(v, p.pv, (x, y) -> x * y),
+                          cast(0 as double), (a2, v2) -> a2 + v2) >= 0,
+                shiftleft(1L, p.plane_id), 0L))"""))
+      .drop("ps")
+  }
+
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), vec.as("v"))
-    val planes = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("plane_id"), col("v").as("pv"))
-    val buckets = e.crossJoin(broadcast(planes))
-      .withColumn("bit",
-        when(dot("v", "pv") >= 0, expr("shiftleft(1L, cast(plane_id as int))"))
-          .otherwise(0L))
-      .groupBy(col("vec_id"))
-      .agg(sum(col("bit")).as("bucket"))
-      .join(e, "vec_id")
+    val buckets = withBuckets(e)
     val q = buckets.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("bucket").as("qb"), col("v").as("qv"))
     val joined = q.join(buckets, col("bucket") === col("qb") &&
@@ -130,15 +142,7 @@ object VectorOps {
     */
   def qCosineDedup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), vec.as("v"))
-    val planes = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("plane_id"), col("v").as("pv"))
-    val buckets = e.crossJoin(broadcast(planes))
-      .withColumn("bit",
-        when(dot("v", "pv") >= 0, expr("shiftleft(1L, cast(plane_id as int))"))
-          .otherwise(0L))
-      .groupBy(col("vec_id"))
-      .agg(sum(col("bit")).as("bucket"))
-      .join(e, "vec_id")
+    val buckets = withBuckets(e)
     val a = buckets.select(col("vec_id").as("id_a"), col("bucket"), col("v").as("va"))
     val b = buckets.select(col("vec_id").as("id_b"), col("bucket").as("bucket_b"), col("v").as("vb"))
     a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
