@@ -113,7 +113,9 @@ object TextOps {
     val ds = docShingles(s, dir)
     val sh = ds.select(col("doc_id"), explode(col("shs")).as("s"))
     val sizes = ds.select(col("doc_id"), col("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    // shuffle-hash instead of sort-merge: the posting-list equi-join
+    // gains nothing from sorted sides and skips two full string sorts
+    val pairs = sh.as("a").hint("shuffle_hash").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))

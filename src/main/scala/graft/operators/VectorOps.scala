@@ -30,18 +30,28 @@ object VectorOps {
   private def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)")
 
+  /** (vec_id, label, v, nv = ‖v‖): the norm is a per-vector constant, so
+    * compute it ONCE at load instead of per candidate pair — the scoring
+    * joins then do one dot product per pair instead of three. sqrt of
+    * the same left-fold is bit-identical to the oracle's per-row
+    * SQRT(LIST_DOT_PRODUCT(v, v)), so cosines are unchanged.
+    */
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), vec.as("v"))
+      .withColumn("nv", sqrt(dot("v", "v")))
+
   /** Brute-force cosine top-k: 10 query vectors against the corpus.
     * cosine = dot / (sqrt(na) * sqrt(nb)) — parenthesization mirrored
     * exactly in the oracle.
     */
   def qAnnBruteForce(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), vec.as("v"))
+    val e = embs(s, dir).select(col("vec_id"), col("v"), col("nv"))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("qnv"))
     val joined = broadcast(q).crossJoin(e)
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine",
-        dot("qv", "v") / (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+      .withColumn("cosine", dot("qv", "v") / (col("qnv") * col("nv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     joined.withColumn("rank", row_number().over(w))
@@ -96,14 +106,14 @@ object VectorOps {
   }
 
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), vec.as("v"))
+    val e = embs(s, dir).select(col("vec_id"), col("v"), col("nv"))
     val buckets = withBuckets(e)
     val q = buckets.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("bucket").as("qb"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("bucket").as("qb"),
+        col("v").as("qv"), col("nv").as("qnv"))
     val joined = q.join(buckets, col("bucket") === col("qb") &&
         col("vec_id") =!= col("query_id"))
-      .withColumn("cosine",
-        dot("qv", "v") / (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+      .withColumn("cosine", dot("qv", "v") / (col("qnv") * col("nv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     joined.withColumn("rank", row_number().over(w))
@@ -141,13 +151,14 @@ object VectorOps {
     * sign-LSH buckets keeps it join-shaped at scale.
     */
   def qCosineDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), vec.as("v"))
+    val e = embs(s, dir).select(col("vec_id"), col("v"), col("nv"))
     val buckets = withBuckets(e)
-    val a = buckets.select(col("vec_id").as("id_a"), col("bucket"), col("v").as("va"))
-    val b = buckets.select(col("vec_id").as("id_b"), col("bucket").as("bucket_b"), col("v").as("vb"))
+    val a = buckets.select(col("vec_id").as("id_a"), col("bucket"),
+      col("v").as("va"), col("nv").as("na"))
+    val b = buckets.select(col("vec_id").as("id_b"), col("bucket").as("bucket_b"),
+      col("v").as("vb"), col("nv").as("nb"))
     a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        dot("va", "vb") / (sqrt(dot("va", "va")) * sqrt(dot("vb", "vb"))))
+      .withColumn("cosine", dot("va", "vb") / (col("na") * col("nb")))
       .filter(col("cosine") >= 0.3)
       .select(col("id_a"), col("id_b"), col("cosine"))
       .orderBy(col("id_a"), col("id_b"))
@@ -212,7 +223,7 @@ object VectorOps {
     */
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"), vec.as("v"))
+    val e = embs(s, dir)
     // exact per-dimension centroid: posexplode -> decimal sum -> double/count
     val cent = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
@@ -220,21 +231,20 @@ object VectorOps {
         count(lit(1))).as("c"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
+      .withColumn("ncv", sqrt(dot("cv", "cv")))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("qnv"))
     val probes = {
       val scored = q.join(broadcast(cent))
-        .withColumn("csim",
-          dot("qv", "cv") / (sqrt(dot("qv", "qv")) * sqrt(dot("cv", "cv"))))
+        .withColumn("csim", dot("qv", "cv") / (col("qnv") * col("ncv")))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("csim").desc, col("label"))
       scored.withColumn("p", row_number().over(w)).filter(col("p") <= 2)
-        .select(col("query_id"), col("qv"), col("label"))
+        .select(col("query_id"), col("qv"), col("qnv"), col("label"))
     }
     val joined = probes.join(e, Seq("label"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine",
-        dot("qv", "v") / (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+      .withColumn("cosine", dot("qv", "v") / (col("qnv") * col("nv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     joined.withColumn("rank", row_number().over(w))
