@@ -1,6 +1,7 @@
 package graft.fic
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** User/favorites seeding surface — the reference's ORM query surface
@@ -21,7 +22,14 @@ object Favorites {
     * existing rows are kept untouched.
     */
   def seedUsers(current: DataFrame, seeds: DataFrame): DataFrame = {
-    val fresh = seeds.dropDuplicates("correo")
+    // First-seed-wins within a batch: the reference checks existence
+    // sequentially, so the earliest row per correo survives. A bare
+    // dropDuplicates keeps an arbitrary (partition-order-dependent) row;
+    // rank by usuario_id to pin the deterministic winner.
+    val w = Window.partitionBy(col("correo")).orderBy(col("usuario_id"))
+    val fresh = seeds
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
       .join(current.select("correo"), Seq("correo"), "left_anti")
     current.unionByName(fresh)
   }

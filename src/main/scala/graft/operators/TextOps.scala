@@ -86,17 +86,33 @@ object TextOps {
       "else transform(sequence(1, size(words) - 2), " +
       "i -> array_join(slice(words, i, 3), ' ')) end"))
 
+  /** Session-scoped memo of the persisted intermediates below: a `def`
+    * that persisted a fresh frame per call would re-register the same
+    * plan with the CacheManager on every query invocation ("already
+    * cached" warnings) and never unpersist; building each plan exactly
+    * once per (session, dir) keeps the cache footprint constant in a
+    * long-lived session. Entries die with the session's block manager.
+    */
+  private val memoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def memoPersist(key: String, s: SparkSession, dir: String)
+      (build: => DataFrame): DataFrame =
+    memoCache.computeIfAbsent((s, key, dir),
+      _ => build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** (doc_id, shs: array of distinct shingles, n: shingle count) —
     * persisted: the Jaccard query reads it from three plan branches and
     * the MinHash query from two; at scale you materialize the shingle
     * relation once, not per-branch.
     */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("words", wordsCol)
-      .select(col("doc_id"), shingleArr.as("shs"))
-      .withColumn("n", size(col("shs")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    memoPersist("shingles", s, dir) {
+      Tables.documents(s, dir)
+        .withColumn("words", wordsCol)
+        .select(col("doc_id"), shingleArr.as("shs"))
+        .withColumn("n", size(col("shs")).cast("long"))
+    }
 
   private val shinglesSql: String = s"""
     SELECT DISTINCT doc_id,
@@ -159,10 +175,12 @@ object TextOps {
     // explode → groupBy(doc_id) shuffle of every shingle disappears.
     // array_min on strings is the same lexicographic MIN the oracle's
     // MIN(md5 hex) aggregate takes.
-    val sigd = (1 to 8).foldLeft(docShingles(s, dir).filter(col("n") > 0)) {
-      case (df, i) => df.withColumn(s"h$i",
-        array_min(transform(col("shs"), x => md5(concat(lit(s"$i:"), x)))))
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigd = memoPersist("minhash-sig", s, dir) {
+      (1 to 8).foldLeft(docShingles(s, dir).filter(col("n") > 0)) {
+        case (df, i) => df.withColumn(s"h$i",
+          array_min(transform(col("shs"), x => md5(concat(lit(s"$i:"), x)))))
+      }
+    }
     val bands = sigd.select(col("doc_id"), explode(map(
       lit(1), concat(col("h1"), col("h2")),
       lit(2), concat(col("h3"), col("h4")),

@@ -38,6 +38,26 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
   }
 
+  test("top_bigram_count tolerates null elements and rejects non-array input") {
+    import spark.implicits._
+    graft.functions.TopBigramCount.register(spark)
+    val rows = Seq(
+      Tuple1(Seq[String]("a", "b", "a", "b")),          // bigrams: ab ba ab -> 2
+      Tuple1(Seq[String]("a", null, "a", "b", "a", "b")), // null pairs skipped -> 2
+      Tuple1(Seq[String](null, null)),                  // all pairs null -> 0
+      Tuple1(Seq[String]("only")),                      // < 2 words -> 0
+      Tuple1(null: Seq[String]))                        // null array -> null
+      .toDF("words")
+    val out = rows.selectExpr("top_bigram_count(words) AS c").collect()
+    assert(out.map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq ==
+      Seq(2L, 2L, 0L, 0L, -1L))
+    // non-array argument is an analysis-time error, not a runtime CCE
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("x").selectExpr("top_bigram_count(x)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array"))
+  }
+
   test("falsy dates pass through the transform unchanged") {
     import spark.implicits._
     val raw = Seq(

@@ -59,6 +59,10 @@ class FavoritesSpec extends AnyFunSuite {
     val users = Favorites.seedUsers(current, seeds)
     assert(users.count() == 2, users.collect().mkString(","))
     assert(users.filter($"correo" === "b@owl.com").count() == 1)
+    // deterministic first-seed-wins within the batch (lowest usuario_id),
+    // matching the reference's sequential existence check — not an
+    // arbitrary partition-order survivor
+    assert(users.filter($"correo" === "b@owl.com").head().getString(2) == "B v1")
     assert(users.filter($"correo" === "a@owl.com").head().getString(2) == "A")
   }
 

@@ -16,9 +16,10 @@ import sys, os, json, glob, logging
 
 # Hash randomization cannot be detected reliably after interpreter start,
 # so enforce the canonical seed via the env var (a wrong-seed golden
-# already slipped into a commit once — the seed-77 itau flip).
-assert os.environ.get("PYTHONHASHSEED") == "1", \
-    "regenerate with PYTHONHASHSEED=1 python3 tools/gen_goldens.py"
+# already slipped into a commit once — the seed-77 itau flip). An explicit
+# check, not `assert`: asserts are stripped under -O/-OO.
+if os.environ.get("PYTHONHASHSEED") != "1":
+    sys.exit("regenerate with PYTHONHASHSEED=1 python3 tools/gen_goldens.py")
 
 sys.path.insert(0, "/root/reference")
 logging.disable(logging.CRITICAL)
