@@ -101,6 +101,20 @@ object TextOps {
     memoCache.computeIfAbsent((s, key, dir),
       _ => build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Release the session's memoized intermediates (VERDICT r3 #6): the
+    * memo keeps the cache footprint constant per (session, dir), but a
+    * long-lived session touching many dirs would still accumulate
+    * MEMORY_AND_DISK frames — callers that are done with a session
+    * (Bench/Verify teardown, spec afterAll) drop them here.
+    */
+  def releaseCache(s: SparkSession): Unit = {
+    val it = memoCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) { e.getValue.unpersist(); it.remove() }
+    }
+  }
+
   /** (doc_id, shs: array of distinct shingles, n: shingle count) —
     * persisted: the Jaccard query reads it from three plan branches and
     * the MinHash query from two; at scale you materialize the shingle
@@ -124,6 +138,13 @@ object TextOps {
     * (inverted-index join), then J = |∩| / |∪| ≥ 0.5. The self-join is
     * the textbook exact method — kept as the correctness baseline that
     * MinHash+LSH (below) approximates at scale.
+    *
+    * CONTRACT: posting lists are unbounded here — one shingle shared by
+    * k documents contributes k²/2 candidate pairs, so this operator is
+    * quadratic in the hottest shingle's document frequency. It is the
+    * small/medium-corpus baseline ONLY; at 100 TB run qJaccardDfCap
+    * (t38 — same statistic over the df-capped shingle space, bounded
+    * posting lists) or qMinhashLsh (t28 — constant work per doc).
     */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val ds = docShingles(s, dir)
@@ -151,6 +172,54 @@ object TextOps {
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, inter / (sa.n + sb.n - inter) AS jaccard
+    FROM pairs
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE inter / (sa.n + sb.n - inter) >= 0.5
+    ORDER BY doc_a, doc_b"""
+
+  /** N-gram Jaccard over the df-capped shingle subspace — the scale-safe
+    * exact variant (r4, VERDICT #3): shingles whose document frequency
+    * exceeds `DfCap` are boilerplate carrying near-zero Jaccard evidence;
+    * dropping them from BOTH the intersection and the union keeps the
+    * statistic a true Jaccard over the rare-shingle space while bounding
+    * the posting-list self-join at DfCap²/2 pairs per shingle — the
+    * quadratic hot-shingle blowup of t27 cannot occur. The df filter is
+    * a window over the same key the join shuffles on, so the exchange
+    * is computed once and reused.
+    */
+  private val DfCap = 20
+
+  def qJaccardDfCap(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir).select(col("doc_id"), explode(col("shs")).as("s"))
+    val dfw = Window.partitionBy(col("s"))
+    val capped = sh.withColumn("df", count(lit(1)).over(dfw))
+      .filter(col("df") <= DfCap).drop("df")
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = capped.as("a").hint("shuffle_hash").join(capped.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qJaccardDfCapOracle: String = s"""
+    WITH sh AS ($shinglesSql),
+    dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfs USING (s) WHERE df <= $DfCap),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT doc_a, doc_b, inter / (sa.n + sb.n - inter) AS jaccard
     FROM pairs
@@ -407,6 +476,7 @@ object TextOps {
     GateQuery("t25_dedup_exact", qDedupExact, Some(qDedupExactOracle)),
     GateQuery("t26_fingerprint", qFingerprint, Some(qFingerprintOracle)),
     GateQuery("t27_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardOracle)),
+    GateQuery("t38_jaccard_dfcap", qJaccardDfCap, Some(qJaccardDfCapOracle)),
     GateQuery("t28_minhash_lsh", qMinhashLsh, Some(qMinhashLshOracle)),
     GateQuery("t29_simhash", qSimhash, Some(qSimhashOracle)),
     GateQuery("t30_langid", qLangId, Some(qLangIdOracle)),

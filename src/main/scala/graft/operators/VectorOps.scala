@@ -11,10 +11,11 @@ import graft.Tables
   *
   *  - brute-force cosine top-k — the exact baseline (query-set ×
   *    corpus, fine when the query set is small/broadcastable);
-  *  - sign-LSH bucketed ANN — the scale path: each vector gets an
-  *    8-bit bucket from the signs of its dot products with 8 fixed
-  *    hyperplanes, so candidate generation is an equi-join on bucket id
-  *    (shuffle on a 256-value key, no cross join anywhere);
+  *  - multi-band sign-LSH ANN — the scale path: each vector gets
+  *    bands×bits sign bits against fixed hyperplanes, sliced into
+  *    banded signatures (MinHash-style banding), so candidate
+  *    generation is an equi-join on (band, signature) with a hot-bucket
+  *    cap — no cross join anywhere and no O(N²/buckets) stage;
   *  - per-label vector stats (decimal-exact norm aggregation).
   *
   * All vector math is `zip_with`/`aggregate` higher-order functions over
@@ -78,107 +79,160 @@ object VectorOps {
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""
 
-  /** Sign-LSH bucketed ANN — the 100 TB path. Hyperplanes are the first
-    * 8 corpus vectors (a fixed, data-derived model parameter, joined as
-    * a broadcast side — no driver collect). bucket = Σ 2^i·[dot(v,pᵢ)≥0]
-    * is an order-independent integer, so both engines agree exactly.
-    * Candidates = same-bucket pairs; exact cosine re-ranks within the
-    * bucket. Each vector is hashed once; the join key has 256 values.
+  /** Multi-band sign-LSH blocking — the 100 TB path (r4: replaces the
+    * single 8-bit bucket, whose 256 values made within-bucket all-pairs
+    * O(N²/256) at a billion vectors). MinHash-style banding over sign
+    * bits: `LshBands` bands of `LshBits` sign bits each; a pair is a
+    * candidate iff it agrees on ALL bits of SOME band. With 4×12 the
+    * per-band key space is 4096 buckets and the bucket-size cap bounds
+    * the worst case outright; at 100 TB you'd raise bits with log N
+    * (16–24 per band) and re-tune bands for the recall target — both
+    * are plain parameters here, and the cap turns any residual hot
+    * bucket into dropped candidates instead of a quadratic stage.
+    *
+    * Hyperplanes are the first bands×bits corpus vectors (a fixed,
+    * data-derived model parameter, joined as a broadcast side — no
+    * driver collect). All bits fold IN-ROW into one long from a single
+    * broadcast plane array (no explode-per-plane shuffle); band
+    * signatures are shift/mask slices of that long. Bit sums are
+    * order-independent integers, so signatures are engine-exact.
     */
-  /** Attach the 8-bit sign-LSH bucket IN-ROW: the 8 hyperplanes arrive
-    * as one broadcast single-row array and each vector folds over them
-    * in place — versus the naive explode-8×-then-groupBy layout, which
-    * shuffles every (vector, plane) pair and then joins the vectors
-    * back. Bit sums are order-independent integers, so the bucket is
-    * engine-exact regardless of collect_list order.
-    */
-  private def withBuckets(e: DataFrame): DataFrame = {
-    val planesArr = e.filter(col("vec_id") < 8)
+  private val LshBands = 4
+  private val LshBits = 12
+  private val LshCap = 100 // max vectors per (band, sig) bucket
+
+  private def withBandSigs(e: DataFrame): DataFrame = {
+    val planesArr = e.filter(col("vec_id") < LshBands * LshBits)
       .select(col("vec_id").cast("int").as("plane_id"), col("v").as("pv"))
       .agg(collect_list(struct(col("plane_id"), col("pv"))).as("ps"))
-    e.crossJoin(broadcast(planesArr))
+    val bucket = e.crossJoin(broadcast(planesArr))
       .withColumn("bucket", expr(
         """aggregate(ps, 0L, (acc, p) -> acc +
              if(aggregate(zip_with(v, p.pv, (x, y) -> x * y),
                           cast(0 as double), (a2, v2) -> a2 + v2) >= 0,
                 shiftleft(1L, p.plane_id), 0L))"""))
       .drop("ps")
+    val banded = bucket
+      .select(col("*"), explode(expr(s"sequence(0, ${LshBands - 1})")).as("band_id"))
+      .withColumn("sig",
+        expr(s"shiftright(bucket, $LshBits * band_id) & ${(1 << LshBits) - 1}"))
+      .drop("bucket")
+    // Hot-bucket guard: a degenerate signature (e.g. the all-zeros region
+    // of a skewed embedding space) would reintroduce the quadratic stage;
+    // cap membership and drop that bucket's candidates instead.
+    val w = Window.partitionBy(col("band_id"), col("sig"))
+    banded.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= LshCap).drop("bn")
   }
 
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("v"), col("nv"))
-    val buckets = withBuckets(e)
-    val q = buckets.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("bucket").as("qb"),
-        col("v").as("qv"), col("nv").as("qnv"))
-    val joined = q.join(buckets, col("bucket") === col("qb") &&
+    val banded = withBandSigs(e)
+    val q = banded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("band_id").as("qband"),
+        col("sig").as("qsig"))
+    // candidates = distinct (query, neighbor) id pairs sharing ANY band;
+    // the wide exchange moves only ids, vectors re-attach afterwards
+    val cand = q.join(banded,
+        col("band_id") === col("qband") && col("sig") === col("qsig") &&
         col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nv").as("qnv")), Seq("query_id"))
+      .join(e, Seq("vec_id"))
       .withColumn("cosine", dot("qv", "v") / (col("qnv") * col("nv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    joined.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("query_id"), col("bucket"), col("rank"),
-        col("vec_id").as("neighbor_id"), col("cosine"))
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val qAnnLshOracle: String = """
+  val qAnnLshOracle: String = s"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    planes AS (SELECT vec_id AS plane_id, v AS pv FROM e WHERE vec_id < 8),
-    buckets AS (
-      SELECT e.vec_id,
+    planes AS (SELECT vec_id AS plane_id, v AS pv FROM e
+               WHERE vec_id < ${LshBands * LshBits}),
+    bb AS (
+      SELECT e.vec_id, plane_id // $LshBits AS band_id,
              CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(v, pv) >= 0
-                           THEN 1 << plane_id ELSE 0 END) AS BIGINT) AS bucket
+                           THEN 1 << (plane_id % $LshBits) ELSE 0 END) AS BIGINT) AS sig
       FROM e CROSS JOIN planes
-      GROUP BY e.vec_id),
-    be AS (SELECT b.vec_id, b.bucket, e.v FROM buckets b JOIN e ON b.vec_id = e.vec_id),
-    q AS (SELECT vec_id AS query_id, bucket AS qb, v AS qv FROM be WHERE vec_id < 10),
+      GROUP BY e.vec_id, plane_id // $LshBits),
+    capped AS (
+      SELECT vec_id, band_id, sig FROM
+        (SELECT *, COUNT(*) OVER (PARTITION BY band_id, sig) AS bn FROM bb)
+      WHERE bn <= $LshCap),
+    q AS (SELECT vec_id AS query_id, band_id, sig FROM capped WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id
+      FROM q JOIN capped c ON c.band_id = q.band_id AND c.sig = q.sig
+       AND c.vec_id <> q.query_id),
     scored AS (
-      SELECT query_id, be.bucket, be.vec_id AS neighbor_id,
-             LIST_DOT_PRODUCT(qv, v) /
-               (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(v, v))) AS cosine
-      FROM q JOIN be ON be.bucket = q.qb AND be.vec_id <> q.query_id),
+      SELECT query_id, cand.vec_id AS neighbor_id,
+             LIST_DOT_PRODUCT(qe.v, ce.v) /
+               (SQRT(LIST_DOT_PRODUCT(qe.v, qe.v)) * SQRT(LIST_DOT_PRODUCT(ce.v, ce.v))) AS cosine
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.vec_id),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored)
-    SELECT query_id, bucket, rank, neighbor_id, cosine
+    SELECT query_id, rank, neighbor_id, cosine
     FROM ranked WHERE rank <= 3
     ORDER BY query_id, rank"""
 
-  /** Embedding-cosine near-dup detection (dedup family): all pairs
-    * within an LSH bucket with cosine ≥ 0.3 — blocking via the same
-    * sign-LSH buckets keeps it join-shaped at scale.
+  /** Embedding-cosine near-dup detection (dedup family): all candidate
+    * pairs sharing any sign-LSH band with cosine ≥ 0.3. Same banded
+    * blocking as qAnnLsh — the candidate join moves only id pairs, the
+    * exact-cosine verify re-attaches vectors by key, and the bucket cap
+    * bounds the worst bucket, so the plan stays join-shaped at 100 TB.
     */
   def qCosineDedup(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("v"), col("nv"))
-    val buckets = withBuckets(e)
-    val a = buckets.select(col("vec_id").as("id_a"), col("bucket"),
-      col("v").as("va"), col("nv").as("na"))
-    val b = buckets.select(col("vec_id").as("id_b"), col("bucket").as("bucket_b"),
-      col("v").as("vb"), col("nv").as("nb"))
-    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+    val banded = withBandSigs(e).select(col("vec_id"), col("band_id"), col("sig"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.sig") === col("y.sig") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nv").as("na")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nv").as("nb")), Seq("id_b"))
       .withColumn("cosine", dot("va", "vb") / (col("na") * col("nb")))
       .filter(col("cosine") >= 0.3)
       .select(col("id_a"), col("id_b"), col("cosine"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val qCosineDedupOracle: String = """
+  val qCosineDedupOracle: String = s"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    planes AS (SELECT vec_id AS plane_id, v AS pv FROM e WHERE vec_id < 8),
-    buckets AS (
-      SELECT e.vec_id,
+    planes AS (SELECT vec_id AS plane_id, v AS pv FROM e
+               WHERE vec_id < ${LshBands * LshBits}),
+    bb AS (
+      SELECT e.vec_id, plane_id // $LshBits AS band_id,
              CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(v, pv) >= 0
-                           THEN 1 << plane_id ELSE 0 END) AS BIGINT) AS bucket
+                           THEN 1 << (plane_id % $LshBits) ELSE 0 END) AS BIGINT) AS sig
       FROM e CROSS JOIN planes
-      GROUP BY e.vec_id),
-    be AS (SELECT b.vec_id, b.bucket, e.v FROM buckets b JOIN e ON b.vec_id = e.vec_id),
+      GROUP BY e.vec_id, plane_id // $LshBits),
+    capped AS (
+      SELECT vec_id, band_id, sig FROM
+        (SELECT *, COUNT(*) OVER (PARTITION BY band_id, sig) AS bn FROM bb)
+      WHERE bn <= $LshCap),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM capped x JOIN capped y
+        ON x.band_id = y.band_id AND x.sig = y.sig AND x.vec_id < y.vec_id),
     pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      SELECT id_a, id_b,
              LIST_DOT_PRODUCT(a.v, b.v) /
                (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) AS cosine
-      FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)
     SELECT id_a, id_b, cosine
     FROM pairs WHERE cosine >= 0.3
     ORDER BY id_a, id_b"""
