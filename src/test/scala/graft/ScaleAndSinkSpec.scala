@@ -118,4 +118,32 @@ class ScaleAndSinkSpec extends AnyFunSuite {
     assert(count("composicion_portafolio") ==
       sh.composicionPortafolio.count().toInt)
   }
+
+  test("jdbc sink: created_at audit column, chunked streaming, distributed delete") {
+    import spark.implicits._
+    val url = s"jdbc:derby:memory:chunkdb;create=true"
+    // multi-row fic_ids so tiny chunks MUST extend past the batch size
+    // to the fic_id boundary: fic 1 has 5 rows, fic 2 has 3, fic 3 has 1
+    val rows = (1 to 5).map(i => (1L, s"a$i")) ++
+      (1 to 3).map(i => (2L, s"b$i")) ++ Seq((3L, "c1"))
+    val df = rows.toDF("fic_id", "payload").repartition(2, col("fic_id"))
+    JdbcSink.upsertByFicId(df, url, "chunked", batchSize = 2)
+    JdbcSink.upsertByFicId(df, url, "chunked", batchSize = 2) // idempotent rerun
+    val back = JdbcSink.readTable(spark, url, "chunked").get
+    assert(back.count() == 9) // a split fic_id would lose rows to a later chunk's delete
+    assert(back.groupBy("fic_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 5L, 2L -> 3L, 3L -> 1L))
+
+    // created_at audit column rides along via loadShredded (reference
+    // parity: server_default NOW() on every model)
+    JdbcSink.loadShredded(Seq("audited" -> df), url, partitions = 2)
+    val audited = JdbcSink.readTable(spark, url, "audited").get
+    assert(audited.columns.map(_.toLowerCase).contains("created_at")) // Derby uppercases
+    assert(audited.filter(col("created_at").isNull).count() == 0)
+
+    // distributed cascade delete: ids arrive as a DataFrame, no collect
+    JdbcSink.deleteByIds(url, "chunked", Seq(1L, 3L).toDF("fic_id"))
+    assert(JdbcSink.readTable(spark, url, "chunked").get
+      .select("fic_id").distinct().collect().map(_.getLong(0)).toSet == Set(2L))
+  }
 }
