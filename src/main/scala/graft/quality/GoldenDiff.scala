@@ -82,6 +82,10 @@ object GoldenDiff {
     val keyIdx = schema.fieldIndex(keyCol)
     val spark = df.sparkSession
     import spark.implicits._
+    // Deliberately drops to the RDD (outside Tungsten/codegen): the
+    // recursive any-shape walk over nested structs/arrays doesn't
+    // express as Catalyst expressions, and this is a test/QA harness,
+    // not a hot production path.
     df.rdd.flatMap { row =>
       val key = String.valueOf(row.get(keyIdx))
       val buf = collection.mutable.ArrayBuffer.empty[Leaf]

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.fic.{FicLookup, FicSchema, FicShredder, FicTransform}
 import graft.load.JdbcSink
 import graft.operators.Scale
-import graft.quality.Validation
+import graft.quality.{ReliabilityReport, Validation}
 
 /** Scale utilities, quality side-outputs and the JDBC sink (embedded
   * Derby standing in for Postgres).
@@ -145,5 +145,39 @@ class ScaleAndSinkSpec extends AnyFunSuite {
     JdbcSink.deleteByIds(url, "chunked", Seq(1L, 3L).toDF("fic_id"))
     assert(JdbcSink.readTable(spark, url, "chunked").get
       .select("fic_id").distinct().collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("reliability report: four CSV sheets mirror the reference workbook") {
+    import spark.implicits._
+    val expected = Seq(
+      ("BancoA_Fondo1_raw_transformed.json", "x", 1.0),
+      ("BancoA_Fondo2_raw_transformed.json", "y", 2.0),
+      ("BancoB_Fondo1_raw_transformed.json", "z", 3.0)
+    ).toDF("filename", "nombre", "valor")
+    val actual = Seq(
+      ("BancoA_Fondo1_raw_transformed.json", "x", 1.0), // identical
+      ("BancoA_Fondo2_raw_transformed.json", "y", 2.5), // one numeric diff
+      ("BancoB_Fondo1_raw_transformed.json", "w", 3.0)  // one string diff
+    ).toDF("filename", "nombre", "valor")
+    val out = java.nio.file.Files.createTempDirectory("report").toString
+    ReliabilityReport.writeCsv(actual, expected, "filename", out)
+    Seq("Diferencias_Detalladas", "Confiabilidad", "Resumen_Campos",
+      "Resumen_Bancos").foreach { s =>
+      assert(new java.io.File(s"$out/$s").exists(), s)
+    }
+    // each doc flattens to 2 leaves, so one diff => 50% confiabilidad
+    val conf = spark.read.option("header", "true").csv(s"$out/Confiabilidad")
+    assert(conf.count() == 3)
+    val f2 = conf.filter(col("fondo") === "Fondo2").head()
+    assert(f2.getAs[String]("diferencias") == "1")
+    assert(f2.getAs[String]("confiabilidad").toDouble == 50.0)
+    val bancos = spark.read.option("header", "true").csv(s"$out/Resumen_Bancos")
+    assert(bancos.count() == 2)
+    val ba = bancos.filter(col("Banco") === "BancoA").head()
+    assert(ba.getAs[String]("Cantidad_Fondos") == "2")
+    assert(ba.getAs[String]("Confiabilidad_Promedio").toDouble == 75.0)
+    val campos = spark.read.option("header", "true").csv(s"$out/Resumen_Campos")
+    assert(campos.select("campo").collect().map(_.getString(0)).toSet ==
+      Set("nombre", "valor"))
   }
 }
