@@ -86,34 +86,13 @@ object TextOps {
       "else transform(sequence(1, size(words) - 2), " +
       "i -> array_join(slice(words, i, 3), ' ')) end"))
 
-  /** Session-scoped memo of the persisted intermediates below: a `def`
-    * that persisted a fresh frame per call would re-register the same
-    * plan with the CacheManager on every query invocation ("already
-    * cached" warnings) and never unpersist; building each plan exactly
-    * once per (session, dir) keeps the cache footprint constant in a
-    * long-lived session. Entries die with the session's block manager.
-    */
-  private val memoCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
-
+  /** Memoized persisted intermediates — see [[SessionMemo]]. */
   private def memoPersist(key: String, s: SparkSession, dir: String)
       (build: => DataFrame): DataFrame =
-    memoCache.computeIfAbsent((s, key, dir),
-      _ => build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    SessionMemo.persist(s"text:$key", s, dir)(build)
 
-  /** Release the session's memoized intermediates (VERDICT r3 #6): the
-    * memo keeps the cache footprint constant per (session, dir), but a
-    * long-lived session touching many dirs would still accumulate
-    * MEMORY_AND_DISK frames — callers that are done with a session
-    * (Bench/Verify teardown, spec afterAll) drop them here.
-    */
-  def releaseCache(s: SparkSession): Unit = {
-    val it = memoCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq s) { e.getValue.unpersist(); it.remove() }
-    }
-  }
+  /** Release the session's memoized intermediates (VERDICT r3 #6). */
+  def releaseCache(s: SparkSession): Unit = SessionMemo.release(s)
 
   /** (doc_id, shs: array of distinct shingles, n: shingle count) —
     * persisted: the Jaccard query reads it from three plan branches and

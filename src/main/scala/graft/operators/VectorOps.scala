@@ -38,9 +38,22 @@ object VectorOps {
     * SQRT(LIST_DOT_PRODUCT(v, v)), so cosines are unchanged.
     */
   private def embs(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), vec.as("v"))
-      .withColumn("nv", sqrt(dot("v", "v")))
+    SessionMemo.persist("vec:embs", s, dir) {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), vec.as("v"))
+        .withColumn("nv", sqrt(dot("v", "v")))
+    }
+
+  /** The materialized (vec_id, band_id, sig) signature index — computed
+    * once per (session, dir) and shared by every probing query, exactly
+    * as a 100 TB deployment would materialize it instead of recomputing
+    * signatures per plan branch.
+    */
+  private def bandSigs(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("vec:bands", s, dir) {
+      withBandSigs(embs(s, dir).select(col("vec_id"), col("v")))
+        .select(col("vec_id"), col("band_id"), col("sig"))
+    }
 
   /** Brute-force cosine top-k: 10 query vectors against the corpus.
     * cosine = dot / (sqrt(na) * sqrt(nb)) — parenthesization mirrored
@@ -127,7 +140,7 @@ object VectorOps {
 
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("v"), col("nv"))
-    val banded = withBandSigs(e)
+    val banded = bandSigs(s, dir)
     val q = banded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("band_id").as("qband"),
         col("sig").as("qsig"))
@@ -193,7 +206,7 @@ object VectorOps {
     */
   def qCosineDedup(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("v"), col("nv"))
-    val banded = withBandSigs(e).select(col("vec_id"), col("band_id"), col("sig"))
+    val banded = bandSigs(s, dir)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.sig") === col("y.sig") &&
         col("x.vec_id") < col("y.vec_id"))
