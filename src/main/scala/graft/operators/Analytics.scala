@@ -164,10 +164,12 @@ object Analytics {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""
 
-  /** Sketch surface (HLL): approximate distinct counts are
-    * engine-specific, so this query is registered WITHOUT an oracle —
-    * the driver applies its weaker rows-only check. The exact counts
-    * ride along for human sanity-checking of the sketch error.
+  /** Sketch surface (HLL): the raw estimate is engine-specific, so the
+    * compared output carries only deterministic columns — the exact
+    * count plus `within_tol`, which asserts the HLL estimate (rsd 2%)
+    * landed inside a 5% envelope of the exact value. The oracle emits
+    * literal TRUE, so the gate hash-checks the error bound itself:
+    * a drifting sketch flips the boolean and fails the row.
     */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir)
@@ -175,8 +177,19 @@ object Analytics {
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * lit(0.05)).as("within_tol"))
       .orderBy(col("l_returnflag"))
   }
+
+  val qApproxDistinctOracle: String = """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
 
   /** Top-k per key via the custom bounded TypedImperativeAggregate
     * (graft.functions.TopKAgg) instead of a window sort: partial
@@ -210,7 +223,7 @@ object Analytics {
     GateQuery("q27_cube", qCube, Some(qCubeOracle)),
     GateQuery("q28_sessionize", qSessionize, Some(qSessionizeOracle)),
     GateQuery("q29_percentiles", qPercentiles, Some(qPercentilesOracle)),
-    GateQuery("q30_approx_distinct", qApproxDistinct, None),
+    GateQuery("q30_approx_distinct", qApproxDistinct, Some(qApproxDistinctOracle)),
     GateQuery("q31_topk_aggregate", qTopkAggregate, Some(qTopkAggregateOracle)),
   )
 }
