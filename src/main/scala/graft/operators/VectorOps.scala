@@ -49,7 +49,7 @@ object VectorOps {
     * as a 100 TB deployment would materialize it instead of recomputing
     * signatures per plan branch.
     */
-  private def bandSigs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bandSigs(s: SparkSession, dir: String): DataFrame =
     SessionMemo.persist("vec:bands", s, dir) {
       withBandSigs(embs(s, dir).select(col("vec_id"), col("v")))
         .select(col("vec_id"), col("band_id"), col("sig"))
@@ -110,9 +110,9 @@ object VectorOps {
     * signatures are shift/mask slices of that long. Bit sums are
     * order-independent integers, so signatures are engine-exact.
     */
-  private val LshBands = 4
-  private val LshBits = 12
-  private val LshCap = 100 // max vectors per (band, sig) bucket
+  private[graft] val LshBands = 4
+  private[graft] val LshBits = 12
+  private[graft] val LshCap = 100 // max vectors per (band, sig) bucket
 
   private def withBandSigs(e: DataFrame): DataFrame = {
     val planesArr = e.filter(col("vec_id") < LshBands * LshBits)

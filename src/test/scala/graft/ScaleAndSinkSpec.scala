@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.fic.{FicLookup, FicSchema, FicShredder, FicTransform}
 import graft.load.JdbcSink
-import graft.operators.Scale
+import graft.operators.{Scale, SessionMemo, VectorOps}
 import graft.quality.{ReliabilityReport, Validation}
 
 /** Scale utilities, quality side-outputs and the JDBC sink (embedded
@@ -30,6 +30,25 @@ class ScaleAndSinkSpec extends AnyFunSuite {
       .json("/root/reference/data/json_raw_2025_07/*.json")
       .withColumn("filename", regexp_extract(input_file_name(), "([^/]+)$", 1))
     FicTransform(raw, FicLookup(Nil))
+  }
+
+  test("multi-band sign-LSH blocking bounds bucket occupancy and candidate volume") {
+    // The scale contract of v34/v35 (VERDICT r3 #2): candidate generation
+    // must stay join-shaped, which requires (a) no bucket larger than the
+    // cap and (b) the banded blocking actually pruning the pair space —
+    // measured here on the full sf0.1 embeddings corpus.
+    val dir = "/root/testdata/sf0.1"
+    val banded = VectorOps.bandSigs(spark, dir)
+    val occ = banded.groupBy(col("band_id"), col("sig")).count()
+    val maxBucket = occ.agg(max(col("count"))).head().getLong(0)
+    assert(maxBucket <= VectorOps.LshCap,
+      s"bucket of $maxBucket exceeds cap ${VectorOps.LshCap}")
+    val n = banded.select(col("vec_id")).distinct().count()
+    val allPairs = n * (n - 1) / 2.0
+    val candPairs = occ.agg(sum(expr("count * (count - 1) / 2"))).head().getDouble(0)
+    assert(candPairs < 0.10 * allPairs,
+      s"banded blocking generated $candPairs of $allPairs possible pairs — not pruning")
+    SessionMemo.release(spark)
   }
 
   test("salted join equals plain join") {
