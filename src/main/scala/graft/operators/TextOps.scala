@@ -171,11 +171,22 @@ object TextOps {
     */
   private val DfCap = 20
 
+  /** The df-capped posting-list index, materialized once per (session,
+    * dir): three plan branches (both join sides and the size aggregate)
+    * read it, and each would otherwise replay the explode + df-window
+    * shuffle. The window partitions by the same key the self-join
+    * shuffles on, so the one materialization carries the join layout.
+    */
+  private def cappedShingles(s: SparkSession, dir: String): DataFrame =
+    memoPersist("shingles-dfcap", s, dir) {
+      val sh = docShingles(s, dir).select(col("doc_id"), explode(col("shs")).as("s"))
+      val dfw = Window.partitionBy(col("s"))
+      sh.withColumn("df", count(lit(1)).over(dfw))
+        .filter(col("df") <= DfCap).drop("df")
+    }
+
   def qJaccardDfCap(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir).select(col("doc_id"), explode(col("shs")).as("s"))
-    val dfw = Window.partitionBy(col("s"))
-    val capped = sh.withColumn("df", count(lit(1)).over(dfw))
-      .filter(col("df") <= DfCap).drop("df")
+    val capped = cappedShingles(s, dir)
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = capped.as("a").hint("shuffle_hash").join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
