@@ -56,7 +56,7 @@ object PyRound {
     * (`py_round(2.675, 2)`) work — the expression itself is
     * double-typed and has no implicit coercion.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = Registration.once(spark, "py_round") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "py_round",
       exprs => PyRound(
@@ -64,4 +64,5 @@ object PyRound {
           exprs(0), org.apache.spark.sql.types.DoubleType),
         exprs(1)),
       "built-in")
+  }
 }

@@ -78,6 +78,8 @@ case class TopBigramCount(child: Expression)
 
 object TopBigramCount {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "top_bigram_count", exprs => TopBigramCount(exprs(0)), "built-in")
+    Registration.once(spark, "top_bigram_count") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "top_bigram_count", exprs => TopBigramCount(exprs(0)), "built-in")
+    }
 }

@@ -126,11 +126,13 @@ object TopKAgg {
 
   /** Register `top_k_by_value(value, id, k)` for SQL / expr() use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "top_k_by_value",
-      exprs => TopKAgg(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Number].intValue).toAggregateExpression(),
-      "built-in")
+    Registration.once(spark, "top_k_by_value") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "top_k_by_value",
+        exprs => TopKAgg(exprs(0), exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue).toAggregateExpression(),
+        "built-in")
+    }
 
   /** Column API: top-k (value, id) pairs per group (registers the
     * function on first use).

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale utilities (SURVEY §7.4.7 discipline): skew salting and
@@ -26,6 +27,53 @@ object Scale {
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Distributed per-group rank (1-based, the `row_number()` contract)
+    * of `df` by `orderKey` within `partKey` — the two-phase
+    * prefix-offset formulation of zipWithIndex, replacing
+    * `row_number().over(Window.partitionBy(partKey).orderBy(orderKey))`
+    * whose per-group TOTAL order funnels every row of a group through
+    * one reducer (with a handful of sources and a 100 TB corpus: one
+    * straggler task sorting ~25 TB per source).
+    *
+    * Phases:
+    *  1. range-partition on (partKey, orderKey): each task holds a
+    *     bounded contiguous slice, and for a fixed group the slices are
+    *     ordered across task ids;
+    *  2. per-(task, group) counts — a tiny frame (tasks × groups rows)
+    *     — turn into prefix offsets with a window over the COUNTS, not
+    *     the data;
+    *  3. offsets broadcast back and each task ranks its slice locally
+    *     (the local window's groups are (task, group) slices bounded by
+    *     the range split size, never a whole group).
+    *
+    * `materialize` must persist the partitioned frame: the count branch
+    * and the rank branch MUST observe the same sampled range boundaries
+    * (two independent range exchanges may sample differently, shifting
+    * boundary rows between task ids and corrupting the offsets). The
+    * caller owns the lifecycle (SessionMemo / unpersist).
+    */
+  def distributedRank(df: DataFrame, partKey: String, orderKey: String,
+      rankCol: String, numPartitions: Option[Int] = None,
+      materialize: DataFrame => DataFrame =
+        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    val ranged = numPartitions
+      .map(n => df.repartitionByRange(n, col(partKey), col(orderKey)))
+      .getOrElse(df.repartitionByRange(col(partKey), col(orderKey)))
+    val parts = materialize(ranged.withColumn("__pid", spark_partition_id()))
+    val counts = parts.groupBy(col("__pid"), col(partKey))
+      .agg(count(lit(1)).as("__cnt"))
+    val offW = Window.partitionBy(col(partKey)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
+      .select(col("__pid"), col(partKey), col("__off"))
+    val localW = Window.partitionBy(col("__pid"), col(partKey))
+      .orderBy(col(orderKey))
+    parts.join(broadcast(offs), Seq("__pid", partKey))
+      .withColumn(rankCol, col("__off") + row_number().over(localW))
+      .drop("__pid", "__off")
   }
 
   /** Write both sides of a recurring join bucketed on the key: later

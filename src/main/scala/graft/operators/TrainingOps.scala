@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Training-data curation operators beyond dedup/quality: deterministic
@@ -46,20 +45,29 @@ object TrainingOps {
 
   /** Weighted source mixing: per-source quotas (weight × total docs of
     * the smallest source, the "epochs per source" shape), filled
-    * deterministically by doc_id order — one window per source, no
-    * sampling randomness. Emits the mixed manifest's per-source stats.
+    * deterministically by doc_id order — no sampling randomness. Emits
+    * the mixed manifest's per-source stats.
+    *
+    * The per-source rank is [[Scale.distributedRank]] (r5, VERDICT #1):
+    * a naive `row_number().over(Window.partitionBy(source))` funnels
+    * each source's total order through ONE reducer — with 4 sources at
+    * 100 TB that is four stragglers sorting ~25 TB each. The two-phase
+    * prefix-offset rank keeps every task's slice bounded by the range
+    * split size; the unweighted-source filter runs BEFORE the shuffle
+    * so dropped sources never pay the exchange.
     */
   def qSourceMix(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val weights = map(
       lit("src0"), lit(1.0), lit("src1"), lit(0.5),
       lit("src2"), lit(2.0), lit("src3"), lit(0.25))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    docs
+    val quotad = docs
       .withColumn("quota",
         floor(element_at(weights, col("source")) * 100).cast("long"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("quota").isNotNull && col("rn") <= col("quota"))
+      .filter(col("quota").isNotNull)
+    Scale.distributedRank(quotad, "source", "doc_id", "rn",
+      materialize = df => SessionMemo.persist("training:mix-ranked", s, dir)(df))
+      .filter(col("rn") <= col("quota"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_selected"),
         max(col("rn")).cast("long").as("max_rank"),

@@ -18,22 +18,23 @@ object GraftSql {
     * registered as UDFs.
     */
   def registerFunctions(spark: SparkSession): Unit = {
+    import graft.functions.Registration.once
     PyRound.register(spark)
-    spark.udf.register("parse_spanish_date",
-      (s: String) => SpanishDate.parse(s))
-    spark.udf.register("lcs_similarity",
-      (a: String, b: String) => Similarity.lcsSimilarity(a, b))
-    spark.udf.register("difflib_ratio",
-      (a: String, b: String) => Similarity.ratio(a, b))
-    spark.udf.register("clean_monetary",
-      (v: java.lang.Double) => FicTransform.limpiarValor(v))
-    spark.udf.register("normalize_bank",
-      (s: String) => if (s == null) null else FicTransform.normalizeBankName(s.toLowerCase))
-    spark.udf.register("normalize_fund",
-      (s: String) => if (s == null) null else FicTransform.normalizeFundName(s))
-    spark.udf.register("match_agency",
+    once(spark, "parse_spanish_date") { spark.udf.register("parse_spanish_date",
+      (s: String) => SpanishDate.parse(s)) }
+    once(spark, "lcs_similarity") { spark.udf.register("lcs_similarity",
+      (a: String, b: String) => Similarity.lcsSimilarity(a, b)) }
+    once(spark, "difflib_ratio") { spark.udf.register("difflib_ratio",
+      (a: String, b: String) => Similarity.ratio(a, b)) }
+    once(spark, "clean_monetary") { spark.udf.register("clean_monetary",
+      (v: java.lang.Double) => FicTransform.limpiarValor(v)) }
+    once(spark, "normalize_bank") { spark.udf.register("normalize_bank",
+      (s: String) => if (s == null) null else FicTransform.normalizeBankName(s.toLowerCase)) }
+    once(spark, "normalize_fund") { spark.udf.register("normalize_fund",
+      (s: String) => if (s == null) null else FicTransform.normalizeFundName(s)) }
+    once(spark, "match_agency") { spark.udf.register("match_agency",
       (s: String) => if (s == null) null
-        else FicTransform.matchAgency(s.toUpperCase.trim).orNull)
+        else FicTransform.matchAgency(s.toUpperCase.trim).orNull) }
   }
 
   /** Create temp views for every synthetic-corpus table in `dir`.

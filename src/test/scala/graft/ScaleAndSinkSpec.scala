@@ -51,6 +51,46 @@ class ScaleAndSinkSpec extends AnyFunSuite {
     SessionMemo.release(spark)
   }
 
+  test("distributed rank matches the window rank and splits a dominant source across tasks") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // Skewed corpus: one source holds 80% of the rows — the exact shape
+    // whose per-source window rank becomes a single-reducer straggler
+    // at 100 TB (VERDICT r4 #1). doc_ids interleave across sources so
+    // range boundaries fall inside the big source, not between sources.
+    val docs = spark.range(0, 20000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 5 < 4, "big")
+        .otherwise(concat(lit("small"), col("id") % 3)).as("source"))
+
+    // Correctness: the two-phase prefix-offset rank must equal the
+    // single-reducer window formulation exactly.
+    var mat: org.apache.spark.sql.DataFrame = null
+    val ranked = Scale.distributedRank(docs, "source", "doc_id", "rn",
+      numPartitions = Some(8),
+      materialize = df => { mat = df.persist(); mat })
+    val windowed = docs.withColumn("rn_w",
+      row_number().over(W.partitionBy(col("source")).orderBy(col("doc_id"))))
+    assert(ranked.join(windowed, Seq("doc_id", "source"))
+      .filter(col("rn") =!= col("rn_w")).count() == 0)
+
+    // Scale contract: no single task ranks the dominant source — its
+    // largest per-(task, source) slice must be strictly smaller than
+    // the source itself (range partitioning balances by volume, so the
+    // 16k-row source must span several of the 8 slices).
+    val maxSlice = mat.filter(col("source") === "big")
+      .groupBy(col("__pid")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val total = docs.filter(col("source") === "big").count()
+    assert(maxSlice < total,
+      s"single task ranks the whole dominant source ($maxSlice of $total rows)")
+
+    // And the ranking plan itself must window on (task, source) slices,
+    // never on source alone.
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"), s"expected slice-local window in:\n$plan")
+    mat.unpersist()
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val left = (1 to 10000).map(i => (i % 5, i)).toDF("k", "v")  // 5 hot keys
