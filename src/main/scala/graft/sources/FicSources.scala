@@ -28,6 +28,15 @@ object FicSources {
       .withColumn("anio", regexp_extract(col("path"), "_(\\d{4})/", 1))
       .withColumn("mes", regexp_extract(col("path"), "_\\d{4}/(\\d{1,2})/", 1))
 
+  /** `input_file_name()` returns the file URI, which percent-encodes
+    * spaces and friends; the reference keys documents by the REAL
+    * filesystem name (Path.name), and fic_id hashes the filename — so
+    * decode before extracting (a space-named PDF otherwise lands in
+    * the DB as `%20`).
+    */
+  private def fileNameCol: org.apache.spark.sql.Column =
+    regexp_extract(url_decode(input_file_name()), "([^/]+)$", 1)
+
   /** S4: raw FIC JSON folder scan — one document per file (multiLine),
     * explicit schema (never inferred), `*_transformed.json` excluded at
     * listing time.
@@ -38,7 +47,7 @@ object FicSources {
       .option("pathGlobFilter", "*.json")
       .schema(FicSchema.raw)
       .json(dir)
-      .withColumn("filename", regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .withColumn("filename", fileNameCol)
       .filter(!col("filename").endsWith("_transformed.json"))
 
   /** S5: transformed-JSON folder scan (inverted glob). */
@@ -48,7 +57,7 @@ object FicSources {
       .option("pathGlobFilter", "*_transformed.json")
       .schema(FicSchema.transformed)
       .json(dir)
-      .withColumn("filename", regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .withColumn("filename", fileNameCol)
 
   /** S7: skip-list scan (script_load.py:154-187): '#' comments and
     * blanks dropped, names canonicalized to `*_transformed.json`.
@@ -93,6 +102,35 @@ object FicSources {
     df.write.mode("overwrite")
       .partitionBy("anio", "mes")
       .json(outDir)
+
+  /** Extract-stage raw sink: one `<pdfStem>_raw.json` file per
+    * successfully extracted document (the reference's
+    * save_json_to_file naming, load.py:52-62), written per partition —
+    * the folder it produces is directly consumable by
+    * [[rawJsonFolder]], so the staged commands compose. Failed rows
+    * (null json) are quarantined in the frame, not written.
+    */
+  def writeRawJson(docs: DataFrame, outDir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val payload = docs.filter(col("json").isNotNull)
+      .select(
+        concat(regexp_replace(regexp_extract(col("path"), "([^/]+)$", 1),
+          "\\.pdf$", ""), lit("_raw.json")).as("__name"),
+        col("json").as("__json"))
+      .as[(String, String)]
+    payload.foreachPartition { (rows: Iterator[(String, String)]) =>
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(hadoopConf.value)
+      rows.foreach { case (name, json) =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(outDir, name), true)
+        try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
+  }
 
   /** S9 byte-layout parity: one `<stem>_transformed.json` file per
     * document (the reference's per-record naming,

@@ -30,7 +30,9 @@ object FicStreaming {
       .option("maxFilesPerTrigger", 100)
       .schema(FicSchema.raw)
       .json(dir)
-      .withColumn("filename", regexp_extract(input_file_name(), "([^/]+)$", 1))
+      // decode: input_file_name() percent-encodes (see FicSources)
+      .withColumn("filename",
+        regexp_extract(url_decode(input_file_name()), "([^/]+)$", 1))
 
   /** The 8-pass chain applied to a streaming DataFrame — stateless
     * narrow ops only, so it lifts to streaming unchanged.
