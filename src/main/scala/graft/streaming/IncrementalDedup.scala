@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Incremental MinHash+LSH index maintenance (r5, VERDICT #6): the
+  * monthly-drop dedup story as an UPDATEABLE signature index instead of
+  * the session-static [[graft.operators.SessionMemo]] materializations.
+  *
+  * The index is a persisted table (parquet) of one row per document:
+  * its distinct shingle array, shingle count, and the 4 banded MinHash
+  * signatures — exactly the signature layout of the batch operator
+  * (TextOps.qMinhashLsh: 8 seeded-md5 minima, 4 bands × 2 rows). Each
+  * micro-batch:
+  *
+  *  1. computes signatures for the NEW documents only (the old
+  *     documents' raw text is never touched — their signatures are
+  *     read back from the index);
+  *  2. probes new-vs-all through the band equi-join (never
+  *     all-vs-all, never old-vs-old — the work per batch is
+  *     O(new × collisions));
+  *  3. verifies candidates with exact Jaccard over the stored shingle
+  *     arrays;
+  *  4. appends the new documents' rows to the index. Replayed batches
+  *     (streaming retry semantics) are no-ops: already-indexed ids are
+  *     anti-joined out before probing or appending.
+  *
+  * At 100 TB scale the same shape holds: the index is a table keyed by
+  * doc_id (bucketed/partitioned on the band signature for the probe
+  * join), new drops are a few percent of the corpus, and the probe
+  * shuffles only the new side plus colliding index rows.
+  */
+object IncrementalDedup {
+
+  private val Bands = 4
+
+  val indexSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("shs", ArrayType(StringType), nullable = false),
+    StructField("n", LongType, nullable = false)) ++
+    (1 to Bands).map(b => StructField(s"b$b", StringType, nullable = true)))
+
+  /** Doc-level signature rows for a (doc_id, text) batch — in-row
+    * shingling and array_min minhashing, no shuffle (see
+    * TextOps.qMinhashLsh for the formulation notes).
+    */
+  def docSignatures(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .select(col("doc_id"), array_distinct(
+        expr("case when size(words) < 3 then array() " +
+          "else transform(sequence(1, size(words) - 2), " +
+          "i -> array_join(slice(words, i, 3), ' ')) end")).as("shs"))
+      .withColumn("n", size(col("shs")).cast("long"))
+      .filter(col("n") > 0)
+    val sigs = (1 to 2 * Bands).foldLeft(base) { case (df, i) =>
+      df.withColumn(s"h$i",
+        array_min(transform(col("shs"), x => md5(concat(lit(s"$i:"), x)))))
+    }
+    (1 to Bands).foldLeft(sigs) { case (df, b) =>
+      df.withColumn(s"b$b", concat(col(s"h${2 * b - 1}"), col(s"h${2 * b}")))
+    }.select(indexSchema.fieldNames.map(col): _*)
+  }
+
+  /** Current index contents ((session, path) may not exist yet). */
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    if (new java.io.File(path).exists())
+      spark.read.schema(indexSchema).parquet(path)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], indexSchema)
+
+  private def bandRows(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("shs"), col("n"),
+      posexplode(array((1 to Bands).map(b => col(s"b$b")): _*))
+        .as(Seq("band_id", "band_sig")))
+
+  /** Probe the new batch against the index (and itself) and append the
+    * new signatures. Returns the verified near-dup pairs
+    * (doc_a, doc_b, jaccard) with doc_a < doc_b, at least one side new.
+    */
+  def probeAndUpdate(batch: DataFrame, indexPath: String,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val existing = readIndex(spark, indexPath)
+    val fresh = docSignatures(batch)
+      .join(existing.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val all = existing.unionByName(fresh)
+
+    // the probe is a self-join (fresh rides inside `all`), so the
+    // target side gets explicitly renamed columns — fresh exprIds —
+    // instead of dataset aliases, which resolve ambiguously here
+    val target = bandRows(all).select(
+      col("doc_id").as("t_doc_id"), col("shs").as("t_shs"),
+      col("n").as("t_n"), col("band_id").as("t_band_id"),
+      col("band_sig").as("t_band_sig"))
+    val cand = bandRows(fresh)
+      .join(target,
+        col("band_id") === col("t_band_id") &&
+        col("band_sig") === col("t_band_sig") &&
+        col("doc_id") =!= col("t_doc_id"))
+      .select(
+        least(col("doc_id"), col("t_doc_id")).as("doc_a"),
+        greatest(col("doc_id"), col("t_doc_id")).as("doc_b"),
+        when(col("doc_id") < col("t_doc_id"), col("shs")).otherwise(col("t_shs")).as("shs_a"),
+        when(col("doc_id") < col("t_doc_id"), col("n")).otherwise(col("t_n")).as("n_a"),
+        when(col("doc_id") < col("t_doc_id"), col("t_shs")).otherwise(col("shs")).as("shs_b"),
+        when(col("doc_id") < col("t_doc_id"), col("t_n")).otherwise(col("n")).as("n_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // localCheckpoint (eager): the pair result must be MATERIALIZED
+    // with its lineage truncated before the append and the fresh
+    // unpersist below — a lazily-lineaged (or merely cached) result
+    // would be recomputed against the post-append file listing, where
+    // the batch's own rows are already indexed and the anti-join
+    // empties `fresh`, silently erasing the batch's pairs.
+    val pairs = cand
+      .withColumn("inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint(true)
+    fresh.write.mode("append").parquet(indexPath)
+    fresh.unpersist()
+    pairs
+  }
+
+  /** Streaming surface: foreachBatch maintaining the index, handing
+    * each micro-batch's verified near-dup pairs to the caller.
+    */
+  def sink(docs: DataFrame, indexPath: String, threshold: Double = 0.5)
+      (onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val pairs = probeAndUpdate(batch, indexPath, threshold)
+        onBatch(pairs, id)
+        pairs.unpersist()
+        ()
+      }
+}
