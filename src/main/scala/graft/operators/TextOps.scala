@@ -171,33 +171,50 @@ object TextOps {
     */
   private val DfCap = 20
 
-  /** The df-capped posting-list index, materialized once per (session,
-    * dir): three plan branches (both join sides and the size aggregate)
-    * read it, and each would otherwise replay the explode + df filter.
+  /** The df-capped POSTING-LIST index, materialized once per (session,
+    * dir): one sorted id array per surviving shingle.
     *
-    * The over-cap set is computed as a stop-shingle BLACKLIST
-    * (groupBy(s).count → filter df > cap → broadcast anti-join), not a
-    * df-window over every (doc_id, s) row (r5, VERDICT #3): the count
-    * is map-side-combinable (the shuffle carries one row per distinct
-    * shingle per task, not every occurrence), the blacklist is tiny by
-    * construction (only shingles shared by > DfCap documents), and the
-    * anti-join broadcasts it — one full exchange of the exploded
-    * relation disappears versus the window formulation.
+    * Two-phase build (r5, VERDICT #3): the over-cap set is computed
+    * first as a stop-shingle BLACKLIST (groupBy(s).count → df > cap →
+    * broadcast anti-join) — the count is map-side-combinable (the
+    * shuffle carries one row per distinct shingle per task, not every
+    * occurrence) and the blacklist is tiny by construction — and only
+    * then are the bounded survivors collected into arrays, so no
+    * aggregation buffer ever holds more than DfCap ids even when a
+    * boilerplate shingle appears in millions of documents.
     */
-  private def cappedShingles(s: SparkSession, dir: String): DataFrame =
-    memoPersist("shingles-dfcap", s, dir) {
+  private def cappedPosts(s: SparkSession, dir: String): DataFrame =
+    memoPersist("jaccard-posts", s, dir) {
       val sh = docShingles(s, dir).select(col("doc_id"), explode(col("shs")).as("s"))
       val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") > DfCap).select(col("s"))
       sh.join(broadcast(hot), Seq("s"), "left_anti")
+        .groupBy(col("s")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    }
+
+  /** Per-doc shingle count over the capped space (df=1 shingles count
+    * toward the union even though they generate no pairs).
+    */
+  private def cappedSizes(s: SparkSession, dir: String): DataFrame =
+    memoPersist("jaccard-sizes", s, dir) {
+      cappedPosts(s, dir).select(explode(col("ids")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     }
 
   def qJaccardDfCap(s: SparkSession, dir: String): DataFrame = {
-    val capped = cappedShingles(s, dir)
-    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = capped.as("a").hint("shuffle_hash").join(capped.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // candidate pairs expand IN-ROW from each posting list (≤ C(DfCap,2)
+    // structs per shingle) instead of a posting-list self-join: the
+    // shuffle moves k ids per shingle, not k² join rows, and the pair
+    // aggregation shuffles compact (long, long) keys instead of md5
+    // shingle strings.
+    val pairExpr = "flatten(transform(ids, (a, i) -> " +
+      "transform(slice(ids, i + 2, greatest(size(ids) - i - 1, 0)), " +
+      "b -> named_struct('doc_a', a, 'doc_b', b))))"
+    val sizes = cappedSizes(s, dir)
+    val pairs = cappedPosts(s, dir)
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(pairExpr)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
