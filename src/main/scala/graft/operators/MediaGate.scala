@@ -98,7 +98,71 @@ object MediaGate {
         ORDER BY media_id"""
   }
 
+  // -- PDF layout gate (m43) --------------------------------------------
+
+  /** Region dictionary in the notebook's bounding_boxes shape
+    * (pruebas.ipynb), sized to the stub decoder's US-Letter grid.
+    */
+  private val Regions: Seq[(String, (Double, Double, Double, Double))] = Seq(
+    "header" -> (0.0, 0.0, 612.0, 120.0),
+    "left"   -> (0.0, 120.0, 306.0, 500.0),
+    "right"  -> (306.0, 120.0, 612.0, 500.0),
+    "footer" -> (0.0, 500.0, 612.0, 792.0))
+
+  private val LineTol = 6.0
+
+  /** m43: words → named-region text assembly over the seeded corpus;
+    * the oracle replays the same decoder and assembly as straight-line
+    * Scala, so the differential covers the flatMap generator, the
+    * broadcast region join and the two-level array_sort aggregation.
+    */
+  def qPdfLayout(s: SparkSession, dir: String): DataFrame = {
+    val w = PdfLayout.words(
+      media(s).withColumnRenamed("media_id", "doc_id"),
+      new PdfLayout.StubLayoutDecoder())
+    PdfLayout.regionText(w, Regions, LineTol)
+      .select(col("doc_id"), col("page"), col("region"),
+        col("n_lines"), col("n_words"), md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"), col("page"), col("region"))
+  }
+
+  def qPdfLayoutOracle: String = {
+    val decoder = new PdfLayout.StubLayoutDecoder()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(t: String): String =
+      md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = for {
+      (id, _, bytes) <- corpusRows
+      ((region, (rx0, rtop, rx1, rbottom)), _) <- Regions.zipWithIndex
+      (page, ws) <- decoder.words(bytes)
+        .filter { w =>
+          val cx = (w.x0 + w.x1) / 2; val cy = (w.top + w.bottom) / 2
+          cx >= rx0 && cx < rx1 && cy >= rtop && cy < rbottom
+        }
+        .groupBy(_.page).toSeq
+    } yield {
+      val lines = ws.groupBy(w => math.floor(w.top / LineTol).toLong).toSeq
+        .map { case (key, lws) =>
+          val line = lws.sortBy(w => (w.x0, w.text)).map(_.text).mkString(" ")
+          (lws.map(_.top).min, key, line)
+        }
+        .sortBy(identity)
+      val text = lines.map(_._3).mkString("\n")
+      (id, page, region, lines.size.toLong, ws.size.toLong, md5hex(text))
+    }
+    val values = rows.sortBy(r => (r._1, r._2, r._3)).map { r =>
+      s"(${r._1}, ${r._2}, '${r._3}', ${r._4}, ${r._5}, '${r._6}')"
+    }
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, page, region,
+          CAST(n_lines AS BIGINT) AS n_lines,
+          CAST(n_words AS BIGINT) AS n_words, text_md5
+        FROM (VALUES ${values.mkString(",\n")})
+          t(doc_id, page, region, n_lines, n_words, text_md5)
+        ORDER BY doc_id, page, region"""
+  }
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("m42_media_pipeline", qMediaPipeline, Some(qMediaPipelineOracle)),
+    GateQuery("m43_pdf_layout", qPdfLayout, Some(qPdfLayoutOracle)),
   )
 }
