@@ -161,8 +161,70 @@ object MediaGate {
         ORDER BY doc_id, page, region"""
   }
 
+  // -- PDF table-cell gate (m44) ----------------------------------------
+
+  private val RowTol = 6.0
+  private val ColTol = 12.0
+
+  /** m44: table-cell clustering over the seeded corpus, summarized per
+    * page as (n_rows, n_cols, n_cells, md5 of the ordered grid) — the
+    * page-bounded dense_rank windows and cell concatenation verified
+    * against a straight-line replay.
+    */
+  def qPdfTables(s: SparkSession, dir: String): DataFrame = {
+    val w = PdfLayout.words(
+      media(s).withColumnRenamed("media_id", "doc_id"),
+      new PdfLayout.StubLayoutDecoder())
+    val serial = transform(
+      array_sort(collect_list(struct(col("row_id"), col("col_id"), col("cell")))),
+      x => concat_ws(",", x.getField("row_id"), x.getField("col_id"),
+        x.getField("cell")))
+    PdfLayout.tableCells(w, RowTol, ColTol)
+      .groupBy(col("doc_id"), col("page"))
+      .agg(max(col("row_id")).cast("long").as("n_rows"),
+        max(col("col_id")).cast("long").as("n_cols"),
+        count(lit(1)).as("n_cells"),
+        md5(array_join(serial, "|")).as("grid_md5"))
+      .orderBy(col("doc_id"), col("page"))
+  }
+
+  def qPdfTablesOracle: String = {
+    val decoder = new PdfLayout.StubLayoutDecoder()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(t: String): String =
+      md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = for {
+      (id, _, bytes) <- corpusRows
+      (page, ws) <- decoder.words(bytes).groupBy(_.page).toSeq.sortBy(_._1)
+    } yield {
+      val rowRank = ws.map(w => math.floor(w.top / RowTol).toLong)
+        .distinct.sorted.zipWithIndex.map { case (k, i) => k -> (i + 1) }.toMap
+      val colRank = ws.map(w => math.floor(w.x0 / ColTol).toLong)
+        .distinct.sorted.zipWithIndex.map { case (k, i) => k -> (i + 1) }.toMap
+      val cells = ws
+        .groupBy(w => (rowRank(math.floor(w.top / RowTol).toLong),
+          colRank(math.floor(w.x0 / ColTol).toLong)))
+        .map { case ((r, c), g) =>
+          (r, c, g.sortBy(w => (w.x0, w.text)).map(_.text).mkString(" "))
+        }.toSeq.sortBy(identity)
+      val serial = cells.map { case (r, c, t) => s"$r,$c,$t" }.mkString("|")
+      (id, page, rowRank.values.max.toLong, colRank.values.max.toLong,
+        cells.size.toLong, md5hex(serial))
+    }
+    val values = rows.map { r =>
+      s"(${r._1}, ${r._2}, ${r._3}, ${r._4}, ${r._5}, '${r._6}')"
+    }
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, page,
+          CAST(n_rows AS BIGINT) AS n_rows, CAST(n_cols AS BIGINT) AS n_cols,
+          CAST(n_cells AS BIGINT) AS n_cells, grid_md5
+        FROM (VALUES ${values.mkString(",\n")})
+          t(doc_id, page, n_rows, n_cols, n_cells, grid_md5)
+        ORDER BY doc_id, page"""
+  }
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("m42_media_pipeline", qMediaPipeline, Some(qMediaPipelineOracle)),
     GateQuery("m43_pdf_layout", qPdfLayout, Some(qPdfLayoutOracle)),
+    GateQuery("m44_pdf_tables", qPdfTables, Some(qPdfTablesOracle)),
   )
 }
