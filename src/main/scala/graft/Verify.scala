@@ -16,10 +16,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // one retry: a transient executor/FS hiccup on a single query
+      // must not zero that operator's correctness row for the round
+      try attempt() catch {
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed (${e.getMessage}); retrying")
+          try attempt() catch { case e2: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e2.getMessage}")
+          }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
