@@ -76,6 +76,37 @@ object Scale {
       .drop("__pid", "__off")
   }
 
+  /** Distributed EXCLUSIVE prefix sum of `valueCol` by global
+    * `orderKey` order — same two-phase shape as [[distributedRank]]
+    * (range-partition, tiny per-slice totals → broadcast offsets,
+    * slice-local running sum) for the aggregations a naive
+    * `sum().over(Window.orderBy(...))` would funnel through ONE
+    * reducer for the entire dataset. `materialize` contract as in
+    * [[distributedRank]].
+    */
+  def distributedPrefixSum(df: DataFrame, orderKey: String, valueCol: String,
+      outCol: String, numPartitions: Option[Int] = None,
+      materialize: DataFrame => DataFrame =
+        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    val ranged = numPartitions
+      .map(n => df.repartitionByRange(n, col(orderKey)))
+      .getOrElse(df.repartitionByRange(col(orderKey)))
+    val parts = materialize(ranged.withColumn("__pid", spark_partition_id()))
+    val totals = parts.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__slice_sum"))
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = totals
+      .withColumn("__off", coalesce(sum(col("__slice_sum")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val localW = Window.partitionBy(col("__pid")).orderBy(col(orderKey))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts.join(broadcast(offs), Seq("__pid"))
+      .withColumn(outCol,
+        col("__off") + coalesce(sum(col(valueCol)).over(localW), lit(0L)))
+      .drop("__pid", "__off")
+  }
+
   /** Write both sides of a recurring join bucketed on the key: later
     * joins between the two tables shuffle NOTHING (bucket-to-bucket,
     * verified by the absence of Exchange in the plan). This is the

@@ -170,10 +170,57 @@ object TrainingOps {
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  /** Sequence packing (GPT-style concat-then-chunk): documents
+    * concatenate in doc_id order and split into fixed `SeqLen`-token
+    * training sequences; each document belongs to the sequence its
+    * first token lands in. The global token offset is a
+    * [[Scale.distributedPrefixSum]] — the naive
+    * `sum().over(Window.orderBy(doc_id))` is a single-reducer total
+    * order over the entire corpus, the same straggler shape t34's
+    * rank had. Emits per-sequence packing stats.
+    */
+  private val SeqLen = 2048L
+
+  def qSeqPack(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .withColumn("tok",
+        expr("aggregate(words, 0L, (acc, w) -> acc + ((length(w) + 3) div 4))"))
+      .select(col("doc_id"), col("tok"))
+    Scale.distributedPrefixSum(toks, "doc_id", "tok", "off",
+      materialize = df => SessionMemo.persist("training:pack-offsets", s, dir)(df))
+      .withColumn("seq_id", floor(col("off") / SeqLen))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("seq_id"))
+  }
+
+  val qSeqPackOracle: String = s"""
+    WITH t AS (
+      SELECT doc_id,
+             (SELECT COALESCE(SUM((LENGTH(w) + 3) // 4), 0)
+              FROM UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '')) AS u(w)) AS tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, tok,
+             COALESCE(SUM(tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t)
+    SELECT CAST(FLOOR(off / $SeqLen) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc
+    FROM c
+    GROUP BY 1
+    ORDER BY seq_id"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("t33_split", qSplit, Some(qSplitOracle)),
     GateQuery("t34_source_mix", qSourceMix, Some(qSourceMixOracle)),
     GateQuery("t35_decontaminate", qDecontaminate, Some(qDecontaminateOracle)),
     GateQuery("t36_repetition_filter", qRepetitionFilter, Some(qRepetitionFilterOracle)),
+    GateQuery("t39_seq_pack", qSeqPack, Some(qSeqPackOracle)),
   )
 }

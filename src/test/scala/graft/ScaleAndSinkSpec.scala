@@ -91,6 +91,26 @@ class ScaleAndSinkSpec extends AnyFunSuite {
     mat.unpersist()
   }
 
+  test("distributed prefix sum matches the window cumsum and never totals in one task") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = spark.range(0, 20000).select(
+      col("id").as("k"), (col("id") % 97 + 1).as("v"))
+    var mat: org.apache.spark.sql.DataFrame = null
+    val summed = Scale.distributedPrefixSum(df, "k", "v", "off",
+      numPartitions = Some(8),
+      materialize = d => { mat = d.persist(); mat })
+    val windowed = df.withColumn("off_w", coalesce(
+      sum(col("v")).over(W.orderBy(col("k"))
+        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    assert(summed.join(windowed, Seq("k", "v"))
+      .filter(col("off") =!= col("off_w")).count() == 0)
+    // every slice holds a strict subset of the rows
+    val maxSlice = mat.groupBy(col("__pid")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxSlice < 20000, s"one task holds all $maxSlice rows")
+    mat.unpersist()
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val left = (1 to 10000).map(i => (i % 5, i)).toDF("k", "v")  // 5 hot keys
