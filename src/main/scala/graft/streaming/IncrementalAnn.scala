@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Incremental sign-LSH ANN index (r5, the ANN half of VERDICT #6's
+  * "incremental dedup/ANN index maintenance").
+  *
+  * The index directory holds two tables:
+  *  - `planes/`  — the hyperplane model (plane_id, pv): written ONCE
+  *    when the index is created (from the first batch's lowest-id
+  *    vectors, the same data-derived convention as the batch operator,
+  *    VectorOps.withBandSigs) and read back by every later batch, so
+  *    signatures stay comparable across the index's lifetime;
+  *  - `vectors/` — one row per indexed vector: (vec_id, v, nv,
+  *    bucket), where bucket packs all sign bits into one long; band
+  *    signatures are shift/mask slices of it, so the banded view is a
+  *    projection, never a recompute against the raw vectors.
+  *
+  * Each micro-batch: sign only the NEW vectors, probe new-vs-all via
+  * the per-band signature equi-join (with a bucket-occupancy cap so a
+  * degenerate signature region cannot reintroduce the quadratic
+  * stage), score exact cosine on candidates, emit per-new-vector
+  * top-k, and append the new rows. Replays are no-ops. At 100 TB the
+  * occupancy counts would be maintained incrementally as their own
+  * table; here they are a map-side-combinable aggregate per batch.
+  */
+object IncrementalAnn {
+
+  final case class Config(bands: Int = 2, bits: Int = 8, cap: Long = 100L,
+      k: Int = 3)
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)")
+
+  private def vectorsPath(p: String) = s"$p/vectors"
+  private def planesPath(p: String) = s"$p/planes"
+
+  private val vectorsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("v", ArrayType(DoubleType), nullable = false),
+    StructField("nv", DoubleType, nullable = false),
+    StructField("bucket", LongType, nullable = false)))
+
+  private def readOr(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    if (new java.io.File(path).exists()) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** The persisted hyperplane model, initialized from `batch` if the
+    * index does not exist yet.
+    */
+  private def planes(spark: SparkSession, batch: DataFrame, indexPath: String,
+      cfg: Config): DataFrame = {
+    val pp = planesPath(indexPath)
+    val schema = StructType(Seq(
+      StructField("plane_id", IntegerType, nullable = false),
+      StructField("pv", ArrayType(DoubleType), nullable = false)))
+    if (!new java.io.File(pp).exists()) {
+      batch.orderBy(col("vec_id")).limit(cfg.bands * cfg.bits)
+        .select(row_number().over(Window.orderBy(col("vec_id")))
+          .cast("int").minus(1).as("plane_id"), col("v").as("pv"))
+        .write.mode("overwrite").parquet(pp)
+    }
+    spark.read.schema(schema).parquet(pp)
+  }
+
+  /** Pack all sign bits of `v` against the broadcast plane set. */
+  private def withBucket(df: DataFrame, planesDf: DataFrame): DataFrame = {
+    val planesArr = planesDf
+      .agg(collect_list(struct(col("plane_id"), col("pv"))).as("ps"))
+    df.crossJoin(broadcast(planesArr))
+      .withColumn("bucket", expr(
+        """aggregate(ps, 0L, (acc, p) -> acc +
+             if(aggregate(zip_with(v, p.pv, (x, y) -> x * y),
+                          cast(0 as double), (a2, v2) -> a2 + v2) >= 0,
+                shiftleft(1L, p.plane_id), 0L))"""))
+      .drop("ps")
+  }
+
+  private def bandRows(df: DataFrame, cfg: Config): DataFrame =
+    df.select(col("vec_id"), col("bucket"),
+        explode(expr(s"sequence(0, ${cfg.bands - 1})")).as("band_id"))
+      .withColumn("sig",
+        expr(s"shiftright(bucket, ${cfg.bits} * band_id) & ${(1 << cfg.bits) - 1}"))
+      .drop("bucket")
+
+  /** Probe the batch's vectors against the index (and the batch
+    * itself), append the new signatures, and return per-new-vector
+    * top-k neighbors (query_id, rank, neighbor_id, cosine).
+    */
+  def probeAndUpdate(batch: DataFrame, indexPath: String,
+      cfg: Config = Config()): DataFrame = {
+    val spark = batch.sparkSession
+    val existing = readOr(spark, vectorsPath(indexPath), vectorsSchema)
+    val pl = planes(spark, batch, indexPath, cfg)
+    val fresh = withBucket(
+        batch.select(col("vec_id"), col("v"))
+          .withColumn("nv", sqrt(dot("v", "v"))), pl)
+      .select(vectorsSchema.fieldNames.map(col): _*)
+      .join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val all = existing.unionByName(fresh)
+
+    // occupancy cap over the combined banded view (see scaladoc)
+    val bands = bandRows(all, cfg)
+    val occ = bands.groupBy(col("band_id"), col("sig"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > cfg.cap)
+      .select(col("band_id"), col("sig"))
+    val capped = bands.join(broadcast(occ), Seq("band_id", "sig"), "left_anti")
+    val target = capped.select(col("vec_id").as("t_vec_id"),
+      col("band_id").as("t_band_id"), col("sig").as("t_sig"))
+
+    val cand = bandRows(fresh, cfg)
+      .join(target,
+        col("band_id") === col("t_band_id") && col("sig") === col("t_sig") &&
+        col("vec_id") =!= col("t_vec_id"))
+      .select(col("vec_id").as("query_id"), col("t_vec_id").as("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(fresh.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nv").as("qnv")), Seq("query_id"))
+      .join(all.select(col("vec_id").as("neighbor_id"), col("v"), col("nv")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", dot("qv", "v") / (col("qnv") * col("nv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val topk = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cfg.k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .localCheckpoint(true) // materialize BEFORE the append (see IncrementalDedup)
+    fresh.write.mode("append").parquet(vectorsPath(indexPath))
+    fresh.unpersist()
+    topk
+  }
+
+  /** Streaming surface: foreachBatch maintaining the index, handing
+    * each micro-batch's top-k neighbor frame to the caller.
+    */
+  def sink(vectors: DataFrame, indexPath: String, cfg: Config = Config())
+      (onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val topk = probeAndUpdate(batch, indexPath, cfg)
+        onBatch(topk, id)
+        topk.unpersist()
+        ()
+      }
+}
