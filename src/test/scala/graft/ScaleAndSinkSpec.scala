@@ -111,6 +111,43 @@ class ScaleAndSinkSpec extends AnyFunSuite {
     mat.unpersist()
   }
 
+  test("two-phase rank and prefix sum equal their window forms on randomized data") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // seeded random shapes: group counts, sizes and value ranges vary;
+    // order keys stay unique (ties make row_number itself ill-defined)
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 3).foreach { round =>
+      val n = 1000 + rnd.nextInt(4000)
+      val nGroups = 1 + rnd.nextInt(6)
+      val perm = rnd.shuffle((0L until n.toLong).toVector)
+      val rows = perm.map(k =>
+        (k, s"g${rnd.nextInt(nGroups)}", (rnd.nextInt(1000) + 1).toLong))
+      import spark.implicits._
+      val df = rows.toDF("k", "g", "v")
+
+      var mat1: org.apache.spark.sql.DataFrame = null
+      val ranked = Scale.distributedRank(df, "g", "k", "rn",
+        numPartitions = Some(1 + rnd.nextInt(12)),
+        materialize = d => { mat1 = d.persist(); mat1 })
+      val rankedW = df.withColumn("rn_w",
+        row_number().over(W.partitionBy(col("g")).orderBy(col("k"))))
+      assert(ranked.join(rankedW, Seq("k", "g"))
+        .filter(col("rn") =!= col("rn_w")).count() == 0, s"rank round $round")
+      mat1.unpersist()
+
+      var mat2: org.apache.spark.sql.DataFrame = null
+      val summed = Scale.distributedPrefixSum(df, "k", "v", "off",
+        numPartitions = Some(1 + rnd.nextInt(12)),
+        materialize = d => { mat2 = d.persist(); mat2 })
+      val summedW = df.withColumn("off_w", coalesce(
+        sum(col("v")).over(W.orderBy(col("k"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      assert(summed.join(summedW, Seq("k", "v"))
+        .filter(col("off") =!= col("off_w")).count() == 0, s"sum round $round")
+      mat2.unpersist()
+    }
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val left = (1 to 10000).map(i => (i % 5, i)).toDF("k", "v")  // 5 hot keys
