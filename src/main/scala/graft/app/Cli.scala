@@ -135,7 +135,7 @@ object GraftLoad {
     // probe the current fic table; replaced parents cascade-delete, only
     // applied (insert/update) documents and their children are written.
     val existing = JdbcSink.readTable(spark, url, "fic")
-    val (toWrite, replaced) = existing match {
+    val (toWrite, replaced, retained) = existing match {
       case Some(snapshot) =>
         val m = FicUpsert.merge(
           snapshot.select("fic_id", "nombre_fic", "url", "fecha_corte"),
@@ -147,9 +147,9 @@ object GraftLoad {
         actions.count()
         val replacedIds = m.replacedIds.persist(StorageLevel.MEMORY_AND_DISK)
         val applied = actions.filter(col("action") =!= "noop").select("fic_id")
-        (applied, Some(replacedIds))
+        (applied, Some(replacedIds), Seq(actions, replacedIds))
       case None =>
-        (shredded.fic.select("fic_id"), None)
+        (shredded.fic.select("fic_id"), None, Nil)
     }
     val tables = shredded.all.map { case (name, df) =>
       name -> df.join(toWrite, Seq("fic_id"), "left_semi")
@@ -162,8 +162,8 @@ object GraftLoad {
       ids.count()
     }.getOrElse(0L)
     JdbcSink.loadShredded(tables, url)
-    replaced.foreach(_.unpersist())
     val n = tables.head._2.count()
+    retained.foreach(_.unpersist())
     println(s"load complete: $n documents ($nReplaced replaced)")
     (n, nReplaced)
   }
