@@ -78,4 +78,34 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(cal.getAs[String]("entidad_calificadora") == "")
     assert(cal.getAs[Any]("entidad_calificadora_normalizada") == null)
   }
+
+  test("incremental dedup index skips unshinglable docs and stays replay-safe on them") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("edge_idx")
+      .resolve("index").toString
+    // every doc under 3 words -> no shingles -> nothing indexed, no pairs
+    val tiny = Seq((1L, "one"), (2L, "two words"), (3L, "")).toDF("doc_id", "text")
+    val p1 = graft.streaming.IncrementalDedup.probeAndUpdate(tiny, idx)
+    assert(p1.count() == 0)
+    assert(graft.streaming.IncrementalDedup.readIndex(spark, idx).count() == 0)
+    p1.unpersist()
+    // a later real batch indexes normally alongside the no-op history
+    val real = Seq((4L, "alpha beta gamma delta"), (5L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val p2 = graft.streaming.IncrementalDedup.probeAndUpdate(real, idx)
+    assert(p2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((4L, 5L)))
+    assert(graft.streaming.IncrementalDedup.readIndex(spark, idx).count() == 2)
+    p2.unpersist()
+  }
+
+  test("regionText emits no row for regions containing no word centers") {
+    import spark.implicits._
+    val w = Seq((1L, 0, "word", 10.0, 10.0, 70.0, 22.0))
+      .toDF("doc_id", "page", "word", "x0", "top", "x1", "bottom")
+    val out = graft.operators.PdfLayout.regionText(w,
+      Seq("hit" -> (0.0, 0.0, 100.0, 100.0),
+        "miss" -> (200.0, 200.0, 300.0, 300.0)))
+      .collect()
+    assert(out.map(_.getAs[String]("region")).toSet == Set("hit"))
+  }
 }
