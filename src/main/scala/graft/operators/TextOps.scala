@@ -322,6 +322,69 @@ object TextOps {
     ORDER BY doc_a, doc_b"""
   }
 
+  /** Near-dup cluster assignment — the dedup endgame: connected
+    * components over the MinHash+LSH pair graph, each member labeled
+    * with its component's minimum doc_id and the canonical copy
+    * flagged. Iterative min-label propagation: every step is one
+    * distributed join+aggregate (neighbors' min label), the driver
+    * only checks convergence; iterations are bounded by the component
+    * diameter, which for near-dup graphs is tiny (dup clusters are
+    * near-cliques). Each step localCheckpoints, so lineage stays
+    * constant-depth. At 100 TB the same loop runs with the
+    * large-star/small-star optimization; the shape here (equi-joins,
+    * no driver-side graph) is already that algorithm's skeleton.
+    */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qMinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v")
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("v"), col("label").as("vlabel")),
+          Seq("v"))
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("vlabel")).as("nmin"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .withColumn("next", least(col("label"), coalesce(col("nmin"), col("label"))))
+        .localCheckpoint(true)
+      changed = updated.filter(col("next") =!= col("label")).count()
+      labels = updated.select(col("doc_id"), col("next").as("label"))
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qDedupClustersOracle: String = s"""
+    WITH RECURSIVE mh AS ($qMinhashLshOracle),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM mh
+      UNION
+      SELECT doc_b, doc_a FROM mh),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    labels AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM labels
+    ORDER BY doc_id"""
+
   /** SimHash (near-dup sketch #3): one 32-bit signature per doc.
     * Bit j is the majority vote of hex-nibble-parity bits of each
     * word's md5 — a deterministic, engine-portable formulation of the
@@ -492,6 +555,7 @@ object TextOps {
     GateQuery("t27_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardOracle)),
     GateQuery("t38_jaccard_dfcap", qJaccardDfCap, Some(qJaccardDfCapOracle)),
     GateQuery("t28_minhash_lsh", qMinhashLsh, Some(qMinhashLshOracle)),
+    GateQuery("t40_dedup_clusters", qDedupClusters, Some(qDedupClustersOracle)),
     GateQuery("t29_simhash", qSimhash, Some(qSimhashOracle)),
     GateQuery("t30_langid", qLangId, Some(qLangIdOracle)),
     GateQuery("t31_quality_score", qQualityScore, Some(qQualityScoreOracle)),
