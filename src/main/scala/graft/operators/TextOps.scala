@@ -523,6 +523,60 @@ object TextOps {
     FROM h
     ORDER BY doc_id"""
 
+  /** PII redaction — the scrubbing pass a training corpus runs before
+    * anything else sees the text. Pure per-row regexp work (codegen'd,
+    * zero shuffle); patterns are restricted to constructs with
+    * identical leftmost-match semantics in Java regex and RE2 (no
+    * backreferences, no lookaround), so the redacted text is
+    * engine-exact. The corpus text is deterministically AUGMENTED with
+    * synthetic PII derived from doc_id (both engines build the same
+    * string), so the gate verifies on known-positive data instead of
+    * vacuous zero counts.
+    */
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  private val PhoneRe = "\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"
+
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val augmented = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com"),
+      lit(" ssn 123-45-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" tel (555) 010-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    Tables.documents(s, dir)
+      .withColumn("aug", augmented)
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col("aug"),
+          EmailRe, "[EMAIL]"), SsnRe, "[SSN]"), PhoneRe, "[PHONE]"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("aug"), lit(SsnRe)).cast("long").as("n_ssns"),
+        regexp_count(col("aug"), lit(PhoneRe)).cast("long").as("n_phones"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qPiiRedactOracle: String = s"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com' ||
+             ' ssn 123-45-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' tel (555) 010-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS a
+      FROM documents)
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(a, '$EmailRe')) AS BIGINT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(a, '$SsnRe')) AS BIGINT) AS n_ssns,
+           CAST(LEN(REGEXP_EXTRACT_ALL(a, '$PhoneRe')) AS BIGINT) AS n_phones,
+           MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(a,
+             '$EmailRe', '[EMAIL]', 'g'), '$SsnRe', '[SSN]', 'g'),
+             '$PhoneRe', '[PHONE]', 'g')) AS redacted_md5
+    FROM aug
+    ORDER BY doc_id"""
+
   /** Token counting: whitespace tokens plus a BPE-ish estimate
     * (⌈len/4⌉ subword units per word, integer arithmetic only).
     */
@@ -558,6 +612,7 @@ object TextOps {
     GateQuery("t40_dedup_clusters", qDedupClusters, Some(qDedupClustersOracle)),
     GateQuery("t29_simhash", qSimhash, Some(qSimhashOracle)),
     GateQuery("t30_langid", qLangId, Some(qLangIdOracle)),
+    GateQuery("t41_pii_redact", qPiiRedact, Some(qPiiRedactOracle)),
     GateQuery("t31_quality_score", qQualityScore, Some(qQualityScoreOracle)),
     GateQuery("t32_token_count", qTokenCount, Some(qTokenCountOracle)),
   )
