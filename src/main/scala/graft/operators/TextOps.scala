@@ -340,8 +340,11 @@ object TextOps {
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v")
       .localCheckpoint(true)
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // initial label = min(self, direct neighbors): folds the first
+    // propagation round into the vertex build — near-clique components
+    // then converge in one verification pass
+    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("nmin"))
+      .select(col("u").as("doc_id"), least(col("u"), col("nmin")).as("label"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
