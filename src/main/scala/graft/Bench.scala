@@ -83,7 +83,10 @@ object Bench {
           queries(i)._1 -> (mins(i) / math.max(smallMins(i), 1e-9))
         }
         val flagged = ratios.filter(_._2 > 15.0).map(_._1)
-        val r = jsonMap(ratios.map { case (k, v) => k -> f"$v%.2f" })
+        // locale-independent 2-decimal rendering: f"%.2f" would emit a
+        // decimal COMMA (invalid JSON) under comma-decimal locales
+        val r = jsonMap(ratios.map { case (k, v) =>
+          k -> (math.round(v * 100.0) / 100.0).toString })
         val f = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
         val sm = jsonMap(queries.indices.map(i => queries(i)._1 -> smallMins(i).toString))
         Some(s"""{"small_sf":"$smallDir","data_ratio":10.0,""" +

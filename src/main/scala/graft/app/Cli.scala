@@ -84,12 +84,15 @@ object GraftTransform {
 
   /** The transform stage over an already-loaded raw frame: 8-pass
     * chain, per-document JSON side-output, warning counts, skip list.
-    * Returns the transformed frame (lazy — callers reuse it without a
-    * re-read).
+    * Returns the transformed frame PERSISTED — the stage itself runs
+    * several actions (write, counts, date check) and the similarity
+    * UDF chain must not re-execute per action; callers unpersist when
+    * done.
     */
   def transformAndWrite(raw: DataFrame, lookup: FicLookup, out: String,
       folderName: String): DataFrame = {
     val transformed = FicTransform(raw, lookup)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     FicSources.writePerDocumentJson(transformed, out)
     val warnings = Validation.sumWarnings(transformed)
     println(s"transform complete: ${transformed.count()} docs, " +
@@ -111,7 +114,7 @@ object GraftTransform {
     val in = Cli.arg(args, "--input").getOrElse(sys.error("--input required"))
     val out = Cli.arg(args, "--output").getOrElse(sys.error("--output required"))
     val spark = Cli.session("graft-transform")
-    run(spark, in, out, Cli.arg(args, "--fics"))
+    run(spark, in, out, Cli.arg(args, "--fics")).unpersist()
     spark.stop()
   }
 }
@@ -227,12 +230,13 @@ object GraftPipeline {
         concat(regexp_replace(regexp_extract(col("path"), "([^/]+)$", 1),
           "\\.pdf$", ""), lit("_raw.json")))
       .select(col("doc.*"), col("filename"))
+    // date-vs-folder check keys on the SOURCE folder's name (the
+    // month-named directory in the reference layout) — the fixed
+    // "raw" work subdirectory could never match the date pattern
+    val folderName = new java.io.File(folder).getName
     val transformed = GraftTransform
-      .transformAndWrite(raw, lookup, s"$work/transformed",
-        new java.io.File(rawDir).getName)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val res = Fused.loadTransformed(spark, transformed,
-      new java.io.File(rawDir).getName, url)
+      .transformAndWrite(raw, lookup, s"$work/transformed", folderName)
+    val res = Fused.loadTransformed(spark, transformed, folderName, url)
     transformed.unpersist()
     docs.unpersist()
     res
@@ -259,7 +263,6 @@ object GraftTransformLoad {
   def run(spark: SparkSession, in: String, out: String, url: String,
       ficsPath: Option[String]): (Long, Long) = {
     val transformed = GraftTransform.run(spark, in, out, ficsPath)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val res = Fused.loadTransformed(spark, transformed,
       new java.io.File(in).getName, url)
     transformed.unpersist()

@@ -176,9 +176,9 @@ object TextOps {
     *
     * Two-phase build (r5, VERDICT #3): the over-cap set is computed
     * first as a stop-shingle BLACKLIST (groupBy(s).count → df > cap →
-    * broadcast anti-join) — the count is map-side-combinable (the
-    * shuffle carries one row per distinct shingle per task, not every
-    * occurrence) and the blacklist is tiny by construction — and only
+    * anti-join) — the count is map-side-combinable (the shuffle
+    * carries one row per distinct shingle per task, not every
+    * occurrence) — and only
     * then are the bounded survivors collected into arrays, so no
     * aggregation buffer ever holds more than DfCap ids even when a
     * boilerplate shingle appears in millions of documents.
@@ -188,7 +188,10 @@ object TextOps {
       val sh = docShingles(s, dir).select(col("doc_id"), explode(col("shs")).as("s"))
       val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") > DfCap).select(col("s"))
-      sh.join(broadcast(hot), Seq("s"), "left_anti")
+      // no broadcast hint: the over-cap set is small on clean corpora
+      // but grows with corpus size under Zipfian text — let AQE pick
+      // broadcast when it measures small, shuffle when it doesn't
+      sh.join(hot, Seq("s"), "left_anti")
         .groupBy(col("s")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
     }
 
@@ -348,7 +351,8 @@ object TextOps {
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 25) {
+    val MaxIters = 50
+    while (changed > 0 && iter < MaxIters) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("v"), col("label").as("vlabel")),
           Seq("v"))
@@ -361,6 +365,11 @@ object TextOps {
       labels = updated.select(col("doc_id"), col("next").as("label"))
       iter += 1
     }
+    // an unconverged result silently mislabels every far-from-minimum
+    // member — fail loudly instead (a >50-diameter near-dup chain is a
+    // data anomaly worth surfacing, not averaging away)
+    if (changed > 0) sys.error(
+      s"dedup clustering did not converge within $MaxIters rounds ($changed labels still moving)")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("cluster_id"),

@@ -32,10 +32,16 @@ object FicSources {
     * spaces and friends; the reference keys documents by the REAL
     * filesystem name (Path.name), and fic_id hashes the filename — so
     * decode before extracting (a space-named PDF otherwise lands in
-    * the DB as `%20`).
+    * the DB as `%20`). PERCENT-ONLY decoding: `url_decode` follows
+    * x-www-form-urlencoded rules and would also turn a literal `+`
+    * into a space, but URI path encoding leaves `+` as-is — escape it
+    * first so `report+2025.json` survives.
     */
+  private[graft] def percentDecode(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    url_decode(regexp_replace(c, "\\+", "%2B"))
+
   private def fileNameCol: org.apache.spark.sql.Column =
-    regexp_extract(url_decode(input_file_name()), "([^/]+)$", 1)
+    regexp_extract(percentDecode(input_file_name()), "([^/]+)$", 1)
 
   /** S4: raw FIC JSON folder scan — one document per file (multiLine),
     * explicit schema (never inferred), `*_transformed.json` excluded at
@@ -107,14 +113,27 @@ object FicSources {
     * successfully extracted document (the reference's
     * save_json_to_file naming, load.py:52-62), written per partition —
     * the folder it produces is directly consumable by
-    * [[rawJsonFolder]], so the staged commands compose. Failed rows
-    * (null json) are quarantined in the frame, not written.
+    * [[rawJsonFolder]], so the staged commands compose.
+    *
+    * Overwrite semantics: the output folder is truncated first (the
+    * contract the previous `write.mode("overwrite")` sink had) — a
+    * re-run against a shrunk source must not leave ghost documents
+    * for downstream stages. Failed rows (null json) land as JSONL
+    * under `_errors/` — underscore-prefixed, so Spark's hidden-file
+    * rule keeps them invisible to [[rawJsonFolder]].
     */
   def writeRawJson(docs: DataFrame, outDir: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val rootFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rootFs.exists(outPath)) rootFs.delete(outPath, true)
+    rootFs.mkdirs(outPath)
+    docs.filter(col("error").isNotNull)
+      .select(col("path"), col("error"))
+      .write.mode("overwrite").json(s"$outDir/_errors")
     val payload = docs.filter(col("json").isNotNull)
       .select(
         concat(regexp_replace(regexp_extract(col("path"), "([^/]+)$", 1),

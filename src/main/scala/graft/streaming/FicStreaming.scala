@@ -30,9 +30,11 @@ object FicStreaming {
       .option("maxFilesPerTrigger", 100)
       .schema(FicSchema.raw)
       .json(dir)
-      // decode: input_file_name() percent-encodes (see FicSources)
-      .withColumn("filename",
-        regexp_extract(url_decode(input_file_name()), "([^/]+)$", 1))
+      // percent-only decode: input_file_name() percent-encodes (see
+      // FicSources.percentDecode — plain url_decode would eat '+')
+      .withColumn("filename", regexp_extract(
+        graft.sources.FicSources.percentDecode(input_file_name()),
+        "([^/]+)$", 1))
 
   /** The 8-pass chain applied to a streaming DataFrame — stateless
     * narrow ops only, so it lifts to streaming unchanged.

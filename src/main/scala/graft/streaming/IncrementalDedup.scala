@@ -72,8 +72,12 @@ object IncrementalDedup {
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], indexSchema)
 
+  /** Ids-only banded view: the probe join must move (id, band, sig)
+    * rows, never the shingle arrays — payloads re-attach by id for
+    * the (small) candidate set only.
+    */
   private def bandRows(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), col("shs"), col("n"),
+    df.select(col("doc_id"),
       posexplode(array((1 to Bands).map(b => col(s"b$b")): _*))
         .as(Seq("band_id", "band_sig")))
 
@@ -94,22 +98,23 @@ object IncrementalDedup {
     // target side gets explicitly renamed columns — fresh exprIds —
     // instead of dataset aliases, which resolve ambiguously here
     val target = bandRows(all).select(
-      col("doc_id").as("t_doc_id"), col("shs").as("t_shs"),
-      col("n").as("t_n"), col("band_id").as("t_band_id"),
+      col("doc_id").as("t_doc_id"), col("band_id").as("t_band_id"),
       col("band_sig").as("t_band_sig"))
-    val cand = bandRows(fresh)
+    val candIds = bandRows(fresh)
       .join(target,
         col("band_id") === col("t_band_id") &&
         col("band_sig") === col("t_band_sig") &&
         col("doc_id") =!= col("t_doc_id"))
       .select(
         least(col("doc_id"), col("t_doc_id")).as("doc_a"),
-        greatest(col("doc_id"), col("t_doc_id")).as("doc_b"),
-        when(col("doc_id") < col("t_doc_id"), col("shs")).otherwise(col("t_shs")).as("shs_a"),
-        when(col("doc_id") < col("t_doc_id"), col("n")).otherwise(col("t_n")).as("n_a"),
-        when(col("doc_id") < col("t_doc_id"), col("t_shs")).otherwise(col("shs")).as("shs_b"),
-        when(col("doc_id") < col("t_doc_id"), col("t_n")).otherwise(col("n")).as("n_b"))
-      .dropDuplicates("doc_a", "doc_b")
+        greatest(col("doc_id"), col("t_doc_id")).as("doc_b"))
+      .distinct()
+    val payload = all.select(col("doc_id"), col("shs"), col("n"))
+    val cand = candIds
+      .join(payload.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(payload.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
+        col("n").as("n_b")), Seq("doc_b"))
     // localCheckpoint (eager): the pair result must be MATERIALIZED
     // with its lineage truncated before the append and the fresh
     // unpersist below — a lazily-lineaged (or merely cached) result
