@@ -23,10 +23,23 @@ object SessionMemo {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** REENTRANT memoization: an index build may itself memoize its
+    * inputs (cappedPosts → docShingles), and `computeIfAbsent` throws
+    * "Recursive update" when the mapping function touches the same
+    * map — so build OUTSIDE the map operation and race with
+    * putIfAbsent (a concurrent loser unpersists its duplicate).
+    */
   def persist(key: String, s: SparkSession, dir: String)
-      (build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((s, key, dir),
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+      (build: => DataFrame): DataFrame = {
+    val k = (s, key, dir)
+    val existing = cache.get(k)
+    if (existing != null) existing
+    else {
+      val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = cache.putIfAbsent(k, built)
+      if (prev != null) { built.unpersist(); prev } else built
+    }
+  }
 
   def release(s: SparkSession): Unit = {
     val it = cache.entrySet().iterator()

@@ -148,6 +148,25 @@ class ScaleAndSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("plan shapes: no windows in t38, broadcast dims in q3, no cartesian anywhere") {
+    val dir = "/root/testdata/sf0.01"
+    // t38: the df cap must stay a blacklist anti-join + in-row pair
+    // expansion — a Window here would mean the r4 full-exchange
+    // formulation regressed back in
+    val t38 = graft.operators.TextOps.qJaccardDfCap(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!t38.contains("Window"), s"t38 regressed to a window plan:\n$t38")
+    // q3: dimension tables must ride broadcast joins, and no gate
+    // query may plan an unbounded cartesian product
+    val q3 = graft.operators.Relational.q3TopOrders(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q3.contains("BroadcastHashJoin"), s"q3 lost its broadcast dims:\n$q3")
+    Seq("t38" -> t38, "q3" -> q3).foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+    }
+    SessionMemo.release(spark)
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val left = (1 to 10000).map(i => (i % 5, i)).toDF("k", "v")  // 5 hot keys
