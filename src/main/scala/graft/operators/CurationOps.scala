@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Corpus-curation operators: deterministic sampling and global
+  * term-statistics scoring — the remaining "shape the training mix"
+  * tools of a 100 TB pretraining pipeline (alongside TrainingOps'
+  * split/mix/decontaminate and TextOps' dedup suite).
+  *
+  * Everything here is hash-deterministic (no RNG): re-running the
+  * pipeline, changing the partitioning, or switching engines reproduces
+  * the same sample — the property that makes a corpus release auditable.
+  */
+object CurationOps {
+
+  private val wordsSql: String =
+    "LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '')"
+
+  /** Stratified sampling: per-source keep rates applied via a salted
+    * md5 bucket of the doc id (src0 50%, src1 25%, src2 ~10%, src3 75%,
+    * thresholds out of 256; sources without a configured rate keep 0 —
+    * the same drop-unconfigured contract as t34's source mixing).
+    * Per-row hash + one partial-aggregated groupBy — nothing here gets
+    * worse at 100 TB: no window, no join, the sample decision never
+    * leaves the row.
+    */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit("st:"),
+      col("doc_id").cast("string"))), 1, 2), 16, 10).cast("int")
+    val threshold = element_at(
+      map(lit("src0"), lit(128), lit("src1"), lit(64),
+          lit("src2"), lit(26), lit("src3"), lit(192)),
+      col("source"))
+    Tables.documents(s, dir)
+      .withColumn("kept", bucket < threshold)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        (sum(when(col("kept"), 1L).otherwise(0L)) / count(lit(1))).as("kept_ratio"),
+        min(when(col("kept"), col("doc_id"))).as("first_kept"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val qStratifiedSampleOracle: String = """
+    WITH k AS (
+      SELECT *,
+             CAST(CONCAT('0x', SUBSTRING(MD5('st:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+               < CASE source WHEN 'src0' THEN 128 WHEN 'src1' THEN 64
+                             WHEN 'src2' THEN 26 WHEN 'src3' THEN 192 END AS kept
+      FROM documents)
+    SELECT source, lang, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE) AS kept_ratio,
+           MIN(CASE WHEN kept THEN doc_id END) AS first_kept
+    FROM k
+    GROUP BY source, lang
+    ORDER BY source, lang"""
+
+  /** Uniform exactly-k corpus sample: order by a salted hash of the doc
+    * id, take the first k — the deterministic replacement for reservoir
+    * sampling (same marginal distribution, reproducible, mergeable).
+    * Spark plans this as TakeOrderedAndProject: each task keeps its
+    * local top-k, only k rows per task reach the driver-side merge —
+    * no global sort at any scale.
+    */
+  private val SampleK = 100
+
+  def qUniformSample(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("h", md5(concat(lit("u:"), col("doc_id").cast("string"))))
+      .select(col("h"), col("doc_id"), col("source"))
+      .orderBy(col("h"))
+      .limit(SampleK)
+  }
+
+  val qUniformSampleOracle: String = s"""
+    SELECT MD5('u:' || CAST(doc_id AS VARCHAR)) AS h, doc_id, source
+    FROM documents
+    ORDER BY h
+    LIMIT $SampleK"""
+
+  /** Global term-frequency statistics per document — the
+    * word-frequency quality heuristic (a document of globally-rare
+    * tokens is likely junk/garble; one of all-stopwords is boilerplate).
+    * Two passes: (1) global unigram counts (partial-agg'd groupBy — the
+    * shuffle carries one row per DISTINCT term, not per occurrence);
+    * (2) occurrences re-join the count table to aggregate per doc. All
+    * statistics are integer sums, so the gate is engine-exact; the only
+    * double (`avg_tf`) is one final long/long division.
+    *
+    * At 100 TB pass 2's join is the textbook Zipf skew case: the hot
+    * terms ("the") dominate. The count table is vocabulary-sized
+    * (≪ corpus), so it BROADCASTS and the occurrence stream never
+    * shuffles; if the vocabulary outgrows the broadcast budget, keep
+    * the top-V head broadcast and equi-join only the long tail
+    * (bounded df by construction). Here AQE's broadcast promotion makes
+    * the same call automatically.
+    */
+  def qTermStats(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
+    val tf = occ.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    occ.join(tf, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("tf")).as("sum_tf"),
+        min(col("tf")).as("min_tf"))
+      .withColumn("avg_tf", col("sum_tf") / col("n_words"))
+      .select(col("doc_id"), col("n_words"), col("sum_tf"), col("min_tf"),
+        col("avg_tf"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTermStatsOracle: String = s"""
+    WITH occ AS (
+      SELECT doc_id, UNNEST($wordsSql) AS w FROM documents),
+    tf AS (SELECT w, COUNT(*) AS tf FROM occ GROUP BY w)
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(tf) AS BIGINT) AS sum_tf,
+           CAST(MIN(tf) AS BIGINT) AS min_tf,
+           CAST(SUM(tf) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_tf
+    FROM occ JOIN tf USING (w)
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
+  /** Per-source top terms: term frequency within the source plus how
+    * many sources the term appears in (the integer-only cousin of
+    * TF-IDF — ranking stays in exact arithmetic so the gate is
+    * hash-stable; a real deployment would multiply in log(N/df) for
+    * display only). Both aggregations are partial-agg'd groupBys whose
+    * shuffled row counts are vocabulary-sized; the ranking window
+    * partitions by source over that tiny aggregate, never over
+    * occurrences.
+    */
+  private val TopTermsK = 10
+
+  def qTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
+    val tf = occ.groupBy(col("source"), col("w")).agg(count(lit(1)).as("tf"))
+    val spread = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_sources"))
+    val ranked = tf.join(spread, "w")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("tf").desc, col("w"))))
+      .filter(col("rank") <= TopTermsK)
+    ranked.select(col("source"), col("rank"), col("w").as("term"),
+        col("tf"), col("n_sources"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val qTopTermsOracle: String = s"""
+    WITH occ AS (
+      SELECT source, UNNEST($wordsSql) AS w FROM documents),
+    tf AS (SELECT source, w, COUNT(*) AS tf FROM occ GROUP BY source, w),
+    spread AS (SELECT w, COUNT(*) AS n_sources FROM tf GROUP BY w),
+    ranked AS (
+      SELECT source, w, tf, n_sources,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY tf DESC, w) AS rank
+      FROM tf JOIN spread USING (w))
+    SELECT source, rank, w AS term, tf, n_sources
+    FROM ranked WHERE rank <= $TopTermsK
+    ORDER BY source, rank"""
+
+  val all: Seq[GateQuery] = Seq(
+    GateQuery("t42_stratified_sample", qStratifiedSample, Some(qStratifiedSampleOracle)),
+    GateQuery("t43_term_stats", qTermStats, Some(qTermStatsOracle)),
+    GateQuery("t44_uniform_sample", qUniformSample, Some(qUniformSampleOracle)),
+    GateQuery("t45_top_terms", qTopTerms, Some(qTopTermsOracle)),
+  )
+}

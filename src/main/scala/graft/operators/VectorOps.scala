@@ -362,11 +362,137 @@ object VectorOps {
     FROM ranked WHERE rank <= 3
     ORDER BY query_id, rank"""
 
+  /** Scalar-quantized (SQ8) ANN — the memory-bandwidth scale path that
+    * complements sign-LSH (recall) and IVF (partitioning): each
+    * dimension is affinely mapped to an 8-bit code against the corpus
+    * per-dimension min/max, the first-stage scan DEQUANTIZES the codes
+    * (x̃ᵢ = dminᵢ + (qᵢ + 0.5)·(dmaxᵢ − dminᵢ)/256 — the reconstruction
+    * at the code cell's midpoint) and ranks by the approximate cosine
+    * over x̃; only the top `QuantCand` per query are reranked with the
+    * exact float cosine. The codes table is what a 100 TB scan READS
+    * (4× less memory traffic than float32) — dequantization is
+    * register-level arithmetic on top of that stream, which is exactly
+    * how FAISS's SQ8 flat scan works. Min/max training is a one-pass
+    * distributive aggregate (memoized per session like the IVF
+    * centroids). Note the raw INTEGER code dot product is NOT a cosine
+    * surrogate — the affine offset (x − dmin) dominates it for
+    * uncentered data — which is why the reconstruction carries the
+    * dmin/scale correction.
+    *
+    * Parity notes: min/max over doubles are exact, and both engines
+    * evaluate the quantize (`floor`) and dequantize expressions in
+    * identical IEEE operand order, so codes, scores and ranks all match
+    * bit-for-bit without any decimal rounding.
+    */
+  private val QuantCand = 20
+
+  private[graft] def quantized(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("vec:sq8", s, dir) {
+      val e = embs(s, dir)
+      // per-dimension min/max -> one broadcastable row of (mins, maxs)
+      val stats = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(min(col("x")).as("dmin"), max(col("x")).as("dmax"))
+        .agg(
+          expr("transform(array_sort(collect_list(struct(dim, dmin))), p -> p.dmin)").as("mins"),
+          expr("transform(array_sort(collect_list(struct(dim, dmax))), p -> p.dmax)").as("maxs"))
+      e.crossJoin(broadcast(stats))
+        .withColumn("qv", expr(
+          """transform(sequence(1, size(v)), i ->
+               if(element_at(maxs, i) = element_at(mins, i), 0L,
+                  cast(floor((element_at(v, i) - element_at(mins, i)) * 255.999
+                             / (element_at(maxs, i) - element_at(mins, i))) as bigint)))"""))
+        // midpoint reconstruction from the codes (the only thing a
+        // scale scan reads) + its norm, computed once per vector
+        .withColumn("dv", expr(
+          """transform(sequence(1, size(qv)), i ->
+               if(element_at(maxs, i) = element_at(mins, i), element_at(mins, i),
+                  element_at(mins, i) + (element_at(qv, i) + 0.5d)
+                    * (element_at(maxs, i) - element_at(mins, i)) / 256.0d))"""))
+        .withColumn("ndv", sqrt(dot("dv", "dv")))
+        .select(col("vec_id"), col("v"), col("nv"), col("qv"), col("dv"), col("ndv"))
+    }
+
+  def qAnnQuantized(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("dv").as("qdv"),
+        col("ndv").as("qndv"), col("v").as("qfv"), col("nv").as("qnv"))
+    // stage 1: approximate-cosine scan over the reconstructed codes;
+    // ties broken by vec_id so the candidate cut is deterministic
+    val scanned = broadcast(q)
+      .crossJoin(e.select(col("vec_id"), col("dv"), col("ndv")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qscore", dot("qdv", "dv") / (col("qndv") * col("ndv")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col("vec_id"))
+    val cand = scanned.withColumn("crank", row_number().over(w1))
+      .filter(col("crank") <= QuantCand)
+      .select(col("query_id"), col("qfv"), col("qnv"), col("vec_id"), col("qscore"))
+    // stage 2: exact rerank of the small candidate set
+    val rer = cand.join(embs(s, dir).select(col("vec_id"), col("v"), col("nv")),
+        Seq("vec_id"))
+      .withColumn("cosine", dot("qfv", "v") / (col("qnv") * col("nv")))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("qscore"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qAnnQuantizedOracle: String = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT UNNEST(RANGE(1, LEN(v) + 1)) AS dim, UNNEST(v) AS x FROM e),
+    st AS (SELECT dim, MIN(x) AS dmin, MAX(x) AS dmax FROM d GROUP BY dim),
+    arrs AS (SELECT LIST(dmin ORDER BY dim) AS mins, LIST(dmax ORDER BY dim) AS maxs FROM st),
+    qz AS (
+      SELECT vec_id, v,
+             LIST_TRANSFORM(RANGE(1, LEN(v) + 1), i ->
+               CASE WHEN maxs[i] = mins[i] THEN 0
+                    ELSE CAST(FLOOR((v[i] - mins[i]) * 255.999 / (maxs[i] - mins[i])) AS BIGINT)
+               END) AS qv
+      FROM e CROSS JOIN arrs),
+    dq AS (
+      SELECT vec_id, v,
+             LIST_TRANSFORM(RANGE(1, LEN(qv) + 1), i ->
+               CASE WHEN maxs[i] = mins[i] THEN mins[i]
+                    ELSE mins[i] + (qv[i] + 0.5) * (maxs[i] - mins[i]) / 256.0
+               END) AS dv
+      FROM qz CROSS JOIN arrs),
+    q AS (SELECT vec_id AS query_id, dv AS qdv, v AS qfv FROM dq WHERE vec_id < 10),
+    scanned AS (
+      SELECT query_id, dq.vec_id, qfv,
+             LIST_DOT_PRODUCT(qdv, dq.dv) /
+               (SQRT(LIST_DOT_PRODUCT(qdv, qdv)) * SQRT(LIST_DOT_PRODUCT(dq.dv, dq.dv))) AS qscore
+      FROM q CROSS JOIN dq
+      WHERE dq.vec_id <> query_id),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY qscore DESC, vec_id) AS crank
+        FROM scanned)
+      WHERE crank <= $QuantCand),
+    rer AS (
+      SELECT query_id, cand.vec_id AS neighbor_id, qscore,
+             LIST_DOT_PRODUCT(qfv, e.v) /
+               (SQRT(LIST_DOT_PRODUCT(qfv, qfv)) * SQRT(LIST_DOT_PRODUCT(e.v, e.v))) AS cosine
+      FROM cand JOIN e ON e.vec_id = cand.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rer)
+    SELECT query_id, rank, neighbor_id, qscore, cosine
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("v33_ann_bruteforce", qAnnBruteForce, Some(qAnnBruteForceOracle)),
     GateQuery("v34_ann_lsh", qAnnLsh, Some(qAnnLshOracle)),
     GateQuery("v35_cosine_dedup", qCosineDedup, Some(qCosineDedupOracle)),
     GateQuery("v36_vector_stats", qVectorStats, Some(qVectorStatsOracle)),
     GateQuery("v37_ann_ivf", qAnnIvf, Some(qAnnIvfOracle)),
+    GateQuery("v38_ann_quantized", qAnnQuantized, Some(qAnnQuantizedOracle)),
   )
 }

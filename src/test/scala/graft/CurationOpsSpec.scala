@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CurationOps, SessionMemo, VectorOps}
+
+/** Behavioral contracts of the curation pack (t42–t45) and the
+  * SQ8-quantized ANN (v38) beyond the DuckDB hash gates: determinism
+  * under repartitioning, statistic invariants, and the quantization
+  * contract (code range, rerank recall against the exact baseline).
+  */
+class CurationOpsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("stratified sample tracks the per-source rates and is repartition-invariant") {
+    val out = CurationOps.qStratifiedSample(spark, dir).collect()
+    assert(out.nonEmpty)
+    val bySource = out.groupBy(_.getAs[String]("source")).map { case (src, rows) =>
+      val kept = rows.map(_.getAs[Long]("n_kept")).sum.toDouble
+      val total = rows.map(_.getAs[Long]("n_total")).sum.toDouble
+      src -> kept / total
+    }
+    // md5 buckets are uniform; 97–125 docs/source at sf0.01 → generous bands
+    val expected = Map("src0" -> 0.50, "src1" -> 0.25, "src2" -> 0.102, "src3" -> 0.75)
+    expected.foreach { case (src, rate) =>
+      val got = bySource(src)
+      assert(math.abs(got - rate) < 0.15, s"$src kept ratio $got vs expected $rate")
+    }
+    // per-row hash decision ⇒ identical result regardless of partitioning
+    val again = CurationOps.qStratifiedSample(spark, dir).repartition(7).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("uniform sample is exactly k, hash-ordered, and stable across runs") {
+    val a = CurationOps.qUniformSample(spark, dir).collect()
+    val b = CurationOps.qUniformSample(spark, dir).collect()
+    assert(a.length == 100)
+    assert(a.map(_.getAs[String]("h")).toSeq == a.map(_.getAs[String]("h")).toSeq.sorted)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // TakeOrderedAndProject, not a global sort: the plan must not carry
+    // a full Sort+Exchange for the limit
+    val plan = CurationOps.qUniformSample(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan, got:\n$plan")
+  }
+
+  test("term stats invariants: every word counts itself, min ≤ avg ≤ max tf") {
+    val rows = CurationOps.qTermStats(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_words")
+      val sum = r.getAs[Long]("sum_tf")
+      val minTf = r.getAs[Long]("min_tf")
+      val avg = r.getAs[Double]("avg_tf")
+      assert(minTf >= 1 && sum >= n, s"doc ${r.get(0)}: tf must be ≥1 per word")
+      assert(avg >= minTf - 1e-9, s"doc ${r.get(0)}: avg $avg < min $minTf")
+      assert(math.abs(avg - sum.toDouble / n) < 1e-12)
+    }
+  }
+
+  test("top terms: k per source, rank ordered by tf desc, spread within source count") {
+    val rows = CurationOps.qTopTerms(spark, dir).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    val nSources = bySource.size.toLong // corpus has 20 sources (src0..src19)
+    assert(nSources >= 4)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length == 10, s"$src: expected 10 terms")
+      val tfs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("tf")).toSeq
+      assert(tfs == tfs.sorted.reverse, s"$src: tf not descending: $tfs")
+      rs.foreach(r => assert(r.getAs[Long]("n_sources") >= 1L &&
+        r.getAs[Long]("n_sources") <= nSources))
+    }
+  }
+
+  test("SQ8 quantization stays in [0,255] and rerank recall matches brute force") {
+    val q = VectorOps.quantized(spark, dir)
+      .select(explode(col("qv")).as("c"))
+      .agg(min(col("c")), max(col("c"))).head()
+    assert(q.getLong(0) >= 0 && q.getLong(1) <= 255,
+      s"codes outside [0,255]: ${q.getLong(0)}..${q.getLong(1)}")
+
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val exact = topSet(VectorOps.qAnnBruteForce(spark, dir))
+    val sq8 = topSet(VectorOps.qAnnQuantized(spark, dir))
+    // top-5 recall of the quantize+rerank path vs the exact scan: SQ8
+    // distortion is bounded (≤ half a code step per dim), so overlap
+    // should be near-total; require ≥ 4 of 5 per query on average
+    // keysIterator, not keys: mapping a key SET to per-query recalls
+    // would dedup equal values before the sum
+    val recall = exact.keysIterator
+      .map(k => (sq8(k) & exact(k)).size.toDouble / 5).sum / exact.size
+    assert(recall >= 0.8, s"SQ8 rerank recall $recall < 0.8")
+    SessionMemo.release(spark)
+  }
+}
