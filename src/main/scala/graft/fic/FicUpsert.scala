@@ -103,7 +103,7 @@ object FicUpsert {
 
     // New snapshot: drop rows superseded by an update, keep everything
     // else, append inserted + updated incoming rows.
-    val incomingCols = incoming.columns.map(col)
+    val incomingCols = incoming.columns.toIndexedSeq.map(col)
     val surviving = snapshot.join(replacedIds, Seq("fic_id"), "left_anti")
     val appended = classified.filter(col("action") =!= "noop")
       .select(incomingCols: _*)

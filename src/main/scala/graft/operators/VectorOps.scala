@@ -283,14 +283,23 @@ object VectorOps {
   /** IVF (inverted-file) ANN — the second scale path beside sign-LSH.
     * Coarse quantizer: per-label centroids (the labels stand in for a
     * k-means coarse assignment, which at 100 TB would be trained
-    * offline). Centroid coordinates are decimal-exact sums / count so
-    * both engines derive identical doubles; queries probe the top-2
+    * offline). Centroid coordinates are fixed-point-exact sums / count
+    * (see [[ivfCentroids]]) so both engines derive identical doubles;
+    * queries probe the top-2
     * centroids by cosine and search only those partitions — candidate
     * generation is an equi-join on label, never a cross join.
     */
-  /** Exact per-dimension per-label centroid: posexplode -> decimal sum
-    * -> double/count. Memoized per (session, dir): centroid training is
-    * the offline step of IVF — a serving deployment materializes the
+  /** Engine-exact per-dimension per-label centroid: posexplode →
+    * FIXED-POINT sum (floor(x·10¹²) as integer) → double/count/10¹².
+    * Not a decimal cast: embedding coordinates are float-derived
+    * doubles with short binary mantissas, so their decimal expansions
+    * land on exact .5 rounding boundaries often enough that a
+    * decimal(28,12) cast disagrees between Spark (HALF_UP) and DuckDB —
+    * measured 5 of 640 (label, dim) sums off by 1e-12 at sf0.1.
+    * Flooring the identical double has no rounding decision, and the
+    * ≤1e-12 quantization per coordinate is semantically irrelevant for
+    * a coarse quantizer. Memoized per (session, dir): centroid training
+    * is the offline step of IVF — a serving deployment materializes the
     * quantizer once and every probe (v37) and assignment pass (v39)
     * reuses it, which is exactly this shape.
     */
@@ -299,8 +308,8 @@ object VectorOps {
       embs(s, dir)
         .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("label"), col("dim"))
-        .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
-          count(lit(1))).as("c"))
+        .agg((sum(floor(col("x") * lit(1e12)).cast("long")).cast("double") /
+          count(lit(1)) / lit(1e12)).as("c"))
         .groupBy(col("label"))
         .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
         .withColumn("ncv", sqrt(dot("cv", "cv")))
@@ -340,7 +349,8 @@ object VectorOps {
             FROM e)),
     cdim AS (
       SELECT label, dim,
-             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+             CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1e12 AS c
       FROM dims GROUP BY label, dim),
     cent AS (SELECT label, LIST(c ORDER BY dim) AS cv FROM cdim GROUP BY label),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
@@ -531,7 +541,8 @@ object VectorOps {
             FROM e)),
     cdim AS (
       SELECT label, dim,
-             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+             CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1e12 AS c
       FROM dims GROUP BY label, dim),
     cent AS (SELECT label AS cl, LIST(c ORDER BY dim) AS cv FROM cdim GROUP BY label),
     scored AS (

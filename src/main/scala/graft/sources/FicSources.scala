@@ -165,7 +165,7 @@ object FicSources {
     val payload = df
       .withColumn("__name", regexp_replace(col("filename"), "\\.json$", ""))
       .select(col("__name"),
-        to_json(struct(df.columns.filter(_ != "filename").map(col): _*)).as("__json"))
+        to_json(struct(df.columns.toIndexedSeq.filter(_ != "filename").map(col): _*)).as("__json"))
       .as[(String, String)]
     payload.foreachPartition { (rows: Iterator[(String, String)]) =>
       val fs = new org.apache.hadoop.fs.Path(outDir)

@@ -101,7 +101,7 @@ object IncrementalAnn {
     val fresh = withBucket(
         batch.select(col("vec_id"), col("v"))
           .withColumn("nv", sqrt(dot("v", "v"))), pl)
-      .select(vectorsSchema.fieldNames.map(col): _*)
+      .select(vectorsSchema.fieldNames.toIndexedSeq.map(col): _*)
       .join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val all = existing.unionByName(fresh)

@@ -62,7 +62,7 @@ object IncrementalDedup {
     }
     (1 to Bands).foldLeft(sigs) { case (df, b) =>
       df.withColumn(s"b$b", concat(col(s"h${2 * b - 1}"), col(s"h${2 * b}")))
-    }.select(indexSchema.fieldNames.map(col): _*)
+    }.select(indexSchema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
   /** Current index contents ((session, path) may not exist yet). */
