@@ -169,10 +169,116 @@ object CurationOps {
     FROM ranked WHERE rank <= $TopTermsK
     ORDER BY source, rank"""
 
+  /** The curated corpus — the pipeline's END PRODUCT, composing the
+    * diagnostic operators into one survivor set: a document ships iff it
+    * is (1) the canonical copy of its exact-hash group, (2) not a
+    * benchmark document and not contaminated (≥ 3 shared shingles with
+    * the held-out set, t35's statistic), and (3) not in the 'low'
+    * quality band (t31's score); survivors get t33's deterministic
+    * md5-bucket split. Every stage is the already-gated formulation —
+    * the window is one shuffle on the text hash, decontamination rides
+    * the broadcast benchmark side, quality/split never leave the row.
+    */
+  private[operators] def curatedDocs(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val w = Window.partitionBy(col("h"))
+    val contam = TrainingOps.qDecontaminate(s, dir)
+      .select(col("doc_id")).distinct()
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    Tables.documents(s, dir)
+      .withColumn("h", md5(col("text")))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("words"))).cast("long") / col("n_words"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(words, w -> w in (${stop.map("'" + _ + "'").mkString(",")})))")
+          .cast("long") / col("n_words"))
+      .withColumn("score",
+        col("distinct_ratio") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(col("n_words") / 50.0, lit(1.0)) * 0.2)
+      .filter(col("keep") && col("doc_id") >= 5 && col("score") >= 0.6)
+      .join(contam, Seq("doc_id"), "left_anti")
+      .withColumn("split",
+        when(bucket < 13, "test").when(bucket < 39, "eval").otherwise("train"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), col("split"))
+  }
+
+  /** Per-(split, source) manifest of the curated corpus — the release
+    * audit table (and the oracle surface for the whole filter chain).
+    */
+  def qCurateManifest(s: SparkSession, dir: String): DataFrame =
+    curatedDocs(s, dir)
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("split"), col("source"))
+
+  val qCurateManifestOracle: String = s"""
+    WITH canon AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             doc_id = MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keep
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 1, 1)),
+                                   i -> ARRAY_TO_STRING(words[i:i+2], ' '))) AS s
+      FROM (SELECT doc_id, $wordsSql AS words FROM documents)),
+    contam AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT c.doc_id, b.doc_id AS bench_id
+        FROM (SELECT * FROM sh WHERE doc_id >= 5) c
+        JOIN (SELECT * FROM sh WHERE doc_id < 5) b ON c.s = b.s
+        GROUP BY c.doc_id, b.doc_id
+        HAVING COUNT(*) >= 3)),
+    q AS (
+      SELECT doc_id,
+             LEN(words) AS n_words,
+             LEN(LIST_DISTINCT(words)) / CAST(LEN(words) AS DOUBLE) AS distinct_ratio,
+             LEN(LIST_FILTER(words, w -> w IN ('the','a','of','and','to')))
+               / CAST(LEN(words) AS DOUBLE) AS stop_ratio
+      FROM (SELECT doc_id, $wordsSql AS words FROM documents)),
+    surv AS (
+      SELECT canon.*,
+             CASE WHEN CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 13 THEN 'test'
+                  WHEN CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 39 THEN 'eval'
+                  ELSE 'train' END AS split
+      FROM canon JOIN q USING (doc_id)
+      WHERE keep AND doc_id >= 5
+        AND distinct_ratio * 0.5 + (1.0 - stop_ratio) * 0.3
+              + LEAST(n_words / 50.0, 1.0) * 0.2 >= 0.6
+        AND doc_id NOT IN (SELECT doc_id FROM contam))
+    SELECT split, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM surv
+    GROUP BY split, source
+    ORDER BY split, source"""
+
+  /** Materialize the curated corpus as split/source-partitioned parquet
+    * plus a manifest table next to it — the write-side of the pipeline.
+    * `partitionBy(split, source)` gives listing-time partition pruning
+    * to every downstream trainer ("give me train/src2"); the manifest
+    * is the same frame the t47 gate checks.
+    */
+  def writeCurated(s: SparkSession, dir: String, outPath: String): DataFrame = {
+    curatedDocs(s, dir).write.mode("overwrite")
+      .partitionBy("split", "source").parquet(s"$outPath/docs")
+    val manifest = qCurateManifest(s, dir)
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outPath/manifest")
+    manifest
+  }
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("t42_stratified_sample", qStratifiedSample, Some(qStratifiedSampleOracle)),
     GateQuery("t43_term_stats", qTermStats, Some(qTermStatsOracle)),
     GateQuery("t44_uniform_sample", qUniformSample, Some(qUniformSampleOracle)),
     GateQuery("t45_top_terms", qTopTerms, Some(qTopTermsOracle)),
+    GateQuery("t47_curate_manifest", qCurateManifest, Some(qCurateManifestOracle)),
   )
 }

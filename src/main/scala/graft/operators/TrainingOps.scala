@@ -132,6 +132,52 @@ object TrainingOps {
     HAVING COUNT(*) >= 3
     ORDER BY doc_id, bench_id"""
 
+  /** Bloom-prefiltered decontamination — the same statistic as t35 via
+    * the layout an actual 100 TB run uses when even the exploded
+    * benchmark relation is too hot to ship per-task: the benchmark's
+    * shingle set folds into a Bloom SKETCH (a few MB for millions of
+    * shingles at 3% fpp) broadcast to every executor; the corpus stream
+    * is prefiltered IN-ROW (count of sketch-positive shingles ≥ 3)
+    * without shuffling a single corpus row, and only the surviving
+    * handful of candidate documents pay the exact verification join.
+    *
+    * Exactness: the sketch has no false negatives, so every document
+    * truly sharing ≥ 3 shingles with a benchmark doc survives the
+    * prefilter; false positives only admit extra candidates, and the
+    * exact verify (array_intersect against the broadcast benchmark
+    * arrays) recomputes true pair overlaps and discards them. The
+    * result is therefore bit-identical to t35's — it shares t35's
+    * DuckDB oracle, which is itself the strongest possible check that
+    * the probabilistic prefilter lost nothing.
+    *
+    * The sketch is built with Spark's own BloomFilter aggregate
+    * (`df.stat.bloomFilter`) — a bounded-size sketch collected to the
+    * driver and broadcast, the standard model-distribution shape (same
+    * as v34's hyperplanes or a trained quantizer). The membership probe
+    * is a scalar UDF by necessity (the sketch rides a broadcast
+    * variable, not a column); it sits behind the in-row prefilter only,
+    * never in the exact path.
+    */
+  def qBloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val shs = TextOps.docShingles(s, dir)
+    val benchArr = shs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("bench_id"), col("shs").as("bshs"))
+    val benchShingles = benchArr.select(explode(col("bshs")).as("s")).distinct()
+    val bf = benchShingles.stat.bloomFilter("s", 100000L, 0.03)
+    val bfB = s.sparkContext.broadcast(bf)
+    val hits = udf((arr: Seq[String]) =>
+      if (arr == null) 0 else arr.count(bfB.value.mightContainString))
+    val cand = shs.filter(col("doc_id") >= 5)
+      .filter(hits(col("shs")) >= 3)
+    // exact verify: candidates × broadcast benchmark arrays
+    cand.crossJoin(broadcast(benchArr))
+      .withColumn("n_shared",
+        size(array_intersect(col("shs"), col("bshs"))).cast("long"))
+      .filter(col("n_shared") >= 3)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   /** Repetition filter (Gopher-style): fraction of all bigram
     * occurrences taken by the single most frequent bigram; high values
     * mean degenerate/repetitive text. The statistic is per-document, so
@@ -220,6 +266,9 @@ object TrainingOps {
     GateQuery("t33_split", qSplit, Some(qSplitOracle)),
     GateQuery("t34_source_mix", qSourceMix, Some(qSourceMixOracle)),
     GateQuery("t35_decontaminate", qDecontaminate, Some(qDecontaminateOracle)),
+    // same statistic, bloom-prefiltered layout; exact after verify, so
+    // it shares t35's oracle — the gate proves the sketch lost nothing
+    GateQuery("t46_bloom_decontaminate", qBloomDecontaminate, Some(qDecontaminateOracle)),
     GateQuery("t36_repetition_filter", qRepetitionFilter, Some(qRepetitionFilterOracle)),
     GateQuery("t39_seq_pack", qSeqPack, Some(qSeqPackOracle)),
   )

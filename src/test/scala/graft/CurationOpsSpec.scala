@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{CurationOps, SessionMemo, VectorOps}
+import graft.operators.{CurationOps, SessionMemo, TrainingOps, VectorOps}
 
 /** Behavioral contracts of the curation pack (t42–t45) and the
   * SQ8-quantized ANN (v38) beyond the DuckDB hash gates: determinism
@@ -123,6 +123,42 @@ class CurationOpsSpec extends AnyFunSuite {
     val diag = rows.count(r =>
       r.getAs[Int]("label").toLong == r.getAs[Int]("assigned_label").toLong)
     assert(diag >= 1, "no label assigned to its own centroid at all")
+    SessionMemo.release(spark)
+  }
+
+  test("curated corpus write: partitioned layout, manifest-consistent, dedup/decontaminated") {
+    val out = java.nio.file.Files.createTempDirectory("curated").toString
+    val manifest = CurationOps.writeCurated(spark, dir, out).collect()
+    val back = spark.read.parquet(s"$out/docs")
+    // read-back equals the manifest cell by cell
+    val cells = back.groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    manifest.foreach { m =>
+      val key = (m.getAs[String]("split"), m.getAs[String]("source"))
+      assert(cells(key) == ((m.getAs[Long]("n_docs"), m.getAs[Long]("n_chars"))),
+        s"manifest/readback mismatch at $key")
+    }
+    // curation contracts hold on the shipped data
+    assert(back.filter(col("doc_id") < 5).count() == 0, "benchmark docs leaked")
+    val dupTexts = back.groupBy(md5(col("text"))).count().filter(col("count") > 1).count()
+    assert(dupTexts == 0, "exact duplicates survived curation")
+    // partition pruning: a split/source slice must scan only its own files
+    val pruned = spark.read.parquet(s"$out/docs")
+      .filter(col("split") === "train" && col("source") === "src0")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(pruned.count() > 0)
+    assert(!scan.contains("split=test"), "partition pruning not effective")
+    SessionMemo.release(spark)
+  }
+
+  test("bloom decontamination equals the exact join on the sf0.1 corpus") {
+    val big = "/root/testdata/sf0.1"
+    val exact = TrainingOps.qDecontaminate(spark, big).collect().map(_.toString).sorted
+    val bloom = TrainingOps.qBloomDecontaminate(spark, big).collect().map(_.toString).sorted
+    assert(exact.nonEmpty, "exact decontamination found nothing — corpus assumption broken")
+    assert(bloom.sameElements(exact),
+      s"bloom path diverged: exact=${exact.length} rows, bloom=${bloom.length}")
     SessionMemo.release(spark)
   }
 }

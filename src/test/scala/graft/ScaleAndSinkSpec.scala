@@ -161,8 +161,22 @@ class ScaleAndSinkSpec extends AnyFunSuite {
     val q3 = graft.operators.Relational.q3TopOrders(spark, dir)
       .queryExecution.executedPlan.toString
     assert(q3.contains("BroadcastHashJoin"), s"q3 lost its broadcast dims:\n$q3")
-    Seq("t38" -> t38, "q3" -> q3).foreach { case (n, p) =>
-      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+    // t46: the bloom path's only joins are the broadcast verify — the
+    // corpus must not sort-merge or shuffle-hash against anything
+    val t46 = graft.operators.TrainingOps.qBloomDecontaminate(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!t46.contains("SortMergeJoin") && !t46.contains("ShuffledHashJoin"),
+      s"t46 corpus side gained a shuffled join:\n$t46")
+    assert(t46.contains("BroadcastNestedLoopJoin"),
+      s"t46 verify stage lost its broadcast:\n$t46")
+    // v39: one corpus pass against broadcast centroids
+    val v39 = graft.operators.VectorOps.qClusterAssign(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(v39.contains("BroadcastNestedLoopJoin"),
+      s"v39 centroids no longer broadcast:\n$v39")
+    Seq("t38" -> t38, "q3" -> q3, "t46" -> t46, "v39" -> v39).foreach {
+      case (n, p) =>
+        assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
     }
     SessionMemo.release(spark)
   }
