@@ -169,6 +169,52 @@ object CurationOps {
     FROM ranked WHERE rank <= $TopTermsK
     ORDER BY source, rank"""
 
+  /** BPE merge-candidate counting — one iteration of byte-pair-encoding
+    * tokenizer training: count every adjacent character pair across the
+    * corpus and rank the merge candidates. Pair extraction is in-row
+    * (no shuffle of occurrences — the groupBy's partial aggregation
+    * reduces each task to its distinct pairs, and the global pair space
+    * is bounded by charset², so the shuffle and the final ranking
+    * window are constant-size regardless of corpus scale). Counts are
+    * integers; the gate is engine-exact. A full BPE trainer is this
+    * operator in a driver loop with the winning merge applied between
+    * rounds — the per-round plan is what matters at 100 TB.
+    */
+  private val BpeTopK = 20
+
+  def qBpePairs(s: SparkSession, dir: String): DataFrame = {
+    val pairsExpr =
+      """flatten(transform(words, w ->
+           case when length(w) < 2 then array()
+                else transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))
+           end))"""
+    val counts = Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .select(explode(expr(pairsExpr)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair"))))
+      .filter(col("rank") <= BpeTopK)
+      .select(col("rank"), col("pair"), col("cnt"))
+      .orderBy(col("rank"))
+  }
+
+  val qBpePairsOracle: String = s"""
+    WITH w AS (SELECT UNNEST($wordsSql) AS w FROM documents),
+    pr AS (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(w) - 1, 0) + 1),
+                                   i -> SUBSTRING(w, CAST(i AS INT), 2))) AS pair
+      FROM w),
+    counts AS (SELECT pair, COUNT(*) AS cnt FROM pr GROUP BY pair),
+    ranked AS (
+      SELECT pair, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank
+      FROM counts)
+    SELECT rank, pair, cnt
+    FROM ranked WHERE rank <= $BpeTopK
+    ORDER BY rank"""
+
   /** The curated corpus — the pipeline's END PRODUCT, composing the
     * diagnostic operators into one survivor set: a document ships iff it
     * is (1) the canonical copy of its exact-hash group, (2) not a
@@ -280,5 +326,6 @@ object CurationOps {
     GateQuery("t44_uniform_sample", qUniformSample, Some(qUniformSampleOracle)),
     GateQuery("t45_top_terms", qTopTerms, Some(qTopTermsOracle)),
     GateQuery("t47_curate_manifest", qCurateManifest, Some(qCurateManifestOracle)),
+    GateQuery("t48_bpe_pairs", qBpePairs, Some(qBpePairsOracle)),
   )
 }

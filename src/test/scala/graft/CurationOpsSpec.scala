@@ -152,6 +152,25 @@ class CurationOpsSpec extends AnyFunSuite {
     SessionMemo.release(spark)
   }
 
+  test("BPE pair counts: k merge candidates, descending, well-formed pairs") {
+    val rows = CurationOps.qBpePairs(spark, dir).collect()
+    assert(rows.length == 20)
+    val cnts = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts == cnts.sorted.reverse, s"counts not descending: $cnts")
+    rows.foreach(r => assert(r.getAs[String]("pair").length == 2))
+    // total pair occurrences = sum over words of (len-1): the extraction
+    // dropped or invented nothing
+    val total = CurationOps.qBpePairs(spark, dir).sparkSession.read
+      .parquet(s"$dir/documents.parquet")
+      .selectExpr("aggregate(filter(split(text, ' '), w -> w != ''), 0L, (a, w) -> a + greatest(length(w) - 1, 0))")
+      .collect().map(_.getLong(0)).sum
+    val allPairs = graft.Tables.documents(spark, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .selectExpr("explode(flatten(transform(words, w -> case when length(w) < 2 then array() else transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) end)))")
+      .count()
+    assert(allPairs == total, s"pair extraction count $allPairs != expected $total")
+  }
+
   test("bloom decontamination equals the exact join on the sf0.1 corpus") {
     val big = "/root/testdata/sf0.1"
     val exact = TrainingOps.qDecontaminate(spark, big).collect().map(_.toString).sorted
