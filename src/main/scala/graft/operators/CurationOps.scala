@@ -225,7 +225,7 @@ object CurationOps {
     * the window is one shuffle on the text hash, decontamination rides
     * the broadcast benchmark side, quality/split never leave the row.
     */
-  private[operators] def curatedDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def curatedDocs(s: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to")
     val w = Window.partitionBy(col("h"))
     val contam = TrainingOps.qDecontaminate(s, dir)
@@ -237,6 +237,9 @@ object CurationOps {
       .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
       .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
       .withColumn("n_words", size(col("words")).cast("long"))
+      // wordless documents can never clear the quality band — and under
+      // ANSI mode (Spark 4 default) their 0/0 ratio would throw
+      .filter(col("n_words") > 0)
       .withColumn("distinct_ratio",
         size(array_distinct(col("words"))).cast("long") / col("n_words"))
       .withColumn("stop_ratio",
@@ -288,7 +291,8 @@ object CurationOps {
              LEN(LIST_DISTINCT(words)) / CAST(LEN(words) AS DOUBLE) AS distinct_ratio,
              LEN(LIST_FILTER(words, w -> w IN ('the','a','of','and','to')))
                / CAST(LEN(words) AS DOUBLE) AS stop_ratio
-      FROM (SELECT doc_id, $wordsSql AS words FROM documents)),
+      FROM (SELECT doc_id, $wordsSql AS words FROM documents)
+      WHERE LEN(words) > 0),
     surv AS (
       SELECT canon.*,
              CASE WHEN CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 13 THEN 'test'

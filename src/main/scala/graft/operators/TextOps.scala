@@ -500,6 +500,9 @@ object TextOps {
     Tables.documents(s, dir)
       .withColumn("words", wordsCol)
       .withColumn("n_words", size(col("words")).cast("long"))
+      // a wordless document has no defined ratios — and under ANSI mode
+      // (Spark 4 default) the 0/0 division below would throw
+      .filter(col("n_words") > 0)
       .withColumn("n_distinct", size(array_distinct(col("words"))).cast("long"))
       .withColumn("n_stop",
         expr(s"size(filter(words, w -> w in (${stop.map("'" + _ + "'").mkString(",")})))")
@@ -524,7 +527,8 @@ object TextOps {
       SELECT doc_id, LEN(words) AS n_words,
              LEN(LIST_DISTINCT(words)) AS n_distinct,
              LEN(LIST_FILTER(words, w -> w IN ('the','a','of','and','to'))) AS n_stop
-      FROM f),
+      FROM f
+      WHERE LEN(words) > 0),
     h AS (
       SELECT *, (n_distinct / n_words) * 0.5 + (1.0 - (n_stop / n_words)) * 0.3 +
              LEAST(n_words / 50.0, 1.0) * 0.2 AS score

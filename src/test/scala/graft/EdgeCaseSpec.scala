@@ -98,6 +98,34 @@ class EdgeCaseSpec extends AnyFunSuite {
     p2.unpersist()
   }
 
+  test("curation chain survives degenerate documents and applies each filter") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("degen").toString
+    // ids 0–4 are the held-out benchmark slice by contract
+    Seq(
+      (0L, "bench doc one two three four five", "en", "s", 33L),
+      (5L, "", "en", "s", 0L),                     // empty: 0 words, 0/0 score → dropped, no crash
+      (6L, "the a of and to", "en", "s", 15L),     // all stopwords → score 0.52 < 0.6 → dropped
+      (7L, "alpha beta gamma delta epsilon zeta", "en", "s", 35L),
+      (8L, "alpha beta gamma delta epsilon zeta", "en", "s", 35L), // exact dup of 7
+      (9L, "unique healthy document with plenty distinct content here", "en", "s", 58L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = graft.operators.CurationOps.curatedDocs(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.sameElements(Array(7L, 9L)),
+      s"expected survivors 7 (canonical dup) and 9, got ${out.mkString(",")}")
+
+    // BPE pair extraction: empty + degenerate docs contribute nothing and nothing crashes
+    val pairs = graft.operators.CurationOps.qBpePairs(spark, dir).collect()
+    assert(pairs.nonEmpty && pairs.forall(_.getAs[String]("pair").length == 2))
+    // term stats drops the wordless doc, keeps the rest
+    val ts = graft.operators.CurationOps.qTermStats(spark, dir).collect()
+    assert(!ts.map(_.getAs[Long]("doc_id")).contains(5L))
+    graft.operators.SessionMemo.release(spark)
+  }
+
   test("regionText emits no row for regions containing no word centers") {
     import spark.implicits._
     val w = Seq((1L, 0, "word", 10.0, 10.0, 70.0, 22.0))
