@@ -36,6 +36,41 @@ final class StubOcrClient(failEvery: Int = 0) extends OcrClient {
   }
 }
 
+trait Embedder extends Serializable {
+  /** Batched text → vector call (real embedding APIs take k texts per
+    * request). Throws on transient failure; must return one vector per
+    * input in order.
+    */
+  def embed(texts: Seq[String]): Seq[Array[Float]]
+}
+
+/** Deterministic fake embedder: 64-dim feature hashing — each word
+  * lands in dimension md5(word) % 64 with ±1 sign from the next hash
+  * bit, L2-normalized. Deterministic per text (batching and
+  * partitioning cannot change a vector), and similar texts land near
+  * each other in cosine, so downstream ANN tests are meaningful.
+  * `failEvery` simulates transient faults to exercise the batch retry.
+  */
+final class StubEmbedder(dims: Int = 64, failEvery: Int = 0) extends Embedder {
+  private val calls = new java.util.concurrent.atomic.AtomicInteger()
+  override def embed(texts: Seq[String]): Seq[Array[Float]] = {
+    if (failEvery > 0 && calls.incrementAndGet() % failEvery == 0)
+      throw new java.io.IOException("simulated transient embed failure")
+    texts.map { t =>
+      val v = new Array[Float](dims)
+      t.split(" ").filter(_.nonEmpty).foreach { w =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8"))
+        val dim = java.lang.Math.floorMod(h(0).toInt * 256 + (h(1) & 0xff), dims)
+        val sign = if ((h(2) & 1) == 0) 1f else -1f
+        v(dim) += sign
+      }
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (norm > 0) v.map(x => (x / norm).toFloat) else v
+    }
+  }
+}
+
 final class StubStructurizer extends Structurizer {
   override def structure(text: String): String = {
     val name = text.linesIterator.next().stripPrefix("FICHA TECNICA ").trim
@@ -128,6 +163,46 @@ object LlmOperators {
       }
       .toDF("path", "json", "error")
       .withColumn("doc", from_json(col("json"), FicSchema.raw))
+  }
+
+  /** Text rows → embedding vectors (the north-star `embed` map
+    * operator, SURVEY §6): the remote-model call is BATCHED — real
+    * embedding APIs price and rate-limit per request of up to k texts,
+    * so the lambda groups its partition into `batchSize` slices and one
+    * retry wraps each batch, not each row. A failed batch quarantines
+    * its rows (null vector + error) instead of killing the job. Output
+    * plugs straight into the vector pack (same `Array[Float]` shape as
+    * the embeddings table).
+    */
+  def embed(texts: DataFrame, client: Embedder, batchSize: Int = 16,
+      maxInFlight: Int = 3, maxRetries: Int = 3,
+      backoffMs: Long => Long = n => n): DataFrame = {
+    val spark = texts.sparkSession
+    import spark.implicits._
+    texts.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .repartition(maxInFlight)
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          val (withText, wordless) = batch.partition(r => r._2 != null && r._2.nonEmpty)
+          val quarantined = wordless.map { case (id, _) =>
+            (id, null: Array[Float], "no text")
+          }
+          val embedded =
+            if (withText.isEmpty) Nil
+            else withRetries(maxRetries, backoffMs)(
+              client.embed(withText.map(_._2))) match {
+              case Right(vs) => withText.zip(vs).map { case ((id, _), v) =>
+                (id, v, null: String)
+              }
+              case Left(err) => withText.map { case (id, _) =>
+                (id, null: Array[Float], err)
+              }
+            }
+          quarantined ++ embedded
+        }
+      }
+      .toDF("doc_id", "embedding", "error")
   }
 
   /** ```json fences → bare JSON (extract.py:192-195). */

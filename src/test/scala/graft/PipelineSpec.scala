@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
-import graft.llm.{LlmOperators, StubOcrClient, StubStructurizer}
+import graft.llm.{LlmOperators, StubEmbedder, StubOcrClient, StubStructurizer}
 import graft.operators.Multimodal
 import graft.sources.FicSources
 import graft.streaming.FicStreaming
@@ -46,6 +46,33 @@ class PipelineSpec extends AnyFunSuite {
       docs.select(col("path").as("filename"), col("doc.*")), FicLookup(Nil))
     assert(transformed.select("fic.fecha_corte").head().getString(0) == "2025-07-01")
     assert(transformed.select("fic.tipo").head().getString(0) == "Renta Fija")
+  }
+
+  test("embed: batched stub client, retry recovery, quarantine, ANN-ready output") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .limit(40).select(col("doc_id"), col("text"))
+    // failEvery=4: every fourth BATCH call throws once; retry recovers
+    val out = LlmOperators.embed(docs,
+      new StubEmbedder(failEvery = 4), batchSize = 8,
+      maxInFlight = 2, backoffMs = _ => 0L)
+    val rows = out.collect()
+    assert(rows.length == 40 && rows.forall(_.getAs[String]("error") == null))
+    rows.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+      assert(v.length == 64)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"vector not normalized: $n")
+    }
+    // determinism: batching/partitioning must not change a vector
+    val again = LlmOperators.embed(docs, new StubEmbedder(), batchSize = 3,
+      maxInFlight = 4, backoffMs = _ => 0L).collect()
+    val byId = again.map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    rows.foreach(r => assert(byId(r.getLong(0)) == r.getAs[scala.collection.Seq[Float]]("embedding")))
+    // quarantine: null text never reaches the client
+    val poisoned = Seq((999L, null: String)).toDF("doc_id", "text")
+    val q = LlmOperators.embed(poisoned, new StubEmbedder(), backoffMs = _ => 0L).head()
+    assert(q.getAs[String]("error") == "no text" && q.get(1) == null)
   }
 
   test("fence stripping handles the three shapes") {
