@@ -56,15 +56,18 @@ object Bench {
   private def jsonMap(entries: Seq[(String, String)]): String =
     entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
-  /** Locale-independent fixed-4-decimal rendering (f"%.4f" would emit a
-    * decimal COMMA — invalid JSON — under comma-decimal locales).
+  /** Locale-independent fixed-decimal rendering (an f-interpolator would
+    * emit a decimal COMMA — invalid JSON — under comma-decimal locales).
     */
-  private def r4(v: Double): String = {
-    val scaled = math.round(v * 10000.0)
-    val whole = scaled / 10000
-    val frac = (scaled % 10000).toString.reverse.padTo(4, '0').reverse
+  private def fixed(v: Double, decimals: Int): String = {
+    val pow = math.pow(10, decimals).toLong
+    val scaled = math.round(v * pow)
+    val whole = scaled / pow
+    val frac = (scaled % pow).toString.reverse.padTo(decimals, '0').reverse
     s"$whole.$frac"
   }
+
+  private def r4(v: Double): String = fixed(v, 4)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -113,9 +116,17 @@ object Bench {
       } else None
     }
 
-    // stdout: contract fields only, sized to survive a 2,000-char log tail
-    val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
-      s""""queries":$qs,"sf":"$sfDir"}"""
+    // stdout: contract fields only, sized to survive a 2,000-char log
+    // tail (with room for sbt's own trailing lines). At 68 queries the
+    // 4-decimal line is ~1.8 KB; as the suite grows, shed precision
+    // rather than overflow — 2 decimals still times a 0.1 s query.
+    val compact = Iterator(4, 3, 2).map { dec =>
+      val q = jsonMap(queries.indices.map(i => queries(i)._1 -> fixed(medians(i), dec)))
+      s"""{"metric":"total","value":${fixed(total, dec)},"unit":"sec",""" +
+        s""""queries":$q,"sf":"$sfDir"}"""
+    }.find(_.length <= 1850).getOrElse {
+      s"""{"metric":"total","value":${fixed(total, 4)},"unit":"sec","sf":"$sfDir"}"""
+    }
     // file: the full diagnostic artifact
     val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
       s""""queries":$qs,"queries_min":$qmins,"sf":"$sfDir"""" +
