@@ -69,4 +69,41 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$indexPath/vectors").count() == b1.size + 2)
     replay.unpersist()
   }
+
+  test("new-drop flow: raw text through embed into the incremental ANN index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // The monthly-drop composition across packs: new documents are
+    // embedded (batched map operator) and probed/appended against the
+    // persisted vector index — no text or vector from an earlier drop
+    // is recomputed.
+    val indexPath = java.nio.file.Files.createTempDirectory("drop_idx")
+      .resolve("index").toString
+    val cfg = IncrementalAnn.Config(bands = 2, bits = 8, cap = 100L, k = 3)
+    val embedder = new graft.llm.StubEmbedder()
+    def embedded(texts: Seq[(Long, String)]) =
+      graft.llm.LlmOperators.embed(texts.toDF("doc_id", "text"), embedder,
+          backoffMs = _ => 0L)
+        .select(col("doc_id").as("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+    // drop 1: 16 plane-seeders + a distinctive document
+    val drop1 = (0L until 16L).map(i =>
+      (i, s"filler document number $i with words w${i} w${i * 3 % 7} w${i % 5}")) :+
+      (50L, "quarterly earnings report for the acme corporation fiscal year")
+    IncrementalAnn.probeAndUpdate(embedded(drop1), indexPath, cfg).unpersist()
+
+    // drop 2: a shuffled-word copy of doc 50 (identical bag → identical
+    // stub embedding) plus an unrelated doc
+    val drop2 = Seq(
+      (200L, "acme corporation fiscal report quarterly earnings the for year"),
+      (201L, "completely unrelated gardening tips about tomato seedlings"))
+    val topk = IncrementalAnn.probeAndUpdate(embedded(drop2), indexPath, cfg)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+    val hit = topk.find { case (qid, rank, _, _) => qid == 200L && rank == 1 }
+    assert(hit.exists { case (_, _, n, c) => n == 50L && math.abs(c - 1.0) < 1e-6 },
+      s"expected (200, rank 1) -> 50 @ ~1.0, got ${topk.mkString(", ")}")
+    assert(spark.read.parquet(s"$indexPath/vectors").count() == drop1.size + 2)
+  }
 }
