@@ -119,8 +119,9 @@ object Bench {
     // stdout: contract fields only, sized to survive a 2,000-char log
     // tail (with room for sbt's own trailing lines). At 68 queries the
     // 4-decimal line is ~1.8 KB; as the suite grows, shed precision
-    // rather than overflow — 2 decimals still times a 0.1 s query.
-    val compact = Iterator(4, 3, 2).map { dec =>
+    // rather than overflow (~75 queries fit at 2 decimals, ~79 at 1 —
+    // still enough to tell a 0.3 s query from a 3 s one).
+    val compact = Iterator(4, 3, 2, 1).map { dec =>
       val q = jsonMap(queries.indices.map(i => queries(i)._1 -> fixed(medians(i), dec)))
       s"""{"metric":"total","value":${fixed(total, dec)},"unit":"sec",""" +
         s""""queries":$q,"sf":"$sfDir"}"""

@@ -190,8 +190,15 @@ object LlmOperators {
           }
           val embedded =
             if (withText.isEmpty) Nil
-            else withRetries(maxRetries, backoffMs)(
-              client.embed(withText.map(_._2))) match {
+            else withRetries(maxRetries, backoffMs) {
+              val vs = client.embed(withText.map(_._2))
+              // a short response would zip-truncate and silently DROP
+              // the tail rows — force it through the retry/quarantine
+              // path instead (drop-free is the operator's contract)
+              require(vs.size == withText.size,
+                s"embedder returned ${vs.size} vectors for ${withText.size} texts")
+              vs
+            } match {
               case Right(vs) => withText.zip(vs).map { case ((id, _), v) =>
                 (id, v, null: String)
               }

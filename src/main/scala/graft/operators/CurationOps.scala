@@ -100,10 +100,21 @@ object CurationOps {
     * (bounded df by construction). Here AQE's broadcast promotion makes
     * the same call automatically.
     */
+  /** (doc_id, source, w) exploded word occurrences — the largest
+    * relation of the term queries, materialized ONCE per (session, dir)
+    * and shared by every plan branch that reads it (qTermStats reads it
+    * twice: the tf aggregate and the join probe side; qTopTerms once
+    * more) — same discipline as TextOps.docShingles.
+    */
+  private def occurrences(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("curation:occ", s, dir) {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
+    }
+
   def qTermStats(s: SparkSession, dir: String): DataFrame = {
-    val occ = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
+    val occ = occurrences(s, dir).select(col("doc_id"), col("w"))
     val tf = occ.groupBy(col("w")).agg(count(lit(1)).as("tf"))
     occ.join(tf, "w")
       .groupBy(col("doc_id"))
@@ -140,9 +151,7 @@ object CurationOps {
   private val TopTermsK = 10
 
   def qTopTerms(s: SparkSession, dir: String): DataFrame = {
-    val occ = Tables.documents(s, dir)
-      .select(col("source"),
-        explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
+    val occ = occurrences(s, dir).select(col("source"), col("w"))
     val tf = occ.groupBy(col("source"), col("w")).agg(count(lit(1)).as("tf"))
     val spread = tf.groupBy(col("w"))
       .agg(count(lit(1)).as("n_sources"))
@@ -226,32 +235,20 @@ object CurationOps {
     * the broadcast benchmark side, quality/split never leave the row.
     */
   private[graft] def curatedDocs(s: SparkSession, dir: String): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "to")
     val w = Window.partitionBy(col("h"))
     val contam = TrainingOps.qDecontaminate(s, dir)
       .select(col("doc_id")).distinct()
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-      .cast("int")
-    Tables.documents(s, dir)
-      .withColumn("h", md5(col("text")))
-      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
-      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
-      .withColumn("n_words", size(col("words")).cast("long"))
-      // wordless documents can never clear the quality band — and under
-      // ANSI mode (Spark 4 default) their 0/0 ratio would throw
-      .filter(col("n_words") > 0)
-      .withColumn("distinct_ratio",
-        size(array_distinct(col("words"))).cast("long") / col("n_words"))
-      .withColumn("stop_ratio",
-        expr(s"size(filter(words, w -> w in (${stop.map("'" + _ + "'").mkString(",")})))")
-          .cast("long") / col("n_words"))
-      .withColumn("score",
-        col("distinct_ratio") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3 +
-          least(col("n_words") / 50.0, lit(1.0)) * 0.2)
-      .filter(col("keep") && col("doc_id") >= 5 && col("score") >= 0.6)
+    // the score/stop-list and split thresholds are the SHARED t31/t33
+    // expressions — the curated corpus cannot desync from the gated ops
+    TextOps.withQualityScore(
+        Tables.documents(s, dir)
+          .withColumn("h", md5(col("text")))
+          .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+          .withColumn("words", expr("filter(split(text, ' '), w -> w != '')")))
+      .filter(col("keep") && col("doc_id") >= 5 &&
+        col("score") >= TextOps.QualityFloor)
       .join(contam, Seq("doc_id"), "left_anti")
-      .withColumn("split",
-        when(bucket < 13, "test").when(bucket < 39, "eval").otherwise("train"))
+      .withColumn("split", TrainingOps.splitCol(col("doc_id")))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"), col("split"))
   }
@@ -313,13 +310,21 @@ object CurationOps {
   /** Materialize the curated corpus as split/source-partitioned parquet
     * plus a manifest table next to it — the write-side of the pipeline.
     * `partitionBy(split, source)` gives listing-time partition pruning
-    * to every downstream trainer ("give me train/src2"); the manifest
-    * is the same frame the t47 gate checks.
+    * to every downstream trainer ("give me train/src2"). The manifest
+    * aggregates the JUST-WRITTEN files, not a re-run of the curation
+    * chain — half the work, and the manifest doubles as a write
+    * verification (it counts what actually landed on disk).
     */
   def writeCurated(s: SparkSession, dir: String, outPath: String): DataFrame = {
     curatedDocs(s, dir).write.mode("overwrite")
       .partitionBy("split", "source").parquet(s"$outPath/docs")
-    val manifest = qCurateManifest(s, dir)
+    val manifest = s.read.parquet(s"$outPath/docs")
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("split"), col("source"))
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$outPath/manifest")
     manifest
   }

@@ -41,11 +41,45 @@ object SessionMemo {
     }
   }
 
+  /** Non-frame model artifacts (a Bloom sketch's broadcast, a trained
+    * quantizer, …) memoized with the same lifecycle: built once per
+    * (session, key, dir), dropped by [[release]]. Broadcast values are
+    * destroyed on release — re-broadcasting a sketch per invocation
+    * would leak broadcast blocks across a long session.
+    */
+  private val objects =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), AnyRef]()
+
+  def memo[T <: AnyRef](key: String, s: SparkSession, dir: String)
+      (build: => T): T = {
+    val k = (s, key, dir)
+    val existing = objects.get(k)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val built = build
+      val prev = objects.putIfAbsent(k, built)
+      if (prev != null) {
+        discard(built)
+        prev.asInstanceOf[T]
+      } else built
+    }
+  }
+
+  private def discard(v: AnyRef): Unit = v match {
+    case b: org.apache.spark.broadcast.Broadcast[_] => b.destroy()
+    case _ => ()
+  }
+
   def release(s: SparkSession): Unit = {
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq s) { e.getValue.unpersist(); it.remove() }
+    }
+    val oit = objects.entrySet().iterator()
+    while (oit.hasNext) {
+      val e = oit.next()
+      if (e.getKey._1 eq s) { discard(e.getValue); oit.remove() }
     }
   }
 }

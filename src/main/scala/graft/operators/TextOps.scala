@@ -490,18 +490,17 @@ object TextOps {
     GROUP BY lang_pred
     ORDER BY lang_pred"""
 
-  /** Quality scoring: length/diversity/stopword-ratio features and a
-    * weighted score — the training-data quality-filter shape. All
-    * ratios are int/int divisions evaluated in identical order on both
-    * engines.
+  /** Adds `n_words`/`n_distinct`/`n_stop`/`distinct_ratio`/`stop_ratio`/
+    * `score` to a frame carrying a `words` array column — the t31
+    * quality formula, shared with the curation chain (t47) so the score
+    * weights and stop list cannot silently desync between the two.
+    * Drops wordless documents: their ratios are undefined, and under
+    * ANSI mode (Spark 4 default) the 0/0 division would throw.
     */
-  def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def withQualityScore(df: DataFrame): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to")
-    Tables.documents(s, dir)
-      .withColumn("words", wordsCol)
+    df
       .withColumn("n_words", size(col("words")).cast("long"))
-      // a wordless document has no defined ratios — and under ANSI mode
-      // (Spark 4 default) the 0/0 division below would throw
       .filter(col("n_words") > 0)
       .withColumn("n_distinct", size(array_distinct(col("words"))).cast("long"))
       .withColumn("n_stop",
@@ -512,9 +511,21 @@ object TextOps {
       .withColumn("score",
         col("distinct_ratio") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3 +
           least(col("n_words") / 50.0, lit(1.0)) * 0.2)
+  }
+
+  /** The curation chain's survival threshold (the 'fair' band floor). */
+  private[graft] val QualityFloor = 0.6
+
+  /** Quality scoring: length/diversity/stopword-ratio features and a
+    * weighted score — the training-data quality-filter shape. All
+    * ratios are int/int divisions evaluated in identical order on both
+    * engines.
+    */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    withQualityScore(Tables.documents(s, dir).withColumn("words", wordsCol))
       .withColumn("band",
         when(col("score") >= 0.8, "good")
-          .when(col("score") >= 0.6, "fair").otherwise("low"))
+          .when(col("score") >= QualityFloor, "fair").otherwise("low"))
       .select(col("doc_id"), col("n_words"), col("n_distinct"),
         col("n_stop"), col("score"), col("band"))
       .orderBy(col("doc_id"))

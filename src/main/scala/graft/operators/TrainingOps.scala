@@ -17,12 +17,17 @@ object TrainingOps {
     * from its splits. 2-hex-digit bucket (256 values): < 0x0d → test
     * (~5%), < 0x27 → eval (~10%), rest train.
     */
+  /** The deterministic split column of t33, shared with the curation
+    * chain (t47) so the bucket thresholds cannot silently desync.
+    */
+  private[graft] def splitCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
+    when(bucket < 13, "test").when(bucket < 39, "eval").otherwise("train")
+  }
+
   def qSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-      .cast("int")
     Tables.documents(s, dir)
-      .withColumn("split",
-        when(bucket < 13, "test").when(bucket < 39, "eval").otherwise("train"))
+      .withColumn("split", splitCol(col("doc_id")))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars"),
@@ -162,9 +167,14 @@ object TrainingOps {
     val shs = TextOps.docShingles(s, dir)
     val benchArr = shs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("bench_id"), col("shs").as("bshs"))
-    val benchShingles = benchArr.select(explode(col("bshs")).as("s")).distinct()
-    val bf = benchShingles.stat.bloomFilter("s", 100000L, 0.03)
-    val bfB = s.sparkContext.broadcast(bf)
+    // the sketch is a trained model artifact: build + broadcast ONCE per
+    // (session, dir) — df.stat.bloomFilter is an eager collect, and an
+    // unmemoized broadcast would leak a new block per invocation
+    val bfB = SessionMemo.memo("training:bloom", s, dir) {
+      val benchShingles = benchArr.select(explode(col("bshs")).as("s")).distinct()
+      s.sparkContext.broadcast(
+        benchShingles.stat.bloomFilter("s", 100000L, 0.03))
+    }
     val hits = udf((arr: Seq[String]) =>
       if (arr == null) 0 else arr.count(bfB.value.mightContainString))
     val cand = shs.filter(col("doc_id") >= 5)

@@ -33,7 +33,9 @@ class CurationOpsSpec extends AnyFunSuite {
       val total = rows.map(_.getAs[Long]("n_total")).sum.toDouble
       src -> kept / total
     }
-    // md5 buckets are uniform; 97–125 docs/source at sf0.01 → generous bands
+    // md5 buckets are uniform but each source holds only 25 docs at
+    // sf0.01, so observed ratios deviate up to ~0.09 from the
+    // configured rate (measured: src3 0.84 vs 0.75) — hence the 0.15 band
     val expected = Map("src0" -> 0.50, "src1" -> 0.25, "src2" -> 0.102, "src3" -> 0.75)
     expected.foreach { case (src, rate) =>
       val got = bySource(src)
@@ -129,6 +131,11 @@ class CurationOpsSpec extends AnyFunSuite {
   test("curated corpus write: partitioned layout, manifest-consistent, dedup/decontaminated") {
     val out = java.nio.file.Files.createTempDirectory("curated").toString
     val manifest = CurationOps.writeCurated(spark, dir, out).collect()
+    // the disk-derived manifest must equal the chain-derived gate query
+    // (what landed == what the chain says should land)
+    val chain = CurationOps.qCurateManifest(spark, dir).collect()
+    assert(manifest.map(_.toString).sorted.sameElements(chain.map(_.toString).sorted),
+      "written manifest diverges from the curation-chain manifest")
     val back = spark.read.parquet(s"$out/docs")
     // read-back equals the manifest cell by cell
     val cells = back.groupBy(col("split"), col("source"))

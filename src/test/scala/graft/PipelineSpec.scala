@@ -52,9 +52,11 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
       .limit(40).select(col("doc_id"), col("text"))
-    // failEvery=4: every fourth BATCH call throws once; retry recovers
+    // failEvery=2: each task's client fails every second call, so with
+    // 3 batches per task the retry path fires multiple times per task
+    // (the stub counter is per deserialized task-side instance)
     val out = LlmOperators.embed(docs,
-      new StubEmbedder(failEvery = 4), batchSize = 8,
+      new StubEmbedder(failEvery = 2), batchSize = 8,
       maxInFlight = 2, backoffMs = _ => 0L)
     val rows = out.collect()
     assert(rows.length == 40 && rows.forall(_.getAs[String]("error") == null))
@@ -73,6 +75,16 @@ class PipelineSpec extends AnyFunSuite {
     val poisoned = Seq((999L, null: String)).toDF("doc_id", "text")
     val q = LlmOperators.embed(poisoned, new StubEmbedder(), backoffMs = _ => 0L).head()
     assert(q.getAs[String]("error") == "no text" && q.get(1) == null)
+    // a short (row-dropping) response must quarantine the batch, not
+    // truncate it
+    val shortClient = new graft.llm.Embedder {
+      def embed(ts: Seq[String]) = new StubEmbedder().embed(ts).dropRight(1)
+    }
+    val dropped = LlmOperators.embed(docs.limit(6), shortClient,
+      batchSize = 3, maxInFlight = 1, backoffMs = _ => 0L).collect()
+    assert(dropped.length == 6, "rows were silently dropped")
+    assert(dropped.forall(r => r.getAs[String]("error") != null &&
+      r.getAs[String]("error").contains("vectors for")))
   }
 
   test("fence stripping handles the three shapes") {
