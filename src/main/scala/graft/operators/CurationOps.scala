@@ -19,23 +19,48 @@ object CurationOps {
   private val wordsSql: String =
     "LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '')"
 
-  /** Stratified sampling: per-source keep rates applied via a salted
-    * md5 bucket of the doc id (src0 50%, src1 25%, src2 ~10%, src3 75%,
-    * thresholds out of 256; sources without a configured rate keep 0 —
-    * the same drop-unconfigured contract as t34's source mixing).
-    * Per-row hash + one partial-aggregated groupBy — nothing here gets
-    * worse at 100 TB: no window, no join, the sample decision never
-    * leaves the row.
+  /** Adds a deterministic `kept` flag for per-stratum hash sampling:
+    * a row survives iff the first byte of md5(salt ++ id) falls under
+    * `floor(rate × 256)` for its stratum; strata without a configured
+    * rate keep nothing (the drop-unconfigured contract of t34's source
+    * mixing). Per-row arithmetic only — the decision never leaves the
+    * row, so nothing gets worse at 100 TB — and reproducible across
+    * runs, partitionings and engines (no RNG).
     */
+  def withSampleFlag(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], salt: String): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit(salt),
+      col(idCol).cast("string"))), 1, 2), 16, 10).cast("int")
+    val entries = rates.toSeq.sortBy(_._1).flatMap { case (k, r) =>
+      Seq(lit(k), lit(math.floor(r * 256).toInt))
+    }
+    df.withColumn("kept", bucket < element_at(map(entries: _*), col(strataCol)))
+  }
+
+  /** The filtered stratified sample (library surface; the t42 gate
+    * reports the per-stratum statistics of the same flag).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], salt: String = "st:"): DataFrame =
+    withSampleFlag(df, idCol, strataCol, rates, salt)
+      .filter(col("kept")).drop("kept")
+
+  /** Deterministic uniform exactly-k sample: order by a salted hash of
+    * the id, take the first k — the reproducible replacement for
+    * reservoir sampling. Plans as TakeOrderedAndProject: each task
+    * keeps a local top-k, no global sort at any scale.
+    */
+  def uniformSample(df: DataFrame, idCol: String, k: Int,
+      salt: String = "u:"): DataFrame =
+    df.withColumn("h", md5(concat(lit(salt), col(idCol).cast("string"))))
+      .orderBy(col("h"))
+      .limit(k)
+
+  private val GateRates =
+    Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.102, "src3" -> 0.75)
+
   def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(concat(lit("st:"),
-      col("doc_id").cast("string"))), 1, 2), 16, 10).cast("int")
-    val threshold = element_at(
-      map(lit("src0"), lit(128), lit("src1"), lit(64),
-          lit("src2"), lit(26), lit("src3"), lit(192)),
-      col("source"))
-    Tables.documents(s, dir)
-      .withColumn("kept", bucket < threshold)
+    withSampleFlag(Tables.documents(s, dir), "doc_id", "source", GateRates, "st:")
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
@@ -60,22 +85,13 @@ object CurationOps {
     GROUP BY source, lang
     ORDER BY source, lang"""
 
-  /** Uniform exactly-k corpus sample: order by a salted hash of the doc
-    * id, take the first k — the deterministic replacement for reservoir
-    * sampling (same marginal distribution, reproducible, mergeable).
-    * Spark plans this as TakeOrderedAndProject: each task keeps its
-    * local top-k, only k rows per task reach the driver-side merge —
-    * no global sort at any scale.
-    */
   private val SampleK = 100
 
-  def qUniformSample(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
-      .withColumn("h", md5(concat(lit("u:"), col("doc_id").cast("string"))))
+  def qUniformSample(s: SparkSession, dir: String): DataFrame =
+    uniformSample(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", SampleK)
       .select(col("h"), col("doc_id"), col("source"))
-      .orderBy(col("h"))
-      .limit(SampleK)
-  }
 
   val qUniformSampleOracle: String = s"""
     SELECT MD5('u:' || CAST(doc_id AS VARCHAR)) AS h, doc_id, source
