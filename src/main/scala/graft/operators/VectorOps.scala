@@ -560,6 +560,33 @@ object VectorOps {
     GROUP BY label, cl
     ORDER BY label, assigned_label"""
 
+  /** ANN evaluation harness: recall@k of every approximate method
+    * against the exact brute-force ranking — the report a deployment
+    * tunes its LSH bits / IVF probes / SQ8 candidate budget with. Each
+    * method is compared at its own k (the gate configurations); one
+    * row per method: (method, k, n_queries, recall). Joins are
+    * id-only; the heavy per-method work is the already-memoized
+    * operators themselves.
+    */
+  def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val exactAll = qAnnBruteForce(s, dir)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    def recall(name: String, df: DataFrame, k: Int): DataFrame = {
+      val truth = exactAll.filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+      val got = df.select(col("query_id"), col("neighbor_id"))
+      val hits = got.join(truth, Seq("query_id", "neighbor_id")).count()
+      val nq = got.select(col("query_id")).distinct().count()
+      import s.implicits._
+      Seq((name, k, nq, if (nq == 0) 0.0 else hits.toDouble / (nq * k)))
+        .toDF("method", "k", "n_queries", "recall")
+    }
+    recall("lsh", qAnnLsh(s, dir), 3)
+      .unionByName(recall("ivf", qAnnIvf(s, dir), 3))
+      .unionByName(recall("sq8", qAnnQuantized(s, dir), 5))
+      .orderBy(col("method"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("v33_ann_bruteforce", qAnnBruteForce, Some(qAnnBruteForceOracle)),
     GateQuery("v34_ann_lsh", qAnnLsh, Some(qAnnLshOracle)),

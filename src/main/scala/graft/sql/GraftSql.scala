@@ -54,9 +54,23 @@ object GraftSql {
     }
   }
 
+  /** Register every catalog operator as a LAZY temp view named after
+    * its gate id (`t28_minhash_lsh`, `v38_ann_quantized`, …):
+    * `createOrReplaceTempView` stores the logical plan, nothing runs
+    * until a `spark.sql` query actually reads the view — so registering
+    * the full catalog is free, and a SQL user can join operator outputs
+    * (`SELECT * FROM t40_dedup_clusters WHERE NOT is_canonical`)
+    * without touching the Scala API.
+    */
+  def registerOperatorViews(spark: SparkSession, dir: String): Unit =
+    graft.SparkEntry.queries.foreach { case (name, build) =>
+      build(spark, dir).createOrReplaceTempView(name)
+    }
+
   /** One-call setup: functions + views. */
   def init(spark: SparkSession, dir: String): Unit = {
     registerFunctions(spark)
     registerViews(spark, dir)
+    registerOperatorViews(spark, dir)
   }
 }

@@ -128,6 +128,19 @@ class CurationOpsSpec extends AnyFunSuite {
     SessionMemo.release(spark)
   }
 
+  test("ANN recall report ranks methods against the exact baseline") {
+    val rows = VectorOps.annRecallReport(spark, dir).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Int]("k"), r.getAs[Long]("n_queries"), r.getAs[Double]("recall"))).toMap
+    assert(rows.keySet == Set("lsh", "ivf", "sq8"))
+    rows.foreach { case (m, (k, nq, rec)) =>
+      assert(k > 0 && nq > 0 && rec >= 0.0 && rec <= 1.0, s"$m: k=$k nq=$nq recall=$rec")
+    }
+    // the SQ8 two-stage path is near-exact by construction
+    assert(rows("sq8")._3 >= 0.8, s"sq8 recall ${rows("sq8")._3}")
+    SessionMemo.release(spark)
+  }
+
   test("curated corpus write: partitioned layout, manifest-consistent, dedup/decontaminated") {
     val out = java.nio.file.Files.createTempDirectory("curated").toString
     val manifest = CurationOps.writeCurated(spark, dir, out).collect()

@@ -44,6 +44,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("operator catalog registered as lazy SQL views") {
+    GraftSql.init(spark, "/root/testdata/sf0.001")
+    // every gate query is a view; reading one runs the operator
+    val dup = spark.sql(
+      "SELECT COUNT(*) FROM t25_dedup_exact WHERE NOT is_canonical")
+      .head().getLong(0)
+    assert(dup >= 0)
+    val joined = spark.sql("""
+      SELECT COUNT(*) FROM t31_quality_score q
+      JOIN t33_split s ON q.doc_id >= 0 AND s.split = 'train'""")
+      .head().getLong(0)
+    assert(joined > 0)
+    graft.operators.SessionMemo.release(spark)
+  }
+
   test("typed dataset core over the shredded star") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.option("multiLine", true).schema(FicSchema.raw)
