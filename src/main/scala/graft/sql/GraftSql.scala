@@ -64,7 +64,13 @@ object GraftSql {
     */
   def registerOperatorViews(spark: SparkSession, dir: String): Unit =
     graft.SparkEntry.queries.foreach { case (name, build) =>
-      build(spark, dir).createOrReplaceTempView(name)
+      // building a plan eagerly lists/infers its source files, and some
+      // operators read fixture folders a deployment may not have — skip
+      // those views instead of failing the whole init
+      try build(spark, dir).createOrReplaceTempView(name)
+      catch { case e: Exception =>
+        System.err.println(s"[graft-sql] skipping view $name: ${e.getMessage}")
+      }
     }
 
   /** One-call setup: functions + views. */
