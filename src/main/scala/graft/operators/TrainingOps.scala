@@ -95,6 +95,60 @@ object TrainingOps {
     GROUP BY source
     ORDER BY source"""
 
+  /** Multi-epoch source mixing — the upsampling half of a data recipe
+    * (t34's quotas truncate; this REPEATS): weight w means every doc of
+    * the source appears floor(w) times (full epochs) plus a
+    * deterministic hash-selected (w − floor(w)) fraction in one final
+    * partial epoch. doc repetition is an in-row explode bounded by
+    * ceil(w) (data recipes keep w ≲ 4 — epochs beyond that hurt), the
+    * partial-epoch decision is a salted per-(doc, epoch) hash that
+    * never leaves the row, and the stats groupBy partial-aggregates —
+    * the plan is scan-shaped at any corpus size. Fractional thresholds
+    * floor(frac × 256) are exact for recipe-style weights (.25/.5/.75).
+    */
+  def qMixEpochs(s: SparkSession, dir: String): DataFrame = {
+    val weights = map(
+      lit("src0"), lit(1.0), lit("src1"), lit(2.5),
+      lit("src2"), lit(0.25), lit("src3"), lit(1.75))
+    val bucket = conv(substring(md5(concat(lit("ep:"),
+      col("epoch").cast("string"), lit(":"),
+      col("doc_id").cast("string"))), 1, 2), 16, 10).cast("int")
+    Tables.documents(s, dir)
+      .withColumn("w", element_at(weights, col("source")))
+      .filter(col("w").isNotNull)
+      .withColumn("epoch",
+        explode(sequence(lit(1), ceil(col("w")).cast("int"))))
+      .filter(col("epoch") <= floor(col("w")).cast("int") ||
+        bucket < floor((col("w") - floor(col("w"))) * 256).cast("int"))
+      .groupBy(col("source"), col("epoch"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("epoch"))
+  }
+
+  val qMixEpochsOracle: String = """
+    WITH q AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 2.5
+                         WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 1.75 END AS w
+      FROM documents),
+    e AS (
+      SELECT doc_id, source, w,
+             UNNEST(RANGE(1, CAST(CEIL(w) AS INT) + 1)) AS epoch
+      FROM q WHERE w IS NOT NULL),
+    k AS (
+      SELECT * FROM e
+      WHERE epoch <= CAST(FLOOR(w) AS INT)
+         OR CAST(CONCAT('0x', SUBSTRING(MD5('ep:' || CAST(epoch AS VARCHAR)
+              || ':' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+            < CAST(FLOOR((w - FLOOR(w)) * 256) AS INT))
+    SELECT source, CAST(epoch AS INT) AS epoch, COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM k
+    GROUP BY source, epoch
+    ORDER BY source, epoch"""
+
   /** Benchmark decontamination: flag corpus documents sharing ≥ 3
     * distinct 3-gram shingles with any "benchmark" document (here:
     * doc_id < 5 stands in for the eval set). Inverted-index join on the
@@ -275,6 +329,7 @@ object TrainingOps {
   val all: Seq[GateQuery] = Seq(
     GateQuery("t33_split", qSplit, Some(qSplitOracle)),
     GateQuery("t34_source_mix", qSourceMix, Some(qSourceMixOracle)),
+    GateQuery("t49_mix_epochs", qMixEpochs, Some(qMixEpochsOracle)),
     GateQuery("t35_decontaminate", qDecontaminate, Some(qDecontaminateOracle)),
     // same statistic, bloom-prefiltered layout; exact after verify, so
     // it shares t35's oracle — the gate proves the sketch lost nothing

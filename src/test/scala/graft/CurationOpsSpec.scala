@@ -128,6 +128,22 @@ class CurationOpsSpec extends AnyFunSuite {
     SessionMemo.release(spark)
   }
 
+  test("epoch mixing: full epochs are complete copies, partial epochs track the fraction") {
+    val rows = TrainingOps.qMixEpochs(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("epoch")) -> r.getAs[Long]("n_docs"))
+      .toMap
+    val perSource = 25L // docs per source at sf0.01
+    // src0 w=1.0: exactly one full epoch
+    assert(rows((("src0", 1))) == perSource && !rows.contains(("src0", 2)))
+    // src1 w=2.5: two complete epochs plus a ~50% third
+    assert(rows(("src1", 1)) == perSource && rows(("src1", 2)) == perSource)
+    val third = rows(("src1", 3)).toDouble / perSource
+    assert(third > 0.25 && third < 0.75, s"partial epoch fraction $third")
+    // src2 w=0.25: a single ~25% partial epoch
+    val quarter = rows(("src2", 1)).toDouble / perSource
+    assert(quarter > 0.05 && quarter < 0.45, s"partial epoch fraction $quarter")
+  }
+
   test("ANN recall report ranks methods against the exact baseline") {
     val rows = VectorOps.annRecallReport(spark, dir).collect()
       .map(r => r.getAs[String]("method") ->
