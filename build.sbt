@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked `run` output through raw instead of re-logging each line
+// with an "[info] " prefix: the round driver json-parses the tail of
+// the bench log line-by-line, and the prefix made every line
+// unparseable (BENCH_r01–r06 all have `parsed: null`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

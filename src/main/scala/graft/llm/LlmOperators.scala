@@ -103,7 +103,7 @@ object LlmOperators {
     StructField("text", StringType),
     StructField("error", StringType)))
 
-  private def withRetries[T](maxRetries: Int, sleepMs: Long => Long = n => n)(f: => T): Either[String, T] = {
+  private[graft] def withRetries[T](maxRetries: Int, sleepMs: Long => Long = n => n)(f: => T): Either[String, T] = {
     var attempt = 0
     var last: Throwable = null
     while (attempt < maxRetries) {

@@ -29,6 +29,10 @@ object CurationOps {
     */
   def withSampleFlag(df: DataFrame, idCol: String, strataCol: String,
       rates: Map[String, Double], salt: String): DataFrame = {
+    // rates.isEmpty would build a zero-arg map() whose element_at
+    // against a string key fails analysis — short-circuit the
+    // drop-everything contract instead
+    if (rates.isEmpty) return df.withColumn("kept", lit(false))
     val bucket = conv(substring(md5(concat(lit(salt),
       col(idCol).cast("string"))), 1, 2), 16, 10).cast("int")
     val entries = rates.toSeq.sortBy(_._1).flatMap { case (k, r) =>
@@ -48,13 +52,18 @@ object CurationOps {
   /** Deterministic uniform exactly-k sample: order by a salted hash of
     * the id, take the first k — the reproducible replacement for
     * reservoir sampling. Plans as TakeOrderedAndProject: each task
-    * keeps a local top-k, no global sort at any scale.
+    * keeps a local top-k, no global sort at any scale. Returns the
+    * caller's columns unchanged — the ordering hash is internal
+    * (collision-safe name, dropped on return).
     */
   def uniformSample(df: DataFrame, idCol: String, k: Int,
-      salt: String = "u:"): DataFrame =
-    df.withColumn("h", md5(concat(lit(salt), col(idCol).cast("string"))))
-      .orderBy(col("h"))
+      salt: String = "u:"): DataFrame = {
+    val h = "__graft_sample_h"
+    df.withColumn(h, md5(concat(lit(salt), col(idCol).cast("string"))))
+      .orderBy(col(h))
       .limit(k)
+      .drop(h)
+  }
 
   private val GateRates =
     Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.102, "src3" -> 0.75)
@@ -87,11 +96,14 @@ object CurationOps {
 
   private val SampleK = 100
 
+  // The gate exposes the hash as a result column, so it computes it
+  // itself (the library sampler keeps its ordering hash internal).
   def qUniformSample(s: SparkSession, dir: String): DataFrame =
-    uniformSample(
-      Tables.documents(s, dir).select(col("doc_id"), col("source")),
-      "doc_id", SampleK)
-      .select(col("h"), col("doc_id"), col("source"))
+    Tables.documents(s, dir)
+      .select(md5(concat(lit("u:"), col("doc_id").cast("string"))).as("h"),
+        col("doc_id"), col("source"))
+      .orderBy(col("h"))
+      .limit(SampleK)
 
   val qUniformSampleOracle: String = s"""
     SELECT MD5('u:' || CAST(doc_id AS VARCHAR)) AS h, doc_id, source
@@ -217,11 +229,19 @@ object CurationOps {
       .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
       .select(explode(expr(pairsExpr)).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+    // Global ranking WITHOUT a global window (an empty-partition
+    // WindowExec warns identically to a real scale-killer, poisoning
+    // every log audit): the count table is charset²-bounded, so fold it
+    // into ONE row, sort in-row by (cnt desc, pair asc) — struct sort
+    // is field-order lexicographic, hence the negated count — and slice
+    // the top k. Same single-task cost the window paid, zero warnings.
     counts
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("cnt").desc, col("pair"))))
-      .filter(col("rank") <= BpeTopK)
-      .select(col("rank"), col("pair"), col("cnt"))
+      .agg(expr(
+        s"slice(array_sort(collect_list(struct(-cnt AS negc, pair, cnt))), 1, $BpeTopK)")
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "p")))
+      .select((col("pos") + 1).as("rank"), col("p.pair").as("pair"),
+        col("p.cnt").as("cnt"))
       .orderBy(col("rank"))
   }
 

@@ -43,9 +43,13 @@ object SessionMemo {
 
   /** Non-frame model artifacts (a Bloom sketch's broadcast, a trained
     * quantizer, …) memoized with the same lifecycle: built once per
-    * (session, key, dir), dropped by [[release]]. Broadcast values are
-    * destroyed on release — re-broadcasting a sketch per invocation
-    * would leak broadcast blocks across a long session.
+    * (session, key, dir), dropped by [[release]]. Released broadcasts
+    * are UNPERSISTED, not destroyed: DataFrames returned before the
+    * release still capture the broadcast in their UDF closures, and
+    * unpersist only evicts executor copies (they re-fetch from the
+    * driver on next use) while destroy would make re-executing such a
+    * frame throw. Only a build-race loser — a broadcast that was never
+    * handed to any caller — is destroyed outright.
     */
   private val objects =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), AnyRef]()
@@ -59,14 +63,22 @@ object SessionMemo {
       val built = build
       val prev = objects.putIfAbsent(k, built)
       if (prev != null) {
-        discard(built)
+        destroyUnshared(built)
         prev.asInstanceOf[T]
       } else built
     }
   }
 
-  private def discard(v: AnyRef): Unit = v match {
+  /** The race loser was never returned to a caller — safe to destroy. */
+  private def destroyUnshared(v: AnyRef): Unit = v match {
     case b: org.apache.spark.broadcast.Broadcast[_] => b.destroy()
+    case _ => ()
+  }
+
+  /** Release path: frames handed out earlier may still reference the
+    * broadcast, so only evict executor copies. */
+  private def releaseArtifact(v: AnyRef): Unit = v match {
+    case b: org.apache.spark.broadcast.Broadcast[_] => b.unpersist()
     case _ => ()
   }
 
@@ -79,7 +91,7 @@ object SessionMemo {
     val oit = objects.entrySet().iterator()
     while (oit.hasNext) {
       val e = oit.next()
-      if (e.getKey._1 eq s) { discard(e.getValue); oit.remove() }
+      if (e.getKey._1 eq s) { releaseArtifact(e.getValue); oit.remove() }
     }
   }
 }

@@ -203,8 +203,9 @@ object TrainingOps {
     * Exactness: the sketch has no false negatives, so every document
     * truly sharing ≥ 3 shingles with a benchmark doc survives the
     * prefilter; false positives only admit extra candidates, and the
-    * exact verify (array_intersect against the broadcast benchmark
-    * arrays) recomputes true pair overlaps and discards them. The
+    * exact verify (t35's inverted-index shingle join, restricted to the
+    * surviving candidates) recomputes true pair overlaps and discards
+    * them. The
     * result is therefore bit-identical to t35's — it shares t35's
     * DuckDB oracle, which is itself the strongest possible check that
     * the probabilistic prefilter lost nothing.
@@ -233,10 +234,17 @@ object TrainingOps {
       if (arr == null) 0 else arr.count(bfB.value.mightContainString))
     val cand = shs.filter(col("doc_id") >= 5)
       .filter(hits(col("shs")) >= 3)
-    // exact verify: candidates × broadcast benchmark arrays
-    cand.crossJoin(broadcast(benchArr))
-      .withColumn("n_shared",
-        size(array_intersect(col("shs"), col("bshs"))).cast("long"))
+    // exact verify: t35's inverted-index equi-join on the shingle,
+    // restricted to the sketch's surviving candidates. NOT a crossJoin
+    // against the benchmark arrays: candidates × benchmark docs is fine
+    // at a handful of eval docs but 10⁶ survivors × a realistic 10⁵-doc
+    // eval suite is 10¹¹ array_intersects, while this join's cost stays
+    // proportional to the candidates' shingle occurrences.
+    val bench = benchArr.select(col("bench_id"), explode(col("bshs")).as("s"))
+    cand.select(col("doc_id"), explode(col("shs")).as("s"))
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
       .select(col("doc_id"), col("bench_id"), col("n_shared"))
       .orderBy(col("doc_id"), col("bench_id"))

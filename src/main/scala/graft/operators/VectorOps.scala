@@ -502,6 +502,229 @@ object VectorOps {
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** The TRAINED coarse quantizer for the composed IVF×SQ8 path: plain
+    * k-means over the corpus — seeds are the first `IvfK` corpus
+    * vectors (deterministic, spatially spread data points, not label
+    * means: label means of a weakly-clustered embedding space all sit
+    * near the centroid of mass, making cell assignment arbitrary —
+    * measured 0.36 recall@5 with 2 probes vs 0.86 for this quantizer at
+    * sf0.01), refined by `IvfIters` Lloyd iterations. Each iteration is
+    * one corpus pass against the broadcast centroid set (the E-step
+    * shape of v39) followed by a per-cell fixed-point mean (the
+    * floor(x·10¹²) trick of [[ivfCentroids]], so both engines derive
+    * bit-identical centroids). A cell that loses all members simply
+    * disappears — deterministic in both engines. At 100 TB this trains
+    * on an offline sample exactly like FAISS; here the memoized frame
+    * IS that offline artifact.
+    */
+  private[graft] val IvfK = 10
+  private[graft] val IvfIters = 2
+
+  /** Nearest-centroid assignment of every corpus vector (ties by
+    * smallest cell id) — one broadcast pass, the Lloyd E-step. */
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
+    val scored = e.select(col("vec_id"), col("v"), col("nv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", dot("v", "cv") / (col("nv") * col("ncv")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  private[graft] def kmeansCentroids(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("vec:kmeans", s, dir) {
+      val e = embs(s, dir)
+      var cent = e.filter(col("vec_id") < IvfK)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+        .withColumn("ncv", sqrt(dot("cv", "cv")))
+      for (_ <- 1 to IvfIters) {
+        val assign = assignCells(e, cent)
+        cent = e.join(assign, Seq("vec_id"))
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cid"), col("dim"))
+          .agg((sum(floor(col("x") * lit(1e12)).cast("long")).cast("double") /
+            count(lit(1)) / lit(1e12)).as("c"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
+          .withColumn("ncv", sqrt(dot("cv", "cv")))
+      }
+      cent
+    }
+
+  /** The IVF-partitioned SQ8 code index: every corpus vector's int8
+    * codes keyed by its NEAREST-CENTROID cell under the trained
+    * quantizer — the on-disk layout of a production 100 TB ANN serving
+    * index (FAISS `IVF…,SQ8`). Building it is the offline indexing
+    * pass: one corpus scan against the broadcast centroid set for the
+    * assignment joined to the memoized SQ8 codes; serving queries never
+    * touch float vectors until the rerank. Memoized per (session, dir)
+    * like the centroids and codes it composes.
+    */
+  private[graft] def ivfCodes(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("vec:ivf-sq8", s, dir) {
+      val assign = assignCells(embs(s, dir), kmeansCentroids(s, dir))
+      quantized(s, dir).join(assign, Seq("vec_id"))
+        .select(col("vec_id"), col("cid").as("ivf_cell"), col("qv"),
+          col("dv"), col("ndv"))
+    }
+
+  /** IVF × SQ8 composed ANN — the full production shape: the trained
+    * coarse quantizer prunes the corpus to the top-2 probed cells (an
+    * equi-join on `ivf_cell`, never a scan), the pruned cells are
+    * scanned over the SQ8 midpoint reconstruction with the EXACT float
+    * query (asymmetric distance computation, the FAISS default — the
+    * query is never quantized, only the corpus stream is), and the top
+    * `QuantCand` per query are reranked with the exact float cosine.
+    * This closes v38's one scale gap: its stage 1 flat-scanned the
+    * whole corpus per query; here stage 1 reads only the probed cells'
+    * codes. Every arithmetic step reuses a parity-established building
+    * block (fixed-point centroid means, assignment ties by cell id,
+    * floor-quantized codes, left-fold dot products), so the oracle
+    * composes v38's CTEs with the unrolled Lloyd iterations verbatim.
+    */
+  def qAnnIvfSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cent = kmeansCentroids(s, dir)
+    val codes = ivfCodes(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qfv"), col("nv").as("qnv"))
+    val probes = {
+      val scored = q.join(broadcast(cent))
+        .withColumn("csim", dot("qfv", "cv") / (col("qnv") * col("ncv")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("csim").desc, col("cid"))
+      scored.withColumn("p", row_number().over(w)).filter(col("p") <= 2)
+        .select(col("query_id"), col("qfv"), col("qnv"),
+          col("cid").as("ivf_cell"))
+    }
+    // stage 1: SQ8 scan restricted to the probed cells — an equi-join
+    // on ivf_cell feeding the quantized scoring, no full-corpus stage
+    val scanned = probes.join(codes, Seq("ivf_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qscore", dot("qfv", "dv") / (col("qnv") * col("ndv")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col("vec_id"))
+    val cand = scanned.withColumn("crank", row_number().over(w1))
+      .filter(col("crank") <= QuantCand)
+      .select(col("query_id"), col("qfv"), col("qnv"), col("vec_id"),
+        col("ivf_cell"), col("qscore"))
+    // stage 2: exact rerank of the small candidate set
+    val rer = cand.join(e.select(col("vec_id"), col("v"), col("nv")), Seq("vec_id"))
+      .withColumn("cosine", dot("qfv", "v") / (col("qnv") * col("nv")))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("ivf_cell"), col("qscore"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qAnnIvfSq8Oracle: String = s"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 LIST_DOT_PRODUCT(v, cv) /
+                   (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
+                 cid) AS rn
+        FROM e CROSS JOIN c0)
+      WHERE rn = 1),
+    c1dim AS (
+      SELECT cid, dim,
+             CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1e12 AS c
+      FROM (SELECT a1.cid, i AS dim, x
+            FROM (SELECT vec_id, UNNEST(v) AS x, UNNEST(RANGE(0, LEN(v))) AS i FROM e) ex
+            JOIN a1 ON a1.vec_id = ex.vec_id)
+      GROUP BY cid, dim),
+    c1 AS (SELECT cid, LIST(c ORDER BY dim) AS cv FROM c1dim GROUP BY cid),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 LIST_DOT_PRODUCT(v, cv) /
+                   (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
+                 cid) AS rn
+        FROM e CROSS JOIN c1)
+      WHERE rn = 1),
+    c2dim AS (
+      SELECT cid, dim,
+             CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1e12 AS c
+      FROM (SELECT a2.cid, i AS dim, x
+            FROM (SELECT vec_id, UNNEST(v) AS x, UNNEST(RANGE(0, LEN(v))) AS i FROM e) ex
+            JOIN a2 ON a2.vec_id = ex.vec_id)
+      GROUP BY cid, dim),
+    cent AS (SELECT cid, LIST(c ORDER BY dim) AS cv FROM c2dim GROUP BY cid),
+    asg AS (
+      SELECT vec_id, cid AS ivf_cell FROM (
+        SELECT e.vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 LIST_DOT_PRODUCT(v, cv) /
+                   (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
+                 cid) AS rn
+        FROM e CROSS JOIN cent)
+      WHERE rn = 1),
+    d AS (SELECT UNNEST(RANGE(1, LEN(v) + 1)) AS dim, UNNEST(v) AS x FROM e),
+    st AS (SELECT dim, MIN(x) AS dmin, MAX(x) AS dmax FROM d GROUP BY dim),
+    arrs AS (SELECT LIST(dmin ORDER BY dim) AS mins, LIST(dmax ORDER BY dim) AS maxs FROM st),
+    qz AS (
+      SELECT vec_id, v,
+             LIST_TRANSFORM(RANGE(1, LEN(v) + 1), i ->
+               CASE WHEN maxs[i] = mins[i] THEN 0
+                    ELSE CAST(FLOOR((v[i] - mins[i]) * 255.999 / (maxs[i] - mins[i])) AS BIGINT)
+               END) AS qv
+      FROM e CROSS JOIN arrs),
+    dq AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(RANGE(1, LEN(qv) + 1), i ->
+               CASE WHEN maxs[i] = mins[i] THEN mins[i]
+                    ELSE mins[i] + (qv[i] + 0.5) * (maxs[i] - mins[i]) / 256.0
+               END) AS dv
+      FROM qz CROSS JOIN arrs),
+    codes AS (
+      SELECT dq.vec_id, asg.ivf_cell, dq.dv
+      FROM dq JOIN asg ON asg.vec_id = dq.vec_id),
+    q AS (SELECT vec_id AS query_id, v AS qfv FROM e WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qfv, cid AS ivf_cell FROM (
+        SELECT q.query_id, q.qfv, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 LIST_DOT_PRODUCT(qfv, cv) /
+                   (SQRT(LIST_DOT_PRODUCT(qfv, qfv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
+                 cent.cid) AS p
+        FROM q CROSS JOIN cent)
+      WHERE p <= 2),
+    scanned AS (
+      SELECT probes.query_id, codes.vec_id, codes.ivf_cell, qfv,
+             LIST_DOT_PRODUCT(qfv, dv) /
+               (SQRT(LIST_DOT_PRODUCT(qfv, qfv)) * SQRT(LIST_DOT_PRODUCT(dv, dv))) AS qscore
+      FROM probes JOIN codes ON codes.ivf_cell = probes.ivf_cell
+      WHERE codes.vec_id <> probes.query_id),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY qscore DESC, vec_id) AS crank
+        FROM scanned)
+      WHERE crank <= $QuantCand),
+    rer AS (
+      SELECT query_id, cand.vec_id AS neighbor_id, cand.ivf_cell, qscore,
+             LIST_DOT_PRODUCT(qfv, e.v) /
+               (SQRT(LIST_DOT_PRODUCT(qfv, qfv)) * SQRT(LIST_DOT_PRODUCT(e.v, e.v))) AS cosine
+      FROM cand JOIN e ON e.vec_id = cand.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rer)
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ivf_cell, qscore, cosine
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   /** Nearest-centroid cluster assignment — the k-means E-step and the
     * IVF coarse assignment in one operator, plus the purity diagnostic a
     * corpus release wants (how well do embedding clusters track source
@@ -584,6 +807,7 @@ object VectorOps {
     recall("lsh", qAnnLsh(s, dir), 3)
       .unionByName(recall("ivf", qAnnIvf(s, dir), 3))
       .unionByName(recall("sq8", qAnnQuantized(s, dir), 5))
+      .unionByName(recall("ivf_sq8", qAnnIvfSq8(s, dir), 5))
       .orderBy(col("method"))
   }
 
@@ -595,5 +819,6 @@ object VectorOps {
     GateQuery("v37_ann_ivf", qAnnIvf, Some(qAnnIvfOracle)),
     GateQuery("v38_ann_quantized", qAnnQuantized, Some(qAnnQuantizedOracle)),
     GateQuery("v39_cluster_assign", qClusterAssign, Some(qClusterAssignOracle)),
+    GateQuery("v40_ann_ivf_sq8", qAnnIvfSq8, Some(qAnnIvfSq8Oracle)),
   )
 }

@@ -54,26 +54,57 @@ object GraftSql {
     }
   }
 
-  /** Register every catalog operator as a LAZY temp view named after
-    * its gate id (`t28_minhash_lsh`, `v38_ann_quantized`, …):
-    * `createOrReplaceTempView` stores the logical plan, nothing runs
-    * until a `spark.sql` query actually reads the view — so registering
-    * the full catalog is free, and a SQL user can join operator outputs
-    * (`SELECT * FROM t40_dedup_clusters WHERE NOT is_canonical`)
-    * without touching the Scala API.
+  /** Operators whose PLAN CONSTRUCTION already runs a Spark job to
+    * train a model artifact (t46's `df.stat.bloomFilter` is an eager
+    * collect over the corpus' shingles) — registering their views is
+    * not free, so `init` skips them and a caller opts in via
+    * [[registerEagerViews]] when it wants to pay for artifact training
+    * up front.
+    */
+  val EagerArtifactViews: Set[String] = Set("t46_bloom_decontaminate")
+
+  /** Register every non-eager catalog operator as a LAZY temp view
+    * named after its gate id (`t28_minhash_lsh`, `v38_ann_quantized`,
+    * …): `createOrReplaceTempView` stores the logical plan, nothing
+    * runs until a `spark.sql` query actually reads the view — so
+    * registering this catalog is free, and a SQL user can join operator
+    * outputs (`SELECT * FROM t40_dedup_clusters WHERE NOT
+    * is_canonical`) without touching the Scala API. Operators in
+    * [[EagerArtifactViews]] would break that contract (their plan
+    * build trains a model with a real Spark job), so they are left to
+    * [[registerEagerViews]].
     */
   def registerOperatorViews(spark: SparkSession, dir: String): Unit =
     graft.SparkEntry.queries.foreach { case (name, build) =>
       // building a plan eagerly lists/infers its source files, and some
       // operators read fixture folders a deployment may not have — skip
       // those views instead of failing the whole init
-      try build(spark, dir).createOrReplaceTempView(name)
-      catch { case e: Exception =>
-        System.err.println(s"[graft-sql] skipping view $name: ${e.getMessage}")
+      if (!EagerArtifactViews.contains(name)) {
+        try build(spark, dir).createOrReplaceTempView(name)
+        catch { case e: Exception =>
+          System.err.println(s"[graft-sql] skipping view $name: ${e.getMessage}")
+        }
       }
     }
 
-  /** One-call setup: functions + views. */
+  /** Opt-in registration of the eager-artifact operators: runs their
+    * model-training jobs (bounded — the t46 sketch is one pass over the
+    * benchmark docs' shingles) at call time so the views exist for SQL
+    * users who want them.
+    */
+  def registerEagerViews(spark: SparkSession, dir: String): Unit =
+    graft.SparkEntry.queries.view.filterKeys(EagerArtifactViews).foreach {
+      case (name, build) =>
+        try build(spark, dir).createOrReplaceTempView(name)
+        catch { case e: Exception =>
+          System.err.println(s"[graft-sql] skipping eager view $name: ${e.getMessage}")
+        }
+    }
+
+  /** One-call setup: functions + table views + the free operator
+    * catalog. Eager-artifact views are NOT included — see
+    * [[registerEagerViews]].
+    */
   def init(spark: SparkSession, dir: String): Unit = {
     registerFunctions(spark)
     registerViews(spark, dir)

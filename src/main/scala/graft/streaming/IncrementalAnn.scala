@@ -61,9 +61,14 @@ object IncrementalAnn {
       StructField("plane_id", IntegerType, nullable = false),
       StructField("pv", ArrayType(DoubleType), nullable = false)))
     if (!new java.io.File(pp).exists()) {
+      // number the ≤ bands×bits seed planes in-row (single-row
+      // aggregate + posexplode) instead of a global window — same
+      // result, no empty-partition WindowExec warning in the logs
       batch.orderBy(col("vec_id")).limit(cfg.bands * cfg.bits)
-        .select(row_number().over(Window.orderBy(col("vec_id")))
-          .cast("int").minus(1).as("plane_id"), col("v").as("pv"))
+        .agg(expr("array_sort(collect_list(struct(vec_id, v)))").as("ps"))
+        .select(posexplode(col("ps")).as(Seq("plane_id", "p")))
+        .select(col("plane_id").cast("int").as("plane_id"),
+          col("p.v").as("pv"))
         .write.mode("overwrite").parquet(pp)
     }
     spark.read.schema(schema).parquet(pp)

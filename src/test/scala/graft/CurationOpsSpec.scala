@@ -46,6 +46,20 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("sampler edge contracts: empty rates keep nothing, no internal column leaks") {
+    val docs = Tables.documents(spark, dir)
+    // rates = {} means no stratum is configured ⇒ drop everything
+    // (r6 this failed analysis on the zero-arg map())
+    val none = CurationOps.withSampleFlag(docs, "doc_id", "source", Map.empty, "st:")
+    assert(none.filter(col("kept")).count() == 0)
+    // library sampler returns the caller's schema unchanged — the
+    // ordering hash is internal (r6 leaked an undocumented `h`)
+    val base = docs.select(col("doc_id"), col("source"))
+    val sampled = CurationOps.uniformSample(base, "doc_id", 10)
+    assert(sampled.columns.toSeq == Seq("doc_id", "source"))
+    assert(sampled.count() == 10)
+  }
+
   test("uniform sample is exactly k, hash-ordered, and stable across runs") {
     val a = CurationOps.qUniformSample(spark, dir).collect()
     val b = CurationOps.qUniformSample(spark, dir).collect()
@@ -148,12 +162,14 @@ class CurationOpsSpec extends AnyFunSuite {
     val rows = VectorOps.annRecallReport(spark, dir).collect()
       .map(r => r.getAs[String]("method") ->
         (r.getAs[Int]("k"), r.getAs[Long]("n_queries"), r.getAs[Double]("recall"))).toMap
-    assert(rows.keySet == Set("lsh", "ivf", "sq8"))
+    assert(rows.keySet == Set("lsh", "ivf", "sq8", "ivf_sq8"))
     rows.foreach { case (m, (k, nq, rec)) =>
       assert(k > 0 && nq > 0 && rec >= 0.0 && rec <= 1.0, s"$m: k=$k nq=$nq recall=$rec")
     }
     // the SQ8 two-stage path is near-exact by construction
     assert(rows("sq8")._3 >= 0.8, s"sq8 recall ${rows("sq8")._3}")
+    // the composed IVF×SQ8 path loses only what 2-probe pruning loses
+    assert(rows("ivf_sq8")._3 >= 0.8, s"ivf_sq8 recall ${rows("ivf_sq8")._3}")
     SessionMemo.release(spark)
   }
 

@@ -161,20 +161,35 @@ class ScaleAndSinkSpec extends AnyFunSuite {
     val q3 = graft.operators.Relational.q3TopOrders(spark, dir)
       .queryExecution.executedPlan.toString
     assert(q3.contains("BroadcastHashJoin"), s"q3 lost its broadcast dims:\n$q3")
-    // t46: the bloom path's only joins are the broadcast verify — the
-    // corpus must not sort-merge or shuffle-hash against anything
+    // t46: the bloom path's only join is the broadcast EQUI-join of the
+    // exact verify (inverted-index on the shingle, r7) — the corpus must
+    // not shuffle against anything, and the verify must never regress to
+    // the candidates × benchmark-arrays nested-loop of r6
     val t46 = graft.operators.TrainingOps.qBloomDecontaminate(spark, dir)
       .queryExecution.executedPlan.toString
     assert(!t46.contains("SortMergeJoin") && !t46.contains("ShuffledHashJoin"),
       s"t46 corpus side gained a shuffled join:\n$t46")
-    assert(t46.contains("BroadcastNestedLoopJoin"),
-      s"t46 verify stage lost its broadcast:\n$t46")
+    assert(t46.contains("BroadcastHashJoin"),
+      s"t46 verify stage lost its broadcast equi-join:\n$t46")
+    assert(!t46.contains("BroadcastNestedLoopJoin"),
+      s"t46 verify regressed to a nested-loop crossJoin:\n$t46")
     // v39: one corpus pass against broadcast centroids
     val v39 = graft.operators.VectorOps.qClusterAssign(spark, dir)
       .queryExecution.executedPlan.toString
     assert(v39.contains("BroadcastNestedLoopJoin"),
       s"v39 centroids no longer broadcast:\n$v39")
-    Seq("t38" -> t38, "q3" -> q3, "t46" -> t46, "v39" -> v39).foreach {
+    // v40: the SQ8 scan must be fed by an EQUI-join on the probed IVF
+    // cell — the composed path exists precisely so stage 1 stops
+    // flat-scanning the corpus per query (v38's one scale gap)
+    val v40 = graft.operators.VectorOps.qAnnIvfSq8(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(v40.contains("ivf_cell"),
+      s"v40 lost its IVF-cell equi-join:\n$v40")
+    assert(v40.contains("BroadcastHashJoin") || v40.contains("SortMergeJoin") ||
+      v40.contains("ShuffledHashJoin"),
+      s"v40 candidate generation is not an equi-join:\n$v40")
+    Seq("t38" -> t38, "q3" -> q3, "t46" -> t46, "v39" -> v39, "v40" -> v40)
+      .foreach {
       case (n, p) =>
         assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
     }

@@ -59,6 +59,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     graft.operators.SessionMemo.release(spark)
   }
 
+  test("eager-artifact views are excluded from free init, available on opt-in") {
+    GraftSql.init(spark, "/root/testdata/sf0.001")
+    // init must stay plan-construction-only: t46 trains a Bloom sketch
+    // with a real Spark job at plan build, so it is not in the catalog
+    assert(!spark.catalog.tableExists("t46_bloom_decontaminate"),
+      "eager-artifact view leaked into the free init catalog")
+    GraftSql.registerEagerViews(spark, "/root/testdata/sf0.001")
+    val n = spark.sql("SELECT COUNT(*) FROM t46_bloom_decontaminate")
+      .head().getLong(0)
+    assert(n >= 0)
+    graft.operators.SessionMemo.release(spark)
+  }
+
   test("typed dataset core over the shredded star") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.option("multiLine", true).schema(FicSchema.raw)
