@@ -159,6 +159,29 @@ object TextOps {
     WHERE inter / (sa.n + sb.n - inter) >= 0.5
     ORDER BY doc_a, doc_b"""
 
+  /** [[qNgramJaccard]] with its small-corpus CONTRACT ENFORCED instead
+    * of documented (r7, VERDICT #7): measure the hottest shingle's
+    * posting list FIRST — one cheap aggregate over the memoized shingle
+    * relation — and fail loudly BEFORE the quadratic self-join can run,
+    * the same fail-don't-mislabel discipline as t40's convergence
+    * guard. The check is deliberately an eager action: its entire point
+    * is to spend one vocabulary-sized aggregate to refuse a df²/2 pair
+    * explosion.
+    */
+  def qNgramJaccardGuarded(s: SparkSession, dir: String,
+      maxDf: Long = 1000L): DataFrame = {
+    val hottestRow = docShingles(s, dir)
+      .select(explode(col("shs")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head()
+    val hottest = if (hottestRow.isNullAt(0)) 0L else hottestRow.getLong(0)
+    if (hottest > maxDf) sys.error(
+      s"qNgramJaccard guard: hottest shingle df=$hottest > cap $maxDf — " +
+        "the unbounded posting-list self-join expands ~df²/2 candidate " +
+        "pairs per hot shingle; use qJaccardDfCap (t38) or qMinhashLsh (t28)")
+    qNgramJaccard(s, dir)
+  }
+
   /** N-gram Jaccard over the df-capped shingle subspace — the scale-safe
     * exact variant (r4, VERDICT #3): shingles whose document frequency
     * exceeds `DfCap` are boilerplate carrying near-zero Jaccard evidence;
@@ -328,48 +351,17 @@ object TextOps {
   /** Near-dup cluster assignment — the dedup endgame: connected
     * components over the MinHash+LSH pair graph, each member labeled
     * with its component's minimum doc_id and the canonical copy
-    * flagged. Iterative min-label propagation: every step is one
-    * distributed join+aggregate (neighbors' min label), the driver
-    * only checks convergence; iterations are bounded by the component
-    * diameter, which for near-dup graphs is tiny (dup clusters are
-    * near-cliques). Each step localCheckpoints, so lineage stays
-    * constant-depth. At 100 TB the same loop runs with the
-    * large-star/small-star optimization; the shape here (equi-joins,
-    * no driver-side graph) is already that algorithm's skeleton.
+    * flagged. Components come from [[Scale.connectedComponents]] —
+    * alternating large-star/small-star rounds (r7; previously plain
+    * min-label propagation whose round count was linear in component
+    * diameter, a silent cap-breaker for chained near-dup graphs at
+    * 100 TB). Every round is still only distributed join+aggregate
+    * steps; the driver checks convergence, never holds the graph.
     */
   def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = qMinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("u", "v")
-      .localCheckpoint(true)
-    // initial label = min(self, direct neighbors): folds the first
-    // propagation round into the vertex build — near-clique components
-    // then converge in one verification pass
-    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("nmin"))
-      .select(col("u").as("doc_id"), least(col("u"), col("nmin")).as("label"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    val MaxIters = 50
-    while (changed > 0 && iter < MaxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("v"), col("label").as("vlabel")),
-          Seq("v"))
-        .groupBy(col("u").as("doc_id"))
-        .agg(min(col("vlabel")).as("nmin"))
-      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
-        .withColumn("next", least(col("label"), coalesce(col("nmin"), col("label"))))
-        .localCheckpoint(true)
-      changed = updated.filter(col("next") =!= col("label")).count()
-      labels = updated.select(col("doc_id"), col("next").as("label"))
-      iter += 1
-    }
-    // an unconverged result silently mislabels every far-from-minimum
-    // member — fail loudly instead (a >50-diameter near-dup chain is a
-    // data anomaly worth surfacing, not averaging away)
-    if (changed > 0) sys.error(
-      s"dedup clustering did not converge within $MaxIters rounds ($changed labels still moving)")
+    val pairs = qMinhashLsh(s, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val (labels, _) = Scale.connectedComponents(pairs)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("cluster_id"),

@@ -38,6 +38,23 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
   }
 
+  test("t27 guard refuses a degenerate hot-shingle corpus, passes a benign one") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hotshingle").toString
+    // 60 docs all sharing the 3-gram "spam spam spam": df=60 — the guard
+    // must refuse before the ~df²/2 pair expansion, naming the scale paths
+    (0L until 60L).map(i => (i, s"spam spam spam unique$i", "en", "s", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[RuntimeException](
+      TextOps.qNgramJaccardGuarded(spark, dir, maxDf = 50L))
+    assert(e.getMessage.contains("df=60") && e.getMessage.contains("t38"))
+    // under the cap the guarded form returns exactly the baseline
+    val ok = TextOps.qNgramJaccardGuarded(spark, dir, maxDf = 60L)
+    assert(ok.collect().sameElements(TextOps.qNgramJaccard(spark, dir).collect()))
+    graft.operators.SessionMemo.release(spark)
+  }
+
   test("top_bigram_count tolerates null elements and rejects non-array input") {
     import spark.implicits._
     graft.functions.TopBigramCount.register(spark)

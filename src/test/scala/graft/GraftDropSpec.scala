@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.app.GraftDrop
+
+/** End-to-end contract of the `graft-drop` one-command driver: two
+  * successive drops into the same folder, where the second drop's
+  * near-dup pairs and ANN neighbors must surface from the PERSISTED
+  * indexes alone (the first drop's text is never re-read — the
+  * file-source checkpoint skips its files), and a replay run with no
+  * new files appends nothing.
+  */
+class GraftDropSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def writeDrop(dir: String, name: String, docs: Seq[(Long, String)]): Unit = {
+    val lines = docs.map { case (id, text) =>
+      s"""{"doc_id": $id, "text": "$text"}"""
+    }.mkString("\n")
+    Files.write(Paths.get(dir, name), lines.getBytes(UTF_8))
+  }
+
+  test("two drops: cross-drop dups and neighbors via persisted indexes, replay no-op") {
+    val in = Files.createTempDirectory("drop_in").toString
+    val index = Files.createTempDirectory("drop_index").toString
+
+    // drop 1: 16 ANN plane-seeders + a distinctive document
+    val drop1 = (0L until 16L).map(i =>
+      (i, s"filler document number $i with words w$i w${i * 3 % 7} w${i % 5}")) :+
+      (50L, "quarterly earnings report for the acme corporation fiscal year")
+    writeDrop(in, "drop1.json", drop1)
+    GraftDrop.run(spark, in, index)
+
+    val pairs1 = spark.read.parquet(s"$index/reports/pairs").count()
+    assert(pairs1 == 0, s"drop 1 has no near-dups, got $pairs1 pairs")
+
+    // drop 2: an exact text copy of doc 3 (dedup must pair them), a
+    // shuffled-word copy of doc 50 (identical bag-of-words → identical
+    // stub embedding, ANN must rank it first), and an unrelated doc
+    val drop2 = Seq(
+      (201L, "filler document number 3 with words w3 w2 w3"),
+      (200L, "acme corporation fiscal report quarterly earnings the for year"),
+      (202L, "completely unrelated gardening tips about tomato seedlings"))
+    writeDrop(in, "drop2.json", drop2)
+    GraftDrop.run(spark, in, index)
+
+    val pairs = spark.read.parquet(s"$index/reports/pairs").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+    assert(pairs.exists { case (a, b, j) => a == 3L && b == 201L && j == 1.0 },
+      s"cross-drop exact dup (3, 201) not found: ${pairs.mkString(", ")}")
+
+    val nbrs = spark.read.parquet(s"$index/reports/neighbors").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    val hit = nbrs.find { case (q, rank, _, _) => q == 200L && rank == 1 }
+    assert(hit.exists { case (_, _, n, c) => n == 50L && math.abs(c - 1.0) < 1e-6 },
+      s"expected (200, rank 1) -> 50 @ ~1.0, got ${nbrs.mkString(", ")}")
+
+    // both drops' documents are in the persisted indexes exactly once
+    assert(spark.read.parquet(s"$index/dedup").count() == drop1.size + drop2.size)
+    assert(spark.read.parquet(s"$index/ann/vectors").count() == drop1.size + drop2.size)
+
+    // replay with no new files: nothing is appended anywhere
+    val (np, nn) = (spark.read.parquet(s"$index/reports/pairs").count(),
+      spark.read.parquet(s"$index/reports/neighbors").count())
+    GraftDrop.run(spark, in, index)
+    assert(spark.read.parquet(s"$index/reports/pairs").count() == np)
+    assert(spark.read.parquet(s"$index/reports/neighbors").count() == nn)
+    assert(spark.read.parquet(s"$index/dedup").count() == drop1.size + drop2.size)
+  }
+}

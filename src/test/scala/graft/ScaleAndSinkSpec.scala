@@ -196,6 +196,28 @@ class ScaleAndSinkSpec extends AnyFunSuite {
     SessionMemo.release(spark)
   }
 
+  test("large-star/small-star components converge logarithmically on a path graph") {
+    import spark.implicits._
+    // a 200-node path is the adversarial case for plain min-label
+    // propagation (needs ~199 rounds — past the old 50-round cap);
+    // the alternating algorithm must finish in O(log n) rounds
+    val n = 200
+    val path = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("u", "v")
+    val (labels, rounds) = Scale.connectedComponents(path)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == n)
+    assert(out.forall(_._2 == 0L), "every path node must label to the minimum")
+    val budget = math.ceil(math.log(n) / math.log(2)).toInt + 4
+    assert(rounds <= budget, s"took $rounds rounds, budget $budget")
+    // two disjoint components + an isolated pair stay separate
+    val multi = (Seq((10L, 11L), (11L, 12L), (20L, 21L)) ++
+      Seq((30L, 31L))).toDF("u", "v")
+    val (ml, _) = Scale.connectedComponents(multi)
+    val m = ml.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(10L) == 10L && m(11L) == 10L && m(12L) == 10L)
+    assert(m(20L) == 20L && m(21L) == 20L && m(30L) == 30L && m(31L) == 30L)
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val left = (1 to 10000).map(i => (i % 5, i)).toDF("k", "v")  // 5 hot keys
