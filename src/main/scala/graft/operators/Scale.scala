@@ -140,44 +140,63 @@ object Scale {
     * @return (labels (doc_id, label = component min), rounds run)
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    // Every intermediate edge set is kept CANONICALLY ORIENTED
+    // (u > v, distinct), which both star steps preserve — so the
+    // re-orientation + distinct a general small-star would need on
+    // entry is paid once on the raw input, not once per round.
     def largeStar(l: DataFrame): DataFrame = {
       val sym = l.union(l.select(col("v"), col("u"))).toDF("u", "v")
       val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // emitted (v, m) has v > u ≥ m: canonical, self-loop-free
       sym.join(m, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
         .distinct()
     }
     def smallStar(l: DataFrame): DataFrame = {
-      val dir = l.select(greatest(col("u"), col("v")).as("u"),
-          least(col("u"), col("v")).as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-      val m = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
-      // link every smaller neighbor AND u itself to the minimum
-      dir.join(m, Seq("u"))
+      // input canonical ⇒ every neighbor in v is smaller than u; link
+      // them AND u itself to the minimum — output again canonical
+      val m = l.groupBy(col("u")).agg(min(col("v")).as("m"))
+      l.join(m, Seq("u"))
         .select(explode(array(col("v"), col("u"))).as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
     }
-    val nodes = pairs.select(col("u")).union(pairs.select(col("v")))
-      .toDF("u").distinct().localCheckpoint(true)
-    var l = smallStar(pairs).localCheckpoint(true)
-    var n = l.count()
+    // (count, hash-sum) signature: a CHEAP per-round stability probe
+    // (one scan of the materialized frame). Signature equality only
+    // TRIGGERS the exact set-equality check — convergence is always
+    // confirmed by the anti-join, so hash collisions cost one wasted
+    // check, never a wrong answer.
+    def sig(l: DataFrame): (Long, Long) = {
+      val r = l.agg(count(lit(1)),
+        sum(hash(col("u"), col("v")).cast("long"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // materialize the caller's pair plan ONCE — the label join at the
+    // end must not re-run the candidate-generation upstream
+    val canon = pairs
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var l = smallStar(canon).localCheckpoint(true)
+    var s = sig(l)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(l)).localCheckpoint(true)
-      val n2 = next.count()
-      converged = n2 == n && next.except(l).isEmpty
-      l = next; n = n2; rounds += 1
+      val s2 = sig(next)
+      converged = s2 == s && next.except(l).isEmpty
+      l = next; s = s2; rounds += 1
     }
     if (!converged) sys.error(
       s"connected components did not converge within $maxRounds alternating rounds")
     // the fixed point is a star forest: component minimums have no
     // outgoing edge (label = self); the min() is purely defensive
+    val nodes = canon.select(col("u")).union(canon.select(col("v")))
+      .toDF("u").distinct()
     val labels = nodes
       .join(l.groupBy(col("u")).agg(min(col("v")).as("root")), Seq("u"), "left")
       .select(col("u").as("doc_id"), coalesce(col("root"), col("u")).as("label"))
