@@ -108,6 +108,41 @@ final class HttpOcrClient(
   }
 }
 
+/** Synchronous text→structured-JSON client (the reference's second
+  * external call, extract.py:169-202: one prompt+text request, one
+  * generated response; the markdown fence-stripping stays downstream in
+  * `LlmOperators.stripFences` exactly as the reference strips after the
+  * call). Wire: `POST {base}/structure` with `{"text": …}` →
+  * `{"json": …}`. Throws on HTTP or shape failure; the per-record
+  * retry/quarantine in `LlmOperators.structurize` owns recovery.
+  */
+final class HttpStructurizer(
+    baseUrl: String,
+    apiKey: String = "",
+    connectTimeoutMs: Long = 10000L,
+    requestTimeoutMs: Long = 60000L) extends Structurizer {
+
+  @transient private lazy val http = HttpClients.newHttp(connectTimeoutMs)
+  @transient private lazy val mapper = new ObjectMapper()
+
+  override def structure(text: String): String = {
+    val payload = mapper.createObjectNode()
+    payload.put("text", text)
+    val b = HttpRequest.newBuilder(URI.create(s"$baseUrl/structure"))
+      .timeout(Duration.ofMillis(requestTimeoutMs))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(payload)))
+    if (apiKey.nonEmpty) b.header("Authorization", s"Bearer $apiKey")
+    val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(s"POST /structure -> HTTP ${resp.statusCode()}")
+    val out = mapper.readTree(resp.body()).get("json")
+    if (out == null)
+      throw new java.io.IOException("malformed structure response: no json field")
+    out.asText()
+  }
+}
+
 /** Batched embedding client: one `POST {base}/embed` per batch with
   * `{"inputs": [text, …]}`, expecting `{"embeddings": [[float, …], …]}`
   * — one vector per input in order (`LlmOperators.embed` enforces the

@@ -81,6 +81,21 @@ class HttpClientsSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"""{"text":"${text.replace("\"", "\\\"")}"}""")
       } else respond(ex, 404, "{}")
     })
+    // POST /structure {"text": ...} -> fenced JSON derived from the text
+    server.createContext("/structure", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val text = mapper.readTree(body).get("text").asText()
+      if (text.contains("ERR")) respond(ex, 500, """{"error":"model overloaded"}""")
+      else {
+        val name = text.linesIterator.next()
+          .stripPrefix("FICHA TECNICA ").trim
+        val out = mapper.createObjectNode()
+        out.put("json",
+          s"""```json\n{"fic": {"nombre_fic": "$name", "gestor": "http"}}\n```""")
+        respond(ex, 200, mapper.writeValueAsString(out))
+      }
+    })
     // POST /embed {"inputs":[...]} -> one deterministic vector per input
     server.createContext("/embed", (ex: HttpExchange) => {
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
@@ -169,6 +184,25 @@ class HttpClientsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = LlmOperators.withRetries(3, _ => 0L)(
       fastOcr().extractText("flaky1.pdf", Array[Byte](7, 7)))
     assert(out == Right("FICHA TECNICA FLAKY1.PDF bytes=2"))
+  }
+
+  test("structurizer through Spark: fenced JSON parsed, poisoned text quarantined") {
+    import spark.implicits._
+    val texts = Seq(
+      ("a.pdf", "FICHA TECNICA FONDO_A\nbytes=9"),
+      ("b.pdf", "FICHA TECNICA ERR_DOC\nbytes=9"),
+    ).toDF("path", "text")
+    val out = LlmOperators.structurize(texts,
+        new graft.llm.HttpStructurizer(base), maxInFlight = 1,
+        backoffMs = _ => 0L).collect()
+      .map(r => r.getAs[String]("path") ->
+        (r.getAs[String]("json"), r.getAs[String]("error"),
+          r.getAs[org.apache.spark.sql.Row]("doc"))).toMap
+    // fences stripped downstream of the REAL client, from_json parses
+    assert(out("a.pdf")._2 == null && out("a.pdf")._1.startsWith("{"))
+    assert(out("a.pdf")._3.getAs[org.apache.spark.sql.Row]("fic")
+      .getAs[String]("nombre_fic") == "FONDO_A")
+    assert(out("b.pdf")._1 == null && out("b.pdf")._2.contains("HTTP 500"))
   }
 
   test("embedder through Spark: batched calls, vectors in order") {
