@@ -18,18 +18,28 @@ import graft.Tables
   *    cap — no cross join anywhere and no O(N²/buckets) stage;
   *  - per-label vector stats (decimal-exact norm aggregation).
   *
-  * All vector math is `zip_with`/`aggregate` higher-order functions over
-  * double-cast arrays — sequential left-folds, which both Spark and the
-  * DuckDB oracle's list functions evaluate in identical IEEE order, so
-  * cosines are engine-exact without any rounding.
+  * All vector math routes through the codegen'd
+  * [[graft.functions.DotProduct]] expression — a strictly sequential
+  * accumulation, which both Spark and the DuckDB oracle's
+  * `LIST_DOT_PRODUCT` evaluate in identical IEEE order, so cosines are
+  * engine-exact without any rounding (r7: same order as the interpreted
+  * `aggregate(zip_with(…))` folds it replaced, minus the per-element
+  * lambda overhead).
   */
 object VectorOps {
 
   /** embedding cast float→double (exact widening). */
   private val vec: Column = expr("transform(embedding, x -> cast(x as double))")
 
+  /** Sequential dot product — the codegen'd [[graft.functions.DotProduct]]
+    * expression (r7; previously an interpreted `aggregate(zip_with(…))`
+    * fold — identical IEEE operation order, so every oracle hash is
+    * unchanged, but the loop now runs inside whole-stage codegen).
+    * Sessions register the function in [[embs]]/[[qVectorStats]], the
+    * entry points of every plan built here.
+    */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)")
+    expr(s"dot_product($a, $b)")
 
   /** (vec_id, label, v, nv = ‖v‖): the norm is a per-vector constant, so
     * compute it ONCE at load instead of per candidate pair — the scoring
@@ -37,12 +47,14 @@ object VectorOps {
     * the same left-fold is bit-identical to the oracle's per-row
     * SQRT(LIST_DOT_PRODUCT(v, v)), so cosines are unchanged.
     */
-  private def embs(s: SparkSession, dir: String): DataFrame =
+  private def embs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
     SessionMemo.persist("vec:embs", s, dir) {
       Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), vec.as("v"))
         .withColumn("nv", sqrt(dot("v", "v")))
     }
+  }
 
   /** The materialized (vec_id, band_id, sig) signature index — computed
     * once per (session, dir) and shared by every probing query, exactly
@@ -121,8 +133,7 @@ object VectorOps {
     val bucket = e.crossJoin(broadcast(planesArr))
       .withColumn("bucket", expr(
         """aggregate(ps, 0L, (acc, p) -> acc +
-             if(aggregate(zip_with(v, p.pv, (x, y) -> x * y),
-                          cast(0 as double), (a2, v2) -> a2 + v2) >= 0,
+             if(dot_product(v, p.pv) >= 0,
                 shiftleft(1L, p.plane_id), 0L))"""))
       .drop("ps")
     val banded = bucket
@@ -255,6 +266,7 @@ object VectorOps {
     * decimal cast makes the cross-row sum order-independent).
     */
   def qVectorStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
     Tables.embeddings(s, dir)
       .withColumn("v", vec)
       .withColumn("norm", sqrt(dot("v", "v")))

@@ -20,6 +20,7 @@ object GraftSql {
   def registerFunctions(spark: SparkSession): Unit = {
     import graft.functions.Registration.once
     PyRound.register(spark)
+    graft.functions.DotProduct.register(spark)
     once(spark, "parse_spanish_date") { spark.udf.register("parse_spanish_date",
       (s: String) => SpanishDate.parse(s)) }
     once(spark, "lcs_similarity") { spark.udf.register("lcs_similarity",

@@ -34,8 +34,12 @@ object IncrementalAnn {
   final case class Config(bands: Int = 2, bits: Int = 8, cap: Long = 100L,
       k: Int = 3)
 
+  /** Sequential dot product via the codegen'd expression — identical
+    * IEEE order to the HOF fold it replaced (see VectorOps notes);
+    * registered per session in [[probeAndUpdate]].
+    */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)")
+    expr(s"dot_product($a, $b)")
 
   private def vectorsPath(p: String) = s"$p/vectors"
   private def planesPath(p: String) = s"$p/planes"
@@ -81,8 +85,7 @@ object IncrementalAnn {
     df.crossJoin(broadcast(planesArr))
       .withColumn("bucket", expr(
         """aggregate(ps, 0L, (acc, p) -> acc +
-             if(aggregate(zip_with(v, p.pv, (x, y) -> x * y),
-                          cast(0 as double), (a2, v2) -> a2 + v2) >= 0,
+             if(dot_product(v, p.pv) >= 0,
                 shiftleft(1L, p.plane_id), 0L))"""))
       .drop("ps")
   }
@@ -101,6 +104,7 @@ object IncrementalAnn {
   def probeAndUpdate(batch: DataFrame, indexPath: String,
       cfg: Config = Config()): DataFrame = {
     val spark = batch.sparkSession
+    graft.functions.DotProduct.register(spark)
     val existing = readOr(spark, vectorsPath(indexPath), vectorsSchema)
     val pl = planes(spark, batch, indexPath, cfg)
     val fresh = withBucket(

@@ -158,6 +158,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(quarter > 0.05 && quarter < 0.45, s"partial epoch fraction $quarter")
   }
 
+  test("dot_product expression matches the HOF fold bit-for-bit incl. null semantics") {
+    graft.functions.DotProduct.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val rows = (1 to 300).map { i =>
+      val n = rnd.nextInt(9)
+      (i.toLong, Seq.fill(n)(rnd.nextDouble() * 2 - 1),
+        Seq.fill(n)(rnd.nextDouble() * 2 - 1))
+    }
+    val out = rows.toDF("id", "a", "b")
+      .withColumn("hof", expr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"))
+      .withColumn("native", expr("dot_product(a, b)"))
+      .select("hof", "native").collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"bit mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+    // HOF-mirroring edge semantics: empty → 0.0; length mismatch, null
+    // element, null array → null
+    val edge = spark.sql("""SELECT
+      dot_product(array(), array()) AS empty,
+      dot_product(array(1.0d, 2.0d), array(1.0d)) AS mismatch,
+      dot_product(array(1.0d, cast(null as double)), array(1.0d, 2.0d)) AS nullelem,
+      dot_product(cast(null as array<double>), array(1.0d)) AS nullarr""").head()
+    assert(edge.getDouble(0) == 0.0 && edge.isNullAt(1) &&
+      edge.isNullAt(2) && edge.isNullAt(3))
+  }
+
   test("ANN recall report ranks methods against the exact baseline") {
     val rows = VectorOps.annRecallReport(spark, dir).collect()
       .map(r => r.getAs[String]("method") ->
