@@ -67,4 +67,22 @@ object ReliabilityReport {
       df.coalesce(1).write.mode("overwrite")
         .option("header", "true").csv(s"$outDir/$name")
     }
+
+  /** Write the four sheets as ONE `.xlsx` workbook — the reference's
+    * actual artifact (`comparacion_resultados.xlsx`, test_ETL.py:306-323)
+    * via the dependency-free [[Xlsx]] writer. The sheets are QA-report
+    * sized, so collecting them to the driver is the point, not a
+    * compromise (the reference builds them from in-memory dicts).
+    */
+  def writeXlsx(actual: DataFrame, expected: DataFrame, keyCol: String,
+      path: String, tolerance: Double = 1e-10): Unit = {
+    val rendered = sheets(actual, expected, keyCol, tolerance).map {
+      case (name, df) =>
+        val header = df.columns.toSeq
+        val rows = df.collect().toSeq.map(r =>
+          header.indices.map(i => Option(r.get(i)).map(_.toString).orNull))
+        name -> (header +: rows)
+    }
+    Xlsx.write(path, rendered)
+  }
 }

@@ -366,4 +366,46 @@ class ScaleAndSinkSpec extends AnyFunSuite {
     assert(campos.select("campo").collect().map(_.getString(0)).toSet ==
       Set("nombre", "valor"))
   }
+
+  test("reliability report: .xlsx workbook is a valid OOXML package with 4 sheets") {
+    import spark.implicits._
+    val expected = Seq(
+      ("BancoA_Fondo1_raw_transformed.json", "x", 1.0),
+      ("BancoA_Fondo2_raw_transformed.json", "y", 2.0)
+    ).toDF("filename", "nombre", "valor")
+    val actual = Seq(
+      ("BancoA_Fondo1_raw_transformed.json", "x", 1.0),
+      ("BancoA_Fondo2_raw_transformed.json", "y", 2.5)
+    ).toDF("filename", "nombre", "valor")
+    val path = java.nio.file.Files.createTempDirectory("xlsx")
+      .resolve("comparacion_resultados.xlsx").toString
+    ReliabilityReport.writeXlsx(actual, expected, "filename", path)
+
+    val zip = new java.util.zip.ZipFile(path)
+    try {
+      def read(name: String): String = {
+        val e = zip.getEntry(name)
+        assert(e != null, s"missing zip part $name")
+        new String(zip.getInputStream(e).readAllBytes(), "UTF-8")
+      }
+      // the package parses as XML (JDK parser — what any reader runs first)
+      val db = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+      Seq("[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+        "xl/_rels/workbook.xml.rels") ++ (1 to 4).map(i =>
+        s"xl/worksheets/sheet$i.xml") foreach { part =>
+        db.parse(new java.io.ByteArrayInputStream(read(part).getBytes("UTF-8")))
+      }
+      val wb = read("xl/workbook.xml")
+      Seq("Diferencias_Detalladas", "Confiabilidad", "Resumen_Campos",
+        "Resumen_Bancos").foreach(s => assert(wb.contains(s"""name="$s""""), s))
+      // Confiabilidad (sheet 2): header row + the 50% score as a NUMBER cell
+      val conf = read("xl/worksheets/sheet2.xml")
+      assert(conf.contains("<t xml:space=\"preserve\">confiabilidad</t>"))
+      assert(conf.contains("""t="n"><v>50.0</v>"""))
+      // Diferencias (sheet 1): the one numeric diff appears
+      val dif = read("xl/worksheets/sheet1.xml")
+      assert(dif.contains("""<v>2.5</v>""") && dif.contains("""<v>2.0</v>"""))
+    } finally zip.close()
+  }
 }
