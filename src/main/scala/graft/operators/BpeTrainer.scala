@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+
+/** Full byte-pair-encoding tokenizer TRAINING — the driver loop t48 is
+  * one iteration of (Sennrich et al. 2016's algorithm, the shape GPT-2's
+  * tokenizer trains with).
+  *
+  * The one corpus-sized pass is the initial word-frequency aggregate:
+  * BPE statistics are identical on the (word, count) table and that
+  * table is vocabulary-sized (≪ corpus), so the merge loop runs
+  * entirely on a persisted frame of ~|vocab| rows — per round one
+  * pair-count aggregate over in-row adjacent pairs (weighted by word
+  * count) and one in-row merge application (a left fold, which applies
+  * overlapping occurrences greedily left-to-right exactly like the
+  * reference algorithm). At 100 TB the corpus pass stays one
+  * map-side-combinable shuffle and the loop cost is unchanged — this is
+  * why production tokenizer training is cheap relative to the corpus
+  * scan that feeds it.
+  *
+  * Ties break deterministically: highest count, then lexicographically
+  * smallest (left, right) pair — so training is reproducible across
+  * runs, partitionings and engines.
+  */
+object BpeTrainer {
+
+  /** One trained merge: rank is 1-based training order. */
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** (word, n) frequency table of the corpus — the only corpus-sized
+    * aggregation in training.
+    */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
+  /** Split every word into single-character symbols. */
+  private def toSymbols(vocab: DataFrame): DataFrame =
+    vocab.withColumn("syms",
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+
+  private def pairCounts(symed: DataFrame): DataFrame =
+    symed
+      .select(col("n"), explode(expr(
+        """case when size(syms) < 2 then array()
+             else transform(sequence(1, size(syms) - 1),
+               i -> struct(element_at(syms, i) as l, element_at(syms, i + 1) as r))
+           end""")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("n")).as("cnt"))
+
+  /** Apply one merge (l, r) → l||r in-row: a left fold over the symbol
+    * array, so overlapping occurrences merge greedily left-to-right
+    * (aaa with merge (a,a) → [aa, a]) — the reference algorithm's
+    * semantics.
+    */
+  private def applyMerge(symed: DataFrame, l: String, r: String): DataFrame = {
+    def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    symed.withColumn("syms", expr(
+      s"""aggregate(syms, cast(array() as array<string>), (acc, s) ->
+            if(size(acc) > 0 and element_at(acc, -1) = '${q(l)}' and s = '${q(r)}',
+               concat(slice(acc, 1, size(acc) - 1), array('${q(l)}${q(r)}')),
+               concat(acc, array(s))))"""))
+  }
+
+  /** Train `nMerges` merges over the corpus' word-frequency table.
+    * Each round collects exactly ONE row to the driver (the winning
+    * pair — the loop's control decision, not data).
+    */
+  def train(docs: DataFrame, nMerges: Int): Seq[Merge] = {
+    var symed = toSymbols(wordCounts(docs))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    symed.count()
+    val merges = Seq.newBuilder[Merge]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val top = pairCounts(symed)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val l = top.head.getAs[String]("l")
+        val r = top.head.getAs[String]("r")
+        merges += Merge(i + 1, l, r, top.head.getAs[Long]("cnt"))
+        val next = applyMerge(symed, l, r)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        symed.unpersist()
+        symed = next
+        i += 1
+      }
+    }
+    symed.unpersist()
+    merges.result()
+  }
+
+  /** Tokenize documents with a trained merge list: the same left-fold
+    * merge application, replayed in training order over each word.
+    * Returns (doc_id, n_words, n_tokens) — the compression report a
+    * tokenizer's consumers want.
+    */
+  def tokenStats(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val symed = docs
+      .select(col("doc_id"), explode(
+        expr("filter(split(text, ' '), w -> w != '')")).as("w"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    val merged = merges.foldLeft(symed)((df, m) => applyMerge(df, m.left, m.right))
+    merged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gate surface: the trained merge table (driver smoke: rows > 0; the
+    * training loop is iterative, so correctness is pinned by the
+    * differential spec against a straight-line reference
+    * implementation, the m42 pattern).
+    */
+  def qBpeTrain(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    import s.implicits._
+    train(Tables.documents(s, dir), nMerges)
+      .toDF()
+      .select(col("rank"), col("left"), col("right"), col("count"))
+      .orderBy(col("rank"))
+  }
+}

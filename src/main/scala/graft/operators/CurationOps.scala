@@ -206,6 +206,89 @@ object CurationOps {
     FROM ranked WHERE rank <= $TopTermsK
     ORDER BY source, rank"""
 
+  /** Sparse lexical retrieval (BM25-shaped): top-k documents per query
+    * by Σ_t tf(d,t) · w(t) with the QUANTIZED inverse document
+    * frequency w(t) = ⌊10⁶ / df(t)⌋ — integer arithmetic end-to-end, so
+    * ranking is engine-exact (like t45, the log/saturation refinements
+    * of production BM25 are display-scale choices, not ranking
+    * structure; a float idf would hash-diverge across engines at the
+    * last ulp). The complement to the dense-ANN pack: the same corpus
+    * is searchable lexically (this) and semantically (v33–v40).
+    *
+    * Scale shape: the query-term relation is tiny and BROADCASTS, so
+    * the occurrence stream joins without shuffling; per-(query, doc)
+    * scores are partial-aggregated; document frequency comes from the
+    * in-row-distinct per-doc term list (no global DISTINCT over
+    * occurrences); and the final top-k is the bounded
+    * [[graft.functions.TopKAgg]] — each task keeps k candidates per
+    * query, the shuffle carries queries×k rows, never a per-query sort
+    * of all matching documents.
+    */
+  private val RetrievalK = 5
+  private[graft] val RetrievalQueries: Seq[(Long, String)] = Seq(
+    (0L, "spark hash join"),
+    (1L, "window agg stream"),
+    (2L, "customer order line"),
+    (3L, "vector scan filter"),
+    (4L, "slow query batch"))
+
+  def qLexicalTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.register(s)
+    import s.implicits._
+    val qterms = RetrievalQueries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(
+        expr("array_distinct(filter(split(qtext, ' '), w -> w != ''))")).as("w"))
+    val occ = occurrences(s, dir).select(col("doc_id"), col("w"))
+    // df over the per-doc DISTINCT term list, distinctness in-row
+    val dfc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(filter(split(text, ' '), w -> w != ''))")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .withColumn("idfw", expr("1000000 div df"))
+    val tf = occ.join(broadcast(qterms), Seq("w"))
+      .groupBy(col("query_id"), col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val scores = tf.join(dfc, Seq("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * col("idfw")).as("score"))
+    scores
+      .groupBy(col("query_id"))
+      .agg(expr(s"top_k_by_value(cast(score as double), doc_id, $RetrievalK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("p.id").as("doc_id"), col("p.value").cast("long").as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qLexicalTopkOracle: String = {
+    val values = RetrievalQueries
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""
+    WITH qs(query_id, qtext) AS (VALUES $values),
+    qterms AS (
+      SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+             UNNEST(LIST_FILTER(STRING_SPLIT(qtext, ' '), w -> w <> '')) AS w
+      FROM qs),
+    occ AS (SELECT doc_id, UNNEST($wordsSql) AS w FROM documents),
+    dt AS (SELECT DISTINCT doc_id, w FROM occ),
+    dfc AS (SELECT w, COUNT(*) AS df, 1000000 // COUNT(*) AS idfw FROM dt GROUP BY w),
+    tf AS (
+      SELECT query_id, doc_id, occ.w, COUNT(*) AS tf
+      FROM occ JOIN qterms ON occ.w = qterms.w
+      GROUP BY 1, 2, 3),
+    sc AS (
+      SELECT query_id, doc_id, CAST(SUM(tf * idfw) AS BIGINT) AS score
+      FROM tf JOIN dfc ON tf.w = dfc.w
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rank
+      FROM sc)
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+    FROM ranked WHERE rank <= $RetrievalK
+    ORDER BY query_id, rank"""
+  }
+
   /** BPE merge-candidate counting — one iteration of byte-pair-encoding
     * tokenizer training: count every adjacent character pair across the
     * corpus and rank the merge candidates. Pair extraction is in-row
@@ -372,5 +455,10 @@ object CurationOps {
     GateQuery("t45_top_terms", qTopTerms, Some(qTopTermsOracle)),
     GateQuery("t47_curate_manifest", qCurateManifest, Some(qCurateManifestOracle)),
     GateQuery("t48_bpe_pairs", qBpePairs, Some(qBpePairsOracle)),
+    GateQuery("t50_lexical_topk", qLexicalTopk, Some(qLexicalTopkOracle)),
+    // iterative training loop — no single-statement SQL oracle; pinned
+    // by BpeTrainerSpec's differential check against a straight-line
+    // reference implementation (the m42 pattern), driver does rows>0
+    GateQuery("t51_bpe_train", (s, d) => BpeTrainer.qBpeTrain(s, d), None),
   )
 }

@@ -158,6 +158,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(quarter > 0.05 && quarter < 0.45, s"partial epoch fraction $quarter")
   }
 
+  test("lexical retrieval: k results per query, scores descending, deterministic") {
+    val rows = CurationOps.qLexicalTopk(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == CurationOps.RetrievalQueries.map(_._1).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q returned ${rs.length} results")
+      val scores = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("score"))
+      assert(scores.sameElements(scores.sortBy(-_)), s"query $q not score-ordered")
+      assert(scores.last > 0, s"query $q has a zero-score hit")
+    }
+    // hash-deterministic: a rerun is identical
+    val again = CurationOps.qLexicalTopk(spark, dir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+    // the bounded top-k aggregate, never a per-query sort of all matches
+    val plan = CurationOps.qLexicalTopk(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("top_k_by_value"), s"expected TopKAgg plan:\n$plan")
+    SessionMemo.release(spark)
+  }
+
   test("dot_product expression matches the HOF fold bit-for-bit incl. null semantics") {
     graft.functions.DotProduct.register(spark)
     import spark.implicits._
