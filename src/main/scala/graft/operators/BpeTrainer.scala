@@ -11,19 +11,26 @@ import graft.Tables
   *
   * The one corpus-sized pass is the initial word-frequency aggregate:
   * BPE statistics are identical on the (word, count) table and that
-  * table is vocabulary-sized (≪ corpus), so the merge loop runs
-  * entirely on a persisted frame of ~|vocab| rows — per round one
-  * pair-count aggregate over in-row adjacent pairs (weighted by word
-  * count) and one in-row merge application (a left fold, which applies
-  * overlapping occurrences greedily left-to-right exactly like the
-  * reference algorithm). At 100 TB the corpus pass stays one
-  * map-side-combinable shuffle and the loop cost is unchanged — this is
-  * why production tokenizer training is cheap relative to the corpus
-  * scan that feeds it.
+  * table is vocabulary-sized (≪ corpus). The merge loop itself runs in
+  * one of two regimes, dispatched on the measured vocabulary size:
   *
-  * Ties break deterministically: highest count, then lexicographically
+  *  - vocab ≤ `LocalVocabLimit` rows: collect the (word, n) table and
+  *    loop in driver memory. This is how production tokenizer trainers
+  *    work (HF tokenizers / SentencePiece aggregate counts, then train
+  *    in-memory): every merge round is pure CPU over a bounded table,
+  *    and running it as Spark jobs would spend ~0.2 s of scheduler
+  *    floor per round on sub-millisecond compute.
+  *  - larger vocabularies: the distributed loop — per round one
+  *    pair-count aggregate over in-row adjacent pairs (weighted by
+  *    word count) and one in-row merge application, on a persisted
+  *    ~|vocab|-row frame. No truncation, no failure: the fallback IS
+  *    the same algorithm, so the dispatch never changes results.
+  *
+  * Both paths merge greedily left-to-right within a word and break
+  * ties deterministically — highest count, then lexicographically
   * smallest (left, right) pair — so training is reproducible across
-  * runs, partitionings and engines.
+  * runs, partitionings, regimes and engines (a spec asserts the two
+  * paths produce identical merge sequences on the real corpus).
   */
 object BpeTrainer {
 
@@ -66,12 +73,76 @@ object BpeTrainer {
                concat(acc, array(s))))"""))
   }
 
-  /** Train `nMerges` merges over the corpus' word-frequency table.
-    * Each round collects exactly ONE row to the driver (the winning
-    * pair — the loop's control decision, not data).
+  /** Vocabularies at or under this row count train in driver memory;
+    * above it the distributed loop takes over. 200k (word, count)
+    * pairs is single-digit MB — far under any driver heap — while real
+    * web-corpus vocabularies that exceed it still train correctly on
+    * the distributed path.
+    */
+  val LocalVocabLimit = 200000
+
+  /** Train `nMerges` merges over the corpus: one distributed
+    * word-frequency aggregate, then the regime dispatch documented on
+    * the object. Results are identical on either path.
     */
   def train(docs: DataFrame, nMerges: Int): Seq[Merge] = {
-    var symed = toSymbols(wordCounts(docs))
+    val wc = wordCounts(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (wc.count() <= LocalVocabLimit) {
+        val words = wc.collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+        trainLocal(words, nMerges)
+      } else trainDistributed(wc, nMerges)
+    } finally { wc.unpersist(); () }
+  }
+
+  /** In-memory merge loop over a bounded (word, count) table — the
+    * small-vocab regime. Same statistics, same greedy left-to-right
+    * application, same (count desc, pair asc) tie-break as the
+    * distributed loop.
+    */
+  def trainLocal(words: Seq[(String, Long)], nMerges: Int): Seq[Merge] = {
+    // flatten(symbols) == word, so distinct words keep distinct keys
+    var vocab: Array[(Array[String], Long)] =
+      words.map { case (w, c) => w.map(_.toString).toArray -> c }.toArray
+    val merges = Seq.newBuilder[Merge]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += Merge(i + 1, l, r, c)
+        vocab = vocab.map { case (syms, cnt) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { s =>
+            if (acc.nonEmpty && acc.last == l && s == r)
+              acc(acc.length - 1) = l + r
+            else acc += s
+          }
+          acc.toArray -> cnt
+        }
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed merge loop over a (w, n) frequency frame — the
+    * large-vocab regime. Each round collects exactly ONE row to the
+    * driver (the winning pair — the loop's control decision, not
+    * data).
+    */
+  def trainDistributed(wc: DataFrame, nMerges: Int): Seq[Merge] = {
+    var symed = toSymbols(wc)
       .persist(StorageLevel.MEMORY_AND_DISK)
     symed.count()
     val merges = Seq.newBuilder[Merge]

@@ -117,6 +117,44 @@ object Scale {
       .drop("__pid", "__off")
   }
 
+  /** Distributed per-group INCLUSIVE prefix sum of `valueCol` by
+    * `orderKeys` order within `partKey` — the keyed analogue of
+    * [[distributedPrefixSum]], replacing
+    * `sum().over(Window.partitionBy(partKey).orderBy(orderKeys))`
+    * whose per-group total order funnels every row of a group through
+    * one reducer (same straggler shape [[distributedRank]] removes).
+    * Range-partitioning on (partKey, orderKeys) keeps each task on a
+    * bounded contiguous slice; the per-(task, group) totals frame is
+    * tiny (tasks × groups), so its offset window is cheap and
+    * partitioned. `orderKeys` must totally order rows within a group
+    * for the output to be deterministic. `materialize` contract as in
+    * [[distributedRank]].
+    */
+  def distributedKeyedPrefixSum(df: DataFrame, partKey: String,
+      orderKeys: Seq[String], valueCol: String, outCol: String,
+      numPartitions: Option[Int] = None,
+      materialize: DataFrame => DataFrame =
+        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    val rangeCols = (partKey +: orderKeys).map(col)
+    val ranged = numPartitions
+      .map(n => df.repartitionByRange(n, rangeCols: _*))
+      .getOrElse(df.repartitionByRange(rangeCols: _*))
+    val parts = materialize(ranged.withColumn("__pid", spark_partition_id()))
+    val sums = parts.groupBy(col("__pid"), col(partKey))
+      .agg(sum(col(valueCol)).as("__slice_sum"))
+    val offW = Window.partitionBy(col(partKey)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sums
+      .withColumn("__off", coalesce(sum(col("__slice_sum")).over(offW), lit(0L)))
+      .select(col("__pid"), col(partKey), col("__off"))
+    val localW = Window.partitionBy(col("__pid"), col(partKey))
+      .orderBy(orderKeys.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(broadcast(offs), Seq("__pid", partKey))
+      .withColumn(outCol, col("__off") + sum(col(valueCol)).over(localW))
+      .drop("__pid", "__off")
+  }
+
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
     * rounds (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — the formulation whose round count is

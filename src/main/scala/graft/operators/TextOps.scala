@@ -389,6 +389,73 @@ object TextOps {
     FROM labels
     ORDER BY doc_id"""
 
+  /** Near-dup survivor selection — the end step of corpus dedup that
+    * t40's clustering feeds: keep exactly ONE representative per
+    * cluster (highest t31 quality score, ties to the smallest doc_id)
+    * and every unclustered document as its own survivor. The output is
+    * the deduplicated-corpus manifest a training run reads.
+    *
+    * Scale shape: clusters come from the log-round components loop,
+    * the score is one in-row pass, and selection is a single partial
+    * aggregate keyed by cluster_id — `max(struct(score, -doc_id))`
+    * ships one candidate per cluster per map task, so the shuffle
+    * carries #clusters rows, not #docs, and there is no global
+    * ordering anywhere. Wordless documents carry no shingles (so never
+    * cluster) and no defined quality score; both engines exclude them.
+    */
+  def qDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qMinhashLsh(s, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val (labels, _) = Scale.connectedComponents(pairs)
+    val scored = withQualityScore(
+        Tables.documents(s, dir).withColumn("words", wordsCol))
+      .select(col("doc_id"), col("score"))
+    scored.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), (-col("best.neg_id")).as("survivor_id"),
+        col("cluster_size"), col("best.score").as("score"))
+      .orderBy(col("cluster_id"))
+  }
+
+  def qDedupSurvivorsOracle: String = s"""
+    WITH RECURSIVE mh AS ($qMinhashLshOracle),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM mh
+      UNION
+      SELECT doc_b, doc_a FROM mh),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    labels AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u),
+    f AS (SELECT doc_id, $wordsSql AS words FROM documents),
+    g AS (
+      SELECT doc_id, LEN(words) AS n_words,
+             LEN(LIST_DISTINCT(words)) AS n_distinct,
+             LEN(LIST_FILTER(words, w -> w IN ('the','a','of','and','to'))) AS n_stop
+      FROM f
+      WHERE LEN(words) > 0),
+    sc AS (
+      SELECT doc_id, (n_distinct / n_words) * 0.5 + (1.0 - (n_stop / n_words)) * 0.3 +
+             LEAST(n_words / 50.0, 1.0) * 0.2 AS score
+      FROM g),
+    cl AS (
+      SELECT sc.doc_id, COALESCE(l.cluster_id, sc.doc_id) AS cluster_id, score
+      FROM sc LEFT JOIN labels l ON sc.doc_id = l.doc_id),
+    rk AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cl)
+    SELECT cluster_id, doc_id AS survivor_id, cluster_size, score
+    FROM rk WHERE rn = 1
+    ORDER BY cluster_id"""
+
   /** SimHash (near-dup sketch #3): one 32-bit signature per doc.
     * Bit j is the majority vote of hex-nibble-parity bits of each
     * word's md5 — a deterministic, engine-portable formulation of the
@@ -629,6 +696,7 @@ object TextOps {
     GateQuery("t38_jaccard_dfcap", qJaccardDfCap, Some(qJaccardDfCapOracle)),
     GateQuery("t28_minhash_lsh", qMinhashLsh, Some(qMinhashLshOracle)),
     GateQuery("t40_dedup_clusters", qDedupClusters, Some(qDedupClustersOracle)),
+    GateQuery("t52_dedup_survivors", qDedupSurvivors, Some(qDedupSurvivorsOracle)),
     GateQuery("t29_simhash", qSimhash, Some(qSimhashOracle)),
     GateQuery("t30_langid", qLangId, Some(qLangIdOracle)),
     GateQuery("t41_pii_redact", qPiiRedact, Some(qPiiRedactOracle)),

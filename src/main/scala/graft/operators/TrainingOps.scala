@@ -315,6 +315,52 @@ object TrainingOps {
       .orderBy(col("seq_id"))
   }
 
+  /** Per-source token budgeting — the data-recipe step "take ~N tokens
+    * from each source": documents are taken in deterministic md5(id)
+    * order until the source's running whitespace-token total passes the
+    * budget (inclusive prefix sum ≤ budget). Hash order makes the
+    * selection a uniform, engine- and partitioning-independent sample
+    * of the source, and the budget binds per SOURCE, which is how
+    * pretraining recipes are actually specified.
+    *
+    * The running total is a [[Scale.distributedKeyedPrefixSum]]: a
+    * plain `sum().over(Window.partitionBy(source).orderBy(h))` is a
+    * per-source total order — with a handful of sources and a 100 TB
+    * corpus that funnels ~25 TB through one reducer, t34's straggler
+    * shape. Two exchanges + a persist at toy scale is the same
+    * correctly-priced insurance.
+    */
+  private val TokenBudget = 1000L
+
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        size(expr("filter(split(text, ' '), w -> w != '')")).cast("long"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("h"))
+    Scale.distributedKeyedPrefixSum(toks, "source", Seq("h", "doc_id"),
+        "n_tokens", "cum_tokens",
+        materialize = df => SessionMemo.persist("training:budget-offsets", s, dir)(df))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val qTokenBudgetOracle: String = s"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+             MD5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    c AS (
+      SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM t)
+    SELECT source, doc_id, n_tokens, cum_tokens
+    FROM c
+    WHERE cum_tokens <= $TokenBudget
+    ORDER BY source, doc_id"""
+
   val qSeqPackOracle: String = s"""
     WITH t AS (
       SELECT doc_id,
@@ -344,5 +390,6 @@ object TrainingOps {
     GateQuery("t46_bloom_decontaminate", qBloomDecontaminate, Some(qDecontaminateOracle)),
     GateQuery("t36_repetition_filter", qRepetitionFilter, Some(qRepetitionFilterOracle)),
     GateQuery("t39_seq_pack", qSeqPack, Some(qSeqPackOracle)),
+    GateQuery("t53_token_budget", qTokenBudget, Some(qTokenBudgetOracle)),
   )
 }

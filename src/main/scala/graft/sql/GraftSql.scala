@@ -55,14 +55,19 @@ object GraftSql {
     }
   }
 
-  /** Operators whose PLAN CONSTRUCTION already runs a Spark job to
-    * train a model artifact (t46's `df.stat.bloomFilter` is an eager
-    * collect over the corpus' shingles) — registering their views is
-    * not free, so `init` skips them and a caller opts in via
-    * [[registerEagerViews]] when it wants to pay for artifact training
-    * up front.
+  /** Operators whose PLAN CONSTRUCTION already runs Spark jobs —
+    * training a model artifact or iterating to a fixed point —
+    * so registering their views is not free: `init` skips them and a
+    * caller opts in via [[registerEagerViews]] to pay for the build up
+    * front. Membership is audited by `graft.tools.EagerAudit` (a
+    * job-counting listener over every builder): t46 trains a Bloom
+    * sketch (`df.stat.bloomFilter` collects), t40/t52 run the
+    * connected-components loop to convergence, t51 runs the BPE merge
+    * loop.
     */
-  val EagerArtifactViews: Set[String] = Set("t46_bloom_decontaminate")
+  val EagerArtifactViews: Set[String] = Set(
+    "t46_bloom_decontaminate", "t40_dedup_clusters",
+    "t52_dedup_survivors", "t51_bpe_train")
 
   /** Register every non-eager catalog operator as a LAZY temp view
     * named after its gate id (`t28_minhash_lsh`, `v38_ann_quantized`,

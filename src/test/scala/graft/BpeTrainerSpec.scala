@@ -57,7 +57,7 @@ class BpeTrainerSpec extends AnyFunSuite {
     out.result()
   }
 
-  test("distributed trainer matches the reference merge sequence on the corpus") {
+  test("both trainer regimes match the reference merge sequence on the corpus") {
     val docs = Tables.documents(spark, dir)
     val words = docs.select(org.apache.spark.sql.functions.explode(
         org.apache.spark.sql.functions.expr(
@@ -65,9 +65,15 @@ class BpeTrainerSpec extends AnyFunSuite {
       .groupBy("w").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val expected = refBpe(words, 10)
+    // the large-vocab regime, forced regardless of the dispatch limit
+    val wc = BpeTrainer.wordCounts(docs)
+    val dist = BpeTrainer.trainDistributed(wc, 10).map(m => (m.left, m.right, m.count))
+    assert(dist == expected,
+      s"distributed merges diverge:\n got: $dist\n ref: $expected")
+    // the public API (small vocab here → in-memory regime)
     val got = BpeTrainer.train(docs, 10).map(m => (m.left, m.right, m.count))
     assert(got == expected,
-      s"merge sequences diverge:\n got: $got\n ref: $expected")
+      s"hybrid merges diverge:\n got: $got\n ref: $expected")
   }
 
   test("token stats: merges only ever shrink the token stream, floor n_words") {

@@ -111,6 +111,29 @@ class ScaleAndSinkSpec extends AnyFunSuite {
     mat.unpersist()
   }
 
+  test("keyed prefix sum matches the per-group window cumsum and splits a dominant group") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // group "hot" holds 90% of rows — the skew the two-phase form exists for
+    val df = spark.range(0, 20000).select(
+      when(col("id") % 10 === 0, concat(lit("g"), col("id") % 7))
+        .otherwise(lit("hot")).as("g"),
+      col("id").as("k"), (col("id") % 53 + 1).as("v"))
+    var mat: org.apache.spark.sql.DataFrame = null
+    val summed = Scale.distributedKeyedPrefixSum(df, "g", Seq("k"), "v", "cum",
+      numPartitions = Some(8),
+      materialize = d => { mat = d.persist(); mat })
+    val windowed = df.withColumn("cum_w",
+      sum(col("v")).over(W.partitionBy(col("g")).orderBy(col("k"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+    assert(summed.join(windowed, Seq("g", "k", "v"))
+      .filter(col("cum") =!= col("cum_w")).count() == 0)
+    // the hot group's rows span multiple range slices — no single-task funnel
+    val hotSlices = mat.filter(col("g") === "hot")
+      .select(countDistinct(col("__pid"))).head().getLong(0)
+    assert(hotSlices > 1, s"hot group funneled through $hotSlices slice(s)")
+    mat.unpersist()
+  }
+
   test("two-phase rank and prefix sum equal their window forms on randomized data") {
     import org.apache.spark.sql.expressions.{Window => W}
     // seeded random shapes: group counts, sizes and value ranges vary;

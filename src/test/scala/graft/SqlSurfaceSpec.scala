@@ -61,14 +61,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
 
   test("eager-artifact views are excluded from free init, available on opt-in") {
     GraftSql.init(spark, "/root/testdata/sf0.001")
-    // init must stay plan-construction-only: t46 trains a Bloom sketch
-    // with a real Spark job at plan build, so it is not in the catalog
-    assert(!spark.catalog.tableExists("t46_bloom_decontaminate"),
-      "eager-artifact view leaked into the free init catalog")
+    // init must stay plan-construction-only: sketch training (t46),
+    // the components loops (t40/t52) and the BPE merge loop (t51) all
+    // run real jobs at plan build, so none of them is in the catalog
+    GraftSql.EagerArtifactViews.foreach { v =>
+      assert(!spark.catalog.tableExists(v),
+        s"eager-artifact view $v leaked into the free init catalog")
+    }
     GraftSql.registerEagerViews(spark, "/root/testdata/sf0.001")
     val n = spark.sql("SELECT COUNT(*) FROM t46_bloom_decontaminate")
       .head().getLong(0)
     assert(n >= 0)
+    val surv = spark.sql("SELECT COUNT(*) FROM t52_dedup_survivors")
+      .head().getLong(0)
+    assert(surv > 0)
     graft.operators.SessionMemo.release(spark)
   }
 
