@@ -358,3 +358,35 @@ object GraftTransformLoad {
     spark.stop()
   }
 }
+
+/** One-command corpus curation — `--in <tablesDir> --out <dir>
+  * [--budget N]`: the LLM-pipeline counterpart of the FIC drivers
+  * above. Runs the full corpus-production chain
+  * ([[graft.operators.CurationOps.writeCuratedFull]]): exact-canonical
+  * ∧ quality ∧ decontaminated ∧ near-dup-survivor filtering, optional
+  * ~N whitespace tokens per source, then the partitioned
+  * (split, source) parquet write + release manifest. Prints the
+  * manifest as the run summary.
+  */
+object GraftCurate {
+
+  def run(spark: SparkSession, in: String, out: String,
+      budget: Option[Long]): DataFrame = {
+    val manifest = graft.operators.CurationOps
+      .writeCuratedFull(spark, in, out, budget)
+    manifest.collect().foreach { r =>
+      println(s"curated ${r.getAs[String]("split")}/${r.getAs[String]("source")}: " +
+        s"${r.getAs[Long]("n_docs")} docs, ${r.getAs[Long]("n_chars")} chars")
+    }
+    manifest
+  }
+
+  def main(args: Array[String]): Unit = {
+    val in = Cli.arg(args, "--in").getOrElse(sys.error("--in required"))
+    val out = Cli.arg(args, "--out").getOrElse(sys.error("--out required"))
+    val budget = Cli.arg(args, "--budget").map(_.toLong)
+    val spark = Cli.session("graft-curate")
+    run(spark, in, out, budget)
+    spark.stop()
+  }
+}

@@ -448,6 +448,40 @@ object CurationOps {
     manifest
   }
 
+  /** The full corpus-production chain as ONE call — the "build me a
+    * training corpus" end product: t47's curated set (exact-canonical ∧
+    * quality ∧ decontaminated, split-assigned) restricted to t52's
+    * near-dup survivors (best-quality copy per MinHash cluster), then
+    * optionally token-budgeted per source (t53's selection), then the
+    * same partitioned write + manifest as [[writeCurated]]. Every
+    * stage is the SAME shared expression its gate verifies, so the
+    * composition cannot desync from the oracled operators.
+    */
+  def writeCuratedFull(s: SparkSession, dir: String, outPath: String,
+      budget: Option[Long] = None): DataFrame = {
+    val survivors = TextOps.qDedupSurvivors(s, dir)
+      .select(col("survivor_id").as("doc_id"))
+    val base = curatedDocs(s, dir).join(survivors, Seq("doc_id"), "left_semi")
+    val selected = budget match {
+      case Some(b) => TrainingOps.tokenBudgeted(base, b,
+          materialize = df => SessionMemo.persist("curate:budget", s, dir)(df))
+        .drop("n_tokens", "cum_tokens")
+        .select(base.columns.map(col): _*)
+      case None => base
+    }
+    selected.write.mode("overwrite")
+      .partitionBy("split", "source").parquet(s"$outPath/docs")
+    val manifest = s.read.parquet(s"$outPath/docs")
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("split"), col("source"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outPath/manifest")
+    manifest
+  }
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("t42_stratified_sample", qStratifiedSample, Some(qStratifiedSampleOracle)),
     GateQuery("t43_term_stats", qTermStats, Some(qTermStatsOracle)),

@@ -358,10 +358,21 @@ object TextOps {
     * 100 TB). Every round is still only distributed join+aggregate
     * steps; the driver checks convergence, never holds the graph.
     */
+  /** Connected-component labels of the LSH near-dup pair graph,
+    * memoized per (session, dir): the components fixed point is a
+    * corpus-snapshot ARTIFACT — t40 (cluster report) and t52 (survivor
+    * selection) both read it, and at 100 TB you run the loop once per
+    * snapshot, not once per downstream query.
+    */
+  private def ccLabels(s: SparkSession, dir: String): DataFrame =
+    memoPersist("cc-labels", s, dir) {
+      val pairs = qMinhashLsh(s, dir)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      Scale.connectedComponents(pairs)._1
+    }
+
   def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = qMinhashLsh(s, dir)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val (labels, _) = Scale.connectedComponents(pairs)
+    val labels = ccLabels(s, dir)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("cluster_id"),
@@ -404,9 +415,7 @@ object TextOps {
     * cluster) and no defined quality score; both engines exclude them.
     */
   def qDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val pairs = qMinhashLsh(s, dir)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val (labels, _) = Scale.connectedComponents(pairs)
+    val labels = ccLabels(s, dir)
     val scored = withQualityScore(
         Tables.documents(s, dir).withColumn("words", wordsCol))
       .select(col("doc_id"), col("score"))
@@ -455,6 +464,75 @@ object TextOps {
     SELECT cluster_id, doc_id AS survivor_id, cluster_size, score
     FROM rk WHERE rn = 1
     ORDER BY cluster_id"""
+
+  /** Document novelty — the fraction of a doc's distinct shingles seen
+    * NOWHERE else in the corpus (global df = 1): the uniqueness
+    * diagnostic curation dashboards rank documents and sources by.
+    * Integer counts and ONE final division (engine-exact); reads the
+    * memoized shingle relation, and the df aggregate is
+    * map-side-combinable and vocabulary-sized. Documents too short to
+    * shingle (< 3 words) have no defined novelty and are absent on
+    * both engines.
+    */
+  def qNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+      .select(col("doc_id"), explode(col("shs")).as("s"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty", col("n_unique") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qNoveltyOracle: String = s"""
+    WITH sh AS ($shinglesSql),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    j AS (
+      SELECT sh.doc_id, CASE WHEN df = 1 THEN 1 ELSE 0 END AS u
+      FROM sh JOIN dfreq ON sh.s = dfreq.s),
+    g AS (
+      SELECT doc_id, COUNT(*) AS n_shingles, CAST(SUM(u) AS BIGINT) AS n_unique
+      FROM j GROUP BY doc_id)
+    SELECT doc_id, n_shingles, n_unique, n_unique / n_shingles AS novelty
+    FROM g
+    ORDER BY doc_id"""
+
+  /** Cross-source duplication matrix: how many near-dup pairs connect
+    * each (source, source) cell — the diagnostic that tells a recipe
+    * which corpora overlap (a web dump that swallowed a books source
+    * shows up as a hot off-diagonal cell). The pair list is the
+    * memoized LSH candidate set; sources attach by doc-id equi-join
+    * (AQE broadcasts the small side); the result is ≤ #sources² rows.
+    * Orientation is canonical (src_lo ≤ src_hi) so A–B and B–A land in
+    * the same cell.
+    */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    qMinhashLsh(s, dir)
+      .join(src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "src_a"), Seq("doc_a"))
+      .join(src.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "src_b"), Seq("doc_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("src_lo"),
+        greatest(col("src_a"), col("src_b")).as("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_lo"), col("src_hi"))
+  }
+
+  val qSourceOverlapOracle: String = s"""
+    WITH mh AS ($qMinhashLshOracle),
+    j AS (
+      SELECT LEAST(da.source, db.source) AS src_lo,
+             GREATEST(da.source, db.source) AS src_hi
+      FROM mh
+      JOIN documents da ON mh.doc_a = da.doc_id
+      JOIN documents db ON mh.doc_b = db.doc_id)
+    SELECT src_lo, src_hi, COUNT(*) AS n_pairs
+    FROM j
+    GROUP BY 1, 2
+    ORDER BY src_lo, src_hi"""
 
   /** SimHash (near-dup sketch #3): one 32-bit signature per doc.
     * Bit j is the majority vote of hex-nibble-parity bits of each
@@ -697,6 +775,8 @@ object TextOps {
     GateQuery("t28_minhash_lsh", qMinhashLsh, Some(qMinhashLshOracle)),
     GateQuery("t40_dedup_clusters", qDedupClusters, Some(qDedupClustersOracle)),
     GateQuery("t52_dedup_survivors", qDedupSurvivors, Some(qDedupSurvivorsOracle)),
+    GateQuery("t54_novelty", qNovelty, Some(qNoveltyOracle)),
+    GateQuery("t55_source_overlap", qSourceOverlap, Some(qSourceOverlapOracle)),
     GateQuery("t29_simhash", qSimhash, Some(qSimhashOracle)),
     GateQuery("t30_langid", qLangId, Some(qLangIdOracle)),
     GateQuery("t41_pii_redact", qPiiRedact, Some(qPiiRedactOracle)),

@@ -332,19 +332,32 @@ object TrainingOps {
     */
   private val TokenBudget = 1000L
 
-  def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+  /** Reusable form of the t53 budget for composition drivers: restrict
+    * any (doc_id, source, text, …) frame to ~`budget` whitespace
+    * tokens per source, taken in deterministic md5(id) order. Keeps
+    * the input columns and adds `n_tokens`/`cum_tokens`.
+    */
+  def tokenBudgeted(docs: DataFrame, budget: Long,
+      materialize: DataFrame => DataFrame =
+        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    val toks = docs
       .withColumn("n_tokens",
         size(expr("filter(split(text, ' '), w -> w != '')")).cast("long"))
       .withColumn("h", md5(col("doc_id").cast("string")))
-      .select(col("source"), col("doc_id"), col("n_tokens"), col("h"))
     Scale.distributedKeyedPrefixSum(toks, "source", Seq("h", "doc_id"),
-        "n_tokens", "cum_tokens",
+        "n_tokens", "cum_tokens", materialize = materialize)
+      .filter(col("cum_tokens") <= budget)
+      .drop("h")
+  }
+
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame =
+    tokenBudgeted(
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("text")),
+        TokenBudget,
         materialize = df => SessionMemo.persist("training:budget-offsets", s, dir)(df))
-      .filter(col("cum_tokens") <= TokenBudget)
       .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("source"), col("doc_id"))
-  }
 
   val qTokenBudgetOracle: String = s"""
     WITH t AS (

@@ -254,6 +254,40 @@ class CurationOpsSpec extends AnyFunSuite {
     SessionMemo.release(spark)
   }
 
+  test("full curation driver: survivors-only output, per-source budget, manifest consistent") {
+    val out = java.nio.file.Files.createTempDirectory("curatefull").toString
+    CurationOps.writeCuratedFull(spark, dir, out, budget = None)
+    val ids = spark.read.parquet(s"$out/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exactly the curated set restricted to near-dup survivors
+    val curated = CurationOps.curatedDocs(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = graft.operators.TextOps.qDedupSurvivors(spark, dir)
+      .select("survivor_id").collect().map(_.getLong(0)).toSet
+    assert(ids == curated.intersect(survivors),
+      "full-curation output is not curated ∩ survivors")
+    assert(ids.nonEmpty && curated.diff(ids).nonEmpty,
+      "survivor restriction removed nothing — near-dup filter inert")
+    // budgeted run: subset of the unbudgeted run, ≤ budget tokens/source
+    val out2 = java.nio.file.Files.createTempDirectory("curatebudget").toString
+    val manifest2 = CurationOps.writeCuratedFull(spark, dir, out2, budget = Some(500L))
+    val back2 = spark.read.parquet(s"$out2/docs")
+    val ids2 = back2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2.nonEmpty && ids2.subsetOf(ids))
+    back2
+      .withColumn("n",
+        size(expr("filter(split(text, ' '), w -> w != '')")).cast("long"))
+      .groupBy(col("source")).agg(sum(col("n")).as("tot")).collect()
+      .foreach { r =>
+        assert(r.getAs[Long]("tot") <= 500L,
+          s"source ${r.getAs[String]("source")} exceeds budget: $r")
+      }
+    // the returned manifest matches what landed on disk
+    val total2 = manifest2.agg(sum(col("n_docs"))).head().getLong(0)
+    assert(total2 == ids2.size.toLong)
+    SessionMemo.release(spark)
+  }
+
   test("BPE pair counts: k merge candidates, descending, well-formed pairs") {
     val rows = CurationOps.qBpePairs(spark, dir).collect()
     assert(rows.length == 20)
