@@ -687,6 +687,82 @@ object TextOps {
     FROM h
     ORDER BY doc_id"""
 
+  /** Gopher-style quality RULES (Rae et al. 2021, table A1 shape) —
+    * the standard pretraining hard-filter bundle alongside t31's soft
+    * score: word-count band, mean word length band, symbol-to-word
+    * ratio, alphabetic-word ratio, minimum stop-word count, and the
+    * conjunction as `keep`. All statistics are in-row integer counts
+    * with one final division each (engine-exact); zero shuffles.
+    *
+    * The synthetic corpus is pure lowercase words, so the symbol and
+    * alphabetic rules would be vacuously true on raw text — the text
+    * is deterministically AUGMENTED from doc_id (t41's known-positive
+    * pattern; both engines build the identical string) so every rule
+    * has discriminating data.
+    */
+  def qGopherRules(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("t2", concat(col("text"),
+        expr("repeat(' #', cast(doc_id % 7 as int))"),
+        expr("repeat(' 12345', cast(doc_id % 4 as int))"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" ...")).otherwise(lit(""))))
+      .withColumn("words", expr("filter(split(t2, ' '), w -> w != '')"))
+      .filter(size(col("words")) > 0)
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(words, 0L, (a, w) -> a + length(w))"))
+      .withColumn("mean_word_len", col("sum_len") / col("n_words"))
+      .withColumn("n_symbol",
+        expr("size(filter(words, w -> w = '#' or w = '...'))").cast("long"))
+      .withColumn("symbol_ratio", col("n_symbol") / col("n_words"))
+      .withColumn("n_alpha",
+        expr("size(filter(words, w -> w rlike '[a-z]'))").cast("long"))
+      .withColumn("alpha_ratio", col("n_alpha") / col("n_words"))
+      .withColumn("n_stop",
+        expr("size(filter(words, w -> w in ('the','a','of','and','to')))").cast("long"))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("alpha_ratio") >= 0.8 &&
+          col("n_stop") >= 2)
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_ratio"), col("n_stop"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qGopherRulesOracle: String = """
+    WITH a AS (
+      SELECT doc_id,
+             text || REPEAT(' #', CAST(doc_id % 7 AS INT))
+                  || REPEAT(' 12345', CAST(doc_id % 4 AS INT))
+                  || CASE WHEN doc_id % 3 = 0 THEN ' ...' ELSE '' END AS t2
+      FROM documents),
+    w AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(t2, ' '), x -> x <> '') AS words
+      FROM a),
+    g AS (
+      SELECT doc_id,
+             CAST(LEN(words) AS BIGINT) AS n_words,
+             CAST(LIST_SUM(LIST_TRANSFORM(words, x -> LENGTH(x))) AS BIGINT) AS sum_len,
+             CAST(LEN(LIST_FILTER(words, x -> x = '#' OR x = '...')) AS BIGINT) AS n_symbol,
+             CAST(LEN(LIST_FILTER(words, x -> REGEXP_MATCHES(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST(LEN(LIST_FILTER(words, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop
+      FROM w
+      WHERE LEN(words) > 0)
+    SELECT doc_id, n_words,
+           sum_len / n_words AS mean_word_len,
+           n_symbol / n_words AS symbol_ratio,
+           n_alpha / n_words AS alpha_ratio,
+           n_stop,
+           (n_words >= 50 AND n_words <= 100000
+            AND sum_len / n_words >= 3.0 AND sum_len / n_words <= 10.0
+            AND n_symbol / n_words <= 0.1
+            AND n_alpha / n_words >= 0.8
+            AND n_stop >= 2) AS keep
+    FROM g
+    ORDER BY doc_id"""
+
   /** PII redaction — the scrubbing pass a training corpus runs before
     * anything else sees the text. Pure per-row regexp work (codegen'd,
     * zero shuffle); patterns are restricted to constructs with
@@ -781,6 +857,7 @@ object TextOps {
     GateQuery("t30_langid", qLangId, Some(qLangIdOracle)),
     GateQuery("t41_pii_redact", qPiiRedact, Some(qPiiRedactOracle)),
     GateQuery("t31_quality_score", qQualityScore, Some(qQualityScoreOracle)),
+    GateQuery("t56_gopher_rules", qGopherRules, Some(qGopherRulesOracle)),
     GateQuery("t32_token_count", qTokenCount, Some(qTokenCountOracle)),
   )
 }
