@@ -634,8 +634,13 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val qAnnIvfSq8Oracle: String = s"""
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** Shared coarse-quantizer training CTEs (`e` → trained `cent`,
+    * corpus assignment `asg`) — the unrolled first-$IvfK-seeds +
+    * 2-Lloyd-round k-means both composed ANN oracles (v40, v41) sit
+    * on. Kept as one string so the two oracles cannot train different
+    * coarse quantizers.
+    */
+  private val coarseOracleCtes: String = s"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK),
     a1 AS (
       SELECT vec_id, cid FROM (
@@ -681,7 +686,10 @@ object VectorOps {
                    (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
                  cid) AS rn
         FROM e CROSS JOIN cent)
-      WHERE rn = 1),
+      WHERE rn = 1)"""
+
+  val qAnnIvfSq8Oracle: String = s"""
+    WITH $coarseOracleCtes,
     d AS (SELECT UNNEST(RANGE(1, LEN(v) + 1)) AS dim, UNNEST(v) AS x FROM e),
     st AS (SELECT dim, MIN(x) AS dmin, MAX(x) AS dmax FROM d GROUP BY dim),
     arrs AS (SELECT LIST(dmin ORDER BY dim) AS mins, LIST(dmax ORDER BY dim) AS maxs FROM st),
@@ -734,6 +742,233 @@ object VectorOps {
                  ORDER BY cosine DESC, neighbor_id) AS rank
       FROM rer)
     SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ivf_cell, qscore, cosine
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
+  // ---- Product quantization (v41): the FAISS IVF,PQ shape ----
+
+  private val PqM = 4        // subspaces
+  private val PqSubDim = 16  // dims per subspace (64-dim corpus)
+  private val PqK = 16       // centroids per subspace → 4-bit codes
+  private val PqIters = 2
+  // PQ's 16-bit codes rank far more coarsely than SQ8's 64 bytes, so the
+  // exact-rerank pool is deeper (the FAISS IVF,PQ default shape: small
+  // codes, big rerank). Shared by the Spark build and the oracle.
+  private val PqCand = 50
+
+  /** (vec_id, j, sv, nsv): the corpus split into PqM contiguous
+    * subvectors — the product-quantizer training relation. In-row
+    * slicing, one explode; memoized like every other index input.
+    */
+  private def subVecs(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("vec:pq-sub", s, dir) {
+      embs(s, dir)
+        .select(col("vec_id"), explode(expr(
+          s"""transform(sequence(0, ${PqM - 1}),
+                j -> struct(j AS j, slice(v, j * $PqSubDim + 1, $PqSubDim) AS sv))"""))
+          .as("p"))
+        .select(col("vec_id"), col("p.j").as("j"), col("p.sv").as("sv"))
+        .withColumn("nsv", sqrt(dot("sv", "sv")))
+    }
+
+  /** Per-(vec, subspace) nearest-codebook-entry assignment (spherical:
+    * by subvector cosine, ties to the smallest entry id) — the PQ
+    * E-step, all subspaces in one pass against the broadcast books.
+    */
+  private def assignSub(sub: DataFrame, books: DataFrame): DataFrame = {
+    val scored = sub.join(broadcast(books), Seq("j"))
+      .withColumn("csim", dot("sv", "cv") / (col("nsv") * col("ncv")))
+    val w = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("csim").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("cid"))
+  }
+
+  /** Per-subspace codebooks (j, cid, cv, ncv): first-PqK seeds +
+    * PqIters spherical Lloyd rounds, all PqM subspaces trained in ONE
+    * loop (assignment windows and fixed-point mean aggregates carry
+    * the subspace id). Codebook training is corpus-pass-bounded per
+    * round exactly like the coarse quantizer's.
+    */
+  private[graft] def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("vec:pq-books", s, dir) {
+      val sub = subVecs(s, dir)
+      var books = sub.filter(col("vec_id") < PqK)
+        .select(col("j"), col("vec_id").as("cid"), col("sv").as("cv"))
+        .withColumn("ncv", sqrt(dot("cv", "cv")))
+      for (_ <- 1 to PqIters) {
+        val assign = assignSub(sub, books)
+        books = sub.join(assign, Seq("vec_id", "j"))
+          .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+          .groupBy(col("j"), col("cid"), col("dim"))
+          .agg((sum(floor(col("x") * lit(1e12)).cast("long")).cast("double") /
+            count(lit(1)) / lit(1e12)).as("c"))
+          .groupBy(col("j"), col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
+          .withColumn("ncv", sqrt(dot("cv", "cv")))
+      }
+      books
+    }
+
+  /** The IVF-partitioned PQ index (vec_id, ivf_cell, rv, nrv): each
+    * corpus vector stored as its PQ RECONSTRUCTION — the concatenation
+    * of its PqM nearest sub-centroids — keyed by the trained coarse
+    * cell. A production layout stores the PqM 4-bit codes (2 bytes a
+    * vector, 32× smaller than SQ8) plus the shared codebooks; the
+    * reconstruction is materialized here so the ADC scan reuses the
+    * same parity-established dot product as v38's dequantized scan.
+    */
+  private[graft] def pqIndex(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("vec:pq-index", s, dir) {
+      val books = pqCodebooks(s, dir)
+      val recon = assignSub(subVecs(s, dir), books)
+        .join(books.select(col("j"), col("cid"), col("cv")), Seq("j", "cid"))
+        .groupBy(col("vec_id"))
+        .agg(expr(
+          "flatten(transform(array_sort(collect_list(struct(j, cv))), p -> p.cv))")
+          .as("rv"))
+        .withColumn("nrv", sqrt(dot("rv", "rv")))
+      val cells = assignCells(embs(s, dir), kmeansCentroids(s, dir))
+      recon.join(cells, Seq("vec_id"))
+        .select(col("vec_id"), col("cid").as("ivf_cell"), col("rv"), col("nrv"))
+    }
+
+  /** IVF × PQ composed ANN (the FAISS `IVF10,PQ4` shape — the memory
+    * format of billion-scale serving): the trained coarse quantizer
+    * prunes to the top-2 probed cells (equi-join on `ivf_cell`), the
+    * pruned cells are scanned by ADC — the EXACT float query against
+    * each vector's PQ reconstruction (asymmetric distance; the query
+    * is never quantized) — and the top QuantCand rerank exactly.
+    * Complements v40: SQ8 keeps one byte per dimension, PQ keeps
+    * PqM log₂(PqK)-bit codes per vector, the 32× smaller index that
+    * fits 10⁹ vectors in RAM.
+    */
+  def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cent = kmeansCentroids(s, dir)
+    val idx = pqIndex(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qfv"), col("nv").as("qnv"))
+    val probes = {
+      val scored = q.join(broadcast(cent))
+        .withColumn("csim", dot("qfv", "cv") / (col("qnv") * col("ncv")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("csim").desc, col("cid"))
+      scored.withColumn("p", row_number().over(w)).filter(col("p") <= 2)
+        .select(col("query_id"), col("qfv"), col("qnv"),
+          col("cid").as("ivf_cell"))
+    }
+    val scanned = probes.join(idx, Seq("ivf_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", dot("qfv", "rv") / (col("qnv") * col("nrv")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cand = scanned.withColumn("crank", row_number().over(w1))
+      .filter(col("crank") <= PqCand)
+      .select(col("query_id"), col("qfv"), col("qnv"), col("vec_id"),
+        col("ivf_cell"), col("adc"))
+    val rer = cand.join(e.select(col("vec_id"), col("v"), col("nv")), Seq("vec_id"))
+      .withColumn("cosine", dot("qfv", "v") / (col("qnv") * col("nv")))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("ivf_cell"), col("adc"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qAnnIvfPqOracle: String = s"""
+    WITH $coarseOracleCtes,
+    js AS (SELECT UNNEST(RANGE(0, $PqM)) AS j),
+    sub AS (
+      SELECT vec_id, j,
+             v[(j * $PqSubDim + 1):((j + 1) * $PqSubDim)] AS sv
+      FROM e CROSS JOIN js),
+    pc0 AS (SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $PqK),
+    pa1 AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT sub.vec_id, sub.j, pc0.cid,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.j ORDER BY
+                 LIST_DOT_PRODUCT(sv, cv) /
+                   (SQRT(LIST_DOT_PRODUCT(sv, sv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
+                 pc0.cid) AS rn
+        FROM sub JOIN pc0 ON sub.j = pc0.j)
+      WHERE rn = 1),
+    pc1dim AS (
+      SELECT sx.j, pa1.cid, i AS dim,
+             CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1e12 AS c
+      FROM (SELECT vec_id, j, UNNEST(sv) AS x, UNNEST(RANGE(0, LEN(sv))) AS i FROM sub) sx
+      JOIN pa1 ON pa1.vec_id = sx.vec_id AND pa1.j = sx.j
+      GROUP BY sx.j, pa1.cid, i),
+    pc1 AS (SELECT j, cid, LIST(c ORDER BY dim) AS cv FROM pc1dim GROUP BY j, cid),
+    pa2 AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT sub.vec_id, sub.j, pc1.cid,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.j ORDER BY
+                 LIST_DOT_PRODUCT(sv, cv) /
+                   (SQRT(LIST_DOT_PRODUCT(sv, sv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
+                 pc1.cid) AS rn
+        FROM sub JOIN pc1 ON sub.j = pc1.j)
+      WHERE rn = 1),
+    pc2dim AS (
+      SELECT sx.j, pa2.cid, i AS dim,
+             CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1e12 AS c
+      FROM (SELECT vec_id, j, UNNEST(sv) AS x, UNNEST(RANGE(0, LEN(sv))) AS i FROM sub) sx
+      JOIN pa2 ON pa2.vec_id = sx.vec_id AND pa2.j = sx.j
+      GROUP BY sx.j, pa2.cid, i),
+    pbooks AS (SELECT j, cid, LIST(c ORDER BY dim) AS cv FROM pc2dim GROUP BY j, cid),
+    pasg AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT sub.vec_id, sub.j, pbooks.cid,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.j ORDER BY
+                 LIST_DOT_PRODUCT(sv, cv) /
+                   (SQRT(LIST_DOT_PRODUCT(sv, sv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
+                 pbooks.cid) AS rn
+        FROM sub JOIN pbooks ON sub.j = pbooks.j)
+      WHERE rn = 1),
+    recon AS (
+      SELECT pasg.vec_id, FLATTEN(LIST(cv ORDER BY pasg.j)) AS rv
+      FROM pasg JOIN pbooks ON pasg.j = pbooks.j AND pasg.cid = pbooks.cid
+      GROUP BY pasg.vec_id),
+    pidx AS (
+      SELECT recon.vec_id, asg.ivf_cell, rv
+      FROM recon JOIN asg ON asg.vec_id = recon.vec_id),
+    q AS (SELECT vec_id AS query_id, v AS qfv FROM e WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qfv, cid AS ivf_cell FROM (
+        SELECT q.query_id, q.qfv, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 LIST_DOT_PRODUCT(qfv, cv) /
+                   (SQRT(LIST_DOT_PRODUCT(qfv, qfv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
+                 cent.cid) AS p
+        FROM q CROSS JOIN cent)
+      WHERE p <= 2),
+    scanned AS (
+      SELECT probes.query_id, pidx.vec_id, pidx.ivf_cell, qfv,
+             LIST_DOT_PRODUCT(qfv, rv) /
+               (SQRT(LIST_DOT_PRODUCT(qfv, qfv)) * SQRT(LIST_DOT_PRODUCT(rv, rv))) AS adc
+      FROM probes JOIN pidx ON pidx.ivf_cell = probes.ivf_cell
+      WHERE pidx.vec_id <> probes.query_id),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc DESC, vec_id) AS crank
+        FROM scanned)
+      WHERE crank <= $PqCand),
+    rer AS (
+      SELECT query_id, cand.vec_id AS neighbor_id, cand.ivf_cell, adc,
+             LIST_DOT_PRODUCT(qfv, e.v) /
+               (SQRT(LIST_DOT_PRODUCT(qfv, qfv)) * SQRT(LIST_DOT_PRODUCT(e.v, e.v))) AS cosine
+      FROM cand JOIN e ON e.vec_id = cand.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rer)
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ivf_cell, adc, cosine
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""
 
@@ -820,6 +1055,7 @@ object VectorOps {
       .unionByName(recall("ivf", qAnnIvf(s, dir), 3))
       .unionByName(recall("sq8", qAnnQuantized(s, dir), 5))
       .unionByName(recall("ivf_sq8", qAnnIvfSq8(s, dir), 5))
+      .unionByName(recall("ivf_pq", qAnnIvfPq(s, dir), 5))
       .orderBy(col("method"))
   }
 
@@ -832,5 +1068,6 @@ object VectorOps {
     GateQuery("v38_ann_quantized", qAnnQuantized, Some(qAnnQuantizedOracle)),
     GateQuery("v39_cluster_assign", qClusterAssign, Some(qClusterAssignOracle)),
     GateQuery("v40_ann_ivf_sq8", qAnnIvfSq8, Some(qAnnIvfSq8Oracle)),
+    GateQuery("v41_ann_ivf_pq", qAnnIvfPq, Some(qAnnIvfPqOracle)),
   )
 }

@@ -1,0 +1,17 @@
+// Dev tool: print the ANN recall report (every approximate method vs
+// the exact brute-force ranking) at sf0.01.
+// Run: sbt "runMain graft.tools.RecallPrint"
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object RecallPrint {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.operators.VectorOps.annRecallReport(spark, "/root/testdata/sf0.01").show(false)
+    spark.stop()
+  }
+}

@@ -212,7 +212,7 @@ class CurationOpsSpec extends AnyFunSuite {
     val rows = VectorOps.annRecallReport(spark, dir).collect()
       .map(r => r.getAs[String]("method") ->
         (r.getAs[Int]("k"), r.getAs[Long]("n_queries"), r.getAs[Double]("recall"))).toMap
-    assert(rows.keySet == Set("lsh", "ivf", "sq8", "ivf_sq8"))
+    assert(rows.keySet == Set("lsh", "ivf", "sq8", "ivf_sq8", "ivf_pq"))
     rows.foreach { case (m, (k, nq, rec)) =>
       assert(k > 0 && nq > 0 && rec >= 0.0 && rec <= 1.0, s"$m: k=$k nq=$nq recall=$rec")
     }
@@ -220,6 +220,9 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows("sq8")._3 >= 0.8, s"sq8 recall ${rows("sq8")._3}")
     // the composed IVF×SQ8 path loses only what 2-probe pruning loses
     assert(rows("ivf_sq8")._3 >= 0.8, s"ivf_sq8 recall ${rows("ivf_sq8")._3}")
+    // IVF×PQ's 16-bit codes are coarser; the deep exact rerank (PqCand)
+    // pulls it back near the same 2-probe ceiling
+    assert(rows("ivf_pq")._3 >= 0.7, s"ivf_pq recall ${rows("ivf_pq")._3}")
     SessionMemo.release(spark)
   }
 
