@@ -199,4 +199,81 @@ object BpeTrainer {
       .select(col("rank"), col("left"), col("right"), col("count"))
       .orderBy(col("rank"))
   }
+
+  // ---- BPE ENCODE (t59): inference-time tokenization ----
+
+  /** Encode one word with a trained rank table — the INFERENCE-time
+    * algorithm (Sennrich's apply_bpe / tiktoken shape): repeatedly find
+    * the LOWEST-rank adjacent pair present and merge all its
+    * occurrences greedily left-to-right, until no trained pair remains.
+    * This is deliberately not [[tokenStats]]'s training-order replay:
+    * best-rank-first can re-apply an early merge that a later merge
+    * makes possible (merges 1:(a,bc), 2:(b,c) on "abc" → [abc], where
+    * sequential replay stops at [a, bc]) — the spec pins the
+    * distinction.
+    */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var continue = syms.length > 1
+    while (continue) {
+      var best = Int.MaxValue
+      var bl = ""; var br = ""
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bl = syms(i); br = syms(i + 1) }
+        i += 1
+      }
+      if (best == Int.MaxValue) continue = false
+      else {
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == bl && syms(j + 1) == br) {
+            out += bl + br; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** Corpus tokenization with a trained BPE: encode each DISTINCT word
+    * once (the encode loop is per-word procedural — a UDF over the
+    * vocabulary-sized distinct-word table, not the corpus token
+    * stream), then map the per-word token counts back onto documents
+    * with a join. At 100 TB the vocab table is millions of rows against
+    * a trillion tokens, so the expensive iterative work stays
+    * vocabulary-bounded and the corpus pass is one hash join + one
+    * aggregation (AQE broadcasts the vocab side when it fits).
+    */
+  def encodeStats(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val encLen = udf((w: String) =>
+      if (w == null) 0L else encodeWord(w, bc.value).length.toLong)
+    val toks = docs.select(col("doc_id"), explode(
+      expr("filter(split(text, ' '), w -> w != '')")).as("w"))
+    val vocabEnc = toks.select(col("w")).distinct()
+      .withColumn("bpe_len", encLen(col("w")))
+      .withColumn("char_len", length(col("w")).cast("long"))
+    toks.join(vocabEnc, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("bpe_len")).as("n_bpe_tokens"),
+        sum(col("char_len")).as("n_chars_tokenized"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gate surface for encode (driver smoke: rows > 0; iterative — no
+    * single-statement oracle; pinned by BpeTrainerSpec's differential
+    * and invariant checks).
+    */
+  def qBpeEncode(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    encodeStats(docs, train(docs, nMerges))
+  }
 }

@@ -482,6 +482,88 @@ object CurationOps {
     manifest
   }
 
+  // ---- DSIR-style importance weighting (t58) ----
+
+  // Hashed-unigram feature space: 256 buckets keyed by the first two
+  // md5 hex digits — the same engine-portable bucket as t33's split.
+  private val DsirBuckets = 256
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023) scoring,
+    * hashed-unigram form: every token hashes into one of
+    * [[DsirBuckets]] buckets; the target distribution (here: `lang =
+    * 'en'` documents) and the raw distribution are add-one-smoothed
+    * bucket unigram models, and each document scores the sum over its
+    * tokens of the log importance ratio `log(p_target(b) / p_raw(b))`.
+    * High scores mark raw documents that look like the target corpus —
+    * the standard importance-resampling pre-filter for pretraining
+    * mixes.
+    *
+    * Scale shape: one explode→groupBy over the corpus builds the
+    * 256-row ratio table (map-side combinable count), which broadcasts
+    * back onto the token stream; per-doc scoring is a hash-join + one
+    * aggregation — no window, no driver loop.
+    *
+    * Engine parity: the only transcendental, `ln`, is evaluated once
+    * per BUCKET (256 values), quantized to integer micro-units
+    * (`floor(x·1e6)`), and summed exactly as bigints per document —
+    * the fixed-point pattern (v39 lesson) keeping the hash gate immune
+    * to float fold order and 1-ulp libm differences on the token sum.
+    */
+  def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    // ONE pass over the token stream: aggregate straight to
+    // per-(doc, bucket) counts (≤ docs × 256 rows, memoized). The
+    // ratio table, its totals and the per-doc scores all derive from
+    // this compact relation — the corpus text is exploded and hashed
+    // exactly once however many frames reuse it.
+    val docBuckets = SessionMemo.persist("curation:dsir-buckets", s, dir) {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
+        .withColumn("b", conv(substring(md5(col("w")), 1, 2), 16, 10).cast("int"))
+        .groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val ratio0 = docBuckets.groupBy(col("b")).agg(
+      sum(col("cnt")).as("cr"),
+      sum(when(col("lang") === "en", col("cnt")).otherwise(lit(0L))).as("ct"))
+    val totals = ratio0.agg(
+      sum(col("cr")).cast("double").as("tr"),
+      sum(col("ct")).cast("double").as("tt"))
+    val ratio = ratio0.crossJoin(broadcast(totals))
+      .withColumn("lrq", floor(log(
+          ((col("ct") + 1).cast("double") * (col("tr") + lit(DsirBuckets.toDouble))) /
+          ((col("cr") + 1).cast("double") * (col("tt") + lit(DsirBuckets.toDouble)))) *
+        lit(1e6)).cast("long"))
+      .select(col("b"), col("lrq"))
+    docBuckets.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_toks"),
+        sum(col("cnt") * col("lrq")).as("score_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDsirWeightsOracle: String = s"""
+    WITH tb AS (
+      SELECT doc_id, lang,
+             CAST(CONCAT('0x', SUBSTRING(MD5(w), 1, 2)) AS INT) AS b
+      FROM (SELECT doc_id, lang, UNNEST($wordsSql) AS w FROM documents)),
+    tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS tr,
+             CAST(COUNT(*) FILTER (lang = 'en') AS DOUBLE) AS tt
+      FROM tb),
+    ratio AS (
+      SELECT b,
+             CAST(FLOOR(LN((CAST(ct + 1 AS DOUBLE) * (tr + ${DsirBuckets.toDouble})) /
+                           (CAST(cr + 1 AS DOUBLE) * (tt + ${DsirBuckets.toDouble}))) * 1e6) AS BIGINT) AS lrq
+      FROM (SELECT b, COUNT(*) AS cr, COUNT(*) FILTER (lang = 'en') AS ct
+            FROM tb GROUP BY b)
+      CROSS JOIN tot)
+    SELECT tb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(lrq) AS BIGINT) AS score_micro
+    FROM tb JOIN ratio ON tb.b = ratio.b
+    GROUP BY tb.doc_id
+    ORDER BY tb.doc_id"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("t42_stratified_sample", qStratifiedSample, Some(qStratifiedSampleOracle)),
     GateQuery("t43_term_stats", qTermStats, Some(qTermStatsOracle)),
@@ -494,5 +576,9 @@ object CurationOps {
     // by BpeTrainerSpec's differential check against a straight-line
     // reference implementation (the m42 pattern), driver does rows>0
     GateQuery("t51_bpe_train", (s, d) => BpeTrainer.qBpeTrain(s, d), None),
+    GateQuery("t58_dsir_weights", qDsirWeights, Some(qDsirWeightsOracle)),
+    // inference-time BPE tokenization — iterative best-rank-first
+    // encode, no single-statement oracle; pinned by BpeTrainerSpec
+    GateQuery("t59_bpe_encode", (s, d) => BpeTrainer.qBpeEncode(s, d), None),
   )
 }

@@ -393,6 +393,58 @@ object TrainingOps {
     GROUP BY 1
     ORDER BY seq_id"""
 
+  // ---- Sliding-window document chunking (t57) ----
+
+  // Window/stride in whitespace tokens. A context-window prep step
+  // chunks long documents into overlapping token windows; W > S gives
+  // the overlap that preserves cross-boundary context.
+  private val ChunkW = 40
+  private val ChunkS = 30
+
+  /** Sliding-window chunking: each document becomes
+    * `1 + max(0, ceil((n - W) / S))` overlapping windows of ≤ W
+    * whitespace tokens at stride S — the standard context-window prep
+    * for embedding / retrieval corpora. Entirely in-row (one generator
+    * expression, no shuffle, no window function): the 100 TB plan is a
+    * single scan that fans each document out to its chunks.
+    *
+    * The chunk count uses the integer form `(n - W + S - 1) div S`
+    * clamped at 0: Spark `div` truncates toward zero while DuckDB `//`
+    * floors, but the two only disagree on negative operands, where the
+    * `greatest(0, ·)` clamp makes both 0 — engine-portable without
+    * float `ceil`.
+    */
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .withColumn("n", size(col("words")))
+      .filter(col("n") > 0)
+      .withColumn("c", explode(expr(
+        s"""transform(sequence(0, greatest((n - $ChunkW + $ChunkS - 1) div $ChunkS, 0)),
+              i -> named_struct(
+                'chunk_id', cast(i as bigint),
+                'chunk_tokens', cast(size(slice(words, i * $ChunkS + 1, $ChunkW)) as bigint),
+                'chunk_hash', md5(array_join(slice(words, i * $ChunkS + 1, $ChunkW), ' '))))""")))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.chunk_tokens").as("chunk_tokens"), col("c.chunk_hash").as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val qChunkDocsOracle: String = s"""
+    WITH f AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '') AS words
+      FROM documents),
+    g AS (SELECT doc_id, words, LEN(words) AS n FROM f WHERE LEN(words) > 0),
+    c AS (
+      SELECT doc_id, words,
+             UNNEST(RANGE(0, 1 + GREATEST((n - $ChunkW + $ChunkS - 1) // $ChunkS, 0))) AS chunk_id
+      FROM g)
+    SELECT doc_id, chunk_id,
+           CAST(LEN(words[(chunk_id * $ChunkS + 1):(chunk_id * $ChunkS + $ChunkW)]) AS BIGINT) AS chunk_tokens,
+           MD5(ARRAY_TO_STRING(words[(chunk_id * $ChunkS + 1):(chunk_id * $ChunkS + $ChunkW)], ' ')) AS chunk_hash
+    FROM c
+    ORDER BY doc_id, chunk_id"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("t33_split", qSplit, Some(qSplitOracle)),
     GateQuery("t34_source_mix", qSourceMix, Some(qSourceMixOracle)),
@@ -404,5 +456,6 @@ object TrainingOps {
     GateQuery("t36_repetition_filter", qRepetitionFilter, Some(qRepetitionFilterOracle)),
     GateQuery("t39_seq_pack", qSeqPack, Some(qSeqPackOracle)),
     GateQuery("t53_token_budget", qTokenBudget, Some(qTokenBudgetOracle)),
+    GateQuery("t57_chunk_docs", qChunkDocs, Some(qChunkDocsOracle)),
   )
 }

@@ -62,12 +62,12 @@ object GraftSql {
     * front. Membership is audited by `graft.tools.EagerAudit` (a
     * job-counting listener over every builder): t46 trains a Bloom
     * sketch (`df.stat.bloomFilter` collects), t40/t52 run the
-    * connected-components loop to convergence, t51 runs the BPE merge
-    * loop.
+    * connected-components loop to convergence, t51/t59 run the BPE
+    * merge loop (t59 then encodes with the trained ranks).
     */
   val EagerArtifactViews: Set[String] = Set(
     "t46_bloom_decontaminate", "t40_dedup_clusters",
-    "t52_dedup_survivors", "t51_bpe_train")
+    "t52_dedup_survivors", "t51_bpe_train", "t59_bpe_encode")
 
   /** Register every non-eager catalog operator as a LAZY temp view
     * named after its gate id (`t28_minhash_lsh`, `v38_ann_quantized`,

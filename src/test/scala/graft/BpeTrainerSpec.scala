@@ -92,4 +92,65 @@ class BpeTrainerSpec extends AnyFunSuite {
     val gate = BpeTrainer.qBpeTrain(spark, dir).collect()
     assert(gate.length == 10 && gate.head.getAs[Int]("rank") == 1)
   }
+
+  /** Straight-line reference encode, written independently of
+    * BpeTrainer.encodeWord (recursive best-first, merging one
+    * occurrence at a time — same fixpoint, different control flow).
+    */
+  private def refEncode(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    def step(syms: Vector[String]): Vector[String] = {
+      val cands = syms.indices.dropRight(1)
+        .map(i => (ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue), i))
+      if (cands.isEmpty) syms
+      else {
+        val (best, _) = cands.minBy(_._1)
+        if (best == Int.MaxValue) syms
+        else {
+          val (l, r) = {
+            val i = cands.find(_._1 == best).get._2
+            (syms(i), syms(i + 1))
+          }
+          // merge the LEFTMOST occurrence only, then recurse: greedy
+          // left-to-right all-occurrence merging reaches the same
+          // fixpoint one step at a time (leftmost-first ordering)
+          val i = syms.indices.dropRight(1)
+            .find(j => syms(j) == l && syms(j + 1) == r).get
+          step((syms.take(i) :+ (l + r)) ++ syms.drop(i + 2))
+        }
+      }
+    }
+    step(word.map(_.toString).toVector)
+  }
+
+  test("encode: best-rank-first fixpoint, reconstruction, and the replay distinction") {
+    val docs = Tables.documents(spark, dir)
+    val merges = BpeTrainer.train(docs, 10)
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    // differential on the real vocabulary: independent reference, same result
+    val vocab = docs.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(
+          "filter(split(text, ' '), w -> w != '')")).as("w"))
+      .distinct().collect().map(_.getString(0))
+    vocab.foreach { w =>
+      val got = BpeTrainer.encodeWord(w, ranks)
+      assert(got == refEncode(w, ranks), s"encode('$w') diverges from reference")
+      assert(got.mkString == w, s"encode('$w') does not reconstruct the word")
+      // every emitted symbol is a char or a concatenation of merged symbols
+      assert(got.forall(_.nonEmpty))
+    }
+    // the constructed case where best-rank-first differs from training-order
+    // replay: merges 1:(a,bc), 2:(b,c) on "abc"
+    val r2 = Map(("a", "bc") -> 1, ("b", "c") -> 2)
+    assert(BpeTrainer.encodeWord("abc", r2) == Vector("abc"))
+    // zero merges → single characters
+    assert(BpeTrainer.encodeWord("abc", Map.empty) == Vector("a", "b", "c"))
+    // gate surface: per-doc stats bounded by chars and words
+    val stats = BpeTrainer.qBpeEncode(spark, dir).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val (words, toks, chars) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(toks >= words && toks <= chars,
+        s"doc ${r.getLong(0)}: n_bpe_tokens $toks outside [words=$words, chars=$chars]")
+    }
+  }
 }
