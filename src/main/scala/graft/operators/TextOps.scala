@@ -227,21 +227,29 @@ object TextOps {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     }
 
-  def qJaccardDfCap(s: SparkSession, dir: String): DataFrame = {
-    // candidate pairs expand IN-ROW from each posting list (≤ C(DfCap,2)
-    // structs per shingle) instead of a posting-list self-join: the
-    // shuffle moves k ids per shingle, not k² join rows, and the pair
-    // aggregation shuffles compact (long, long) keys instead of md5
-    // shingle strings.
-    val pairExpr = "flatten(transform(ids, (a, i) -> " +
-      "transform(slice(ids, i + 2, greatest(size(ids) - i - 1, 0)), " +
-      "b -> named_struct('doc_a', a, 'doc_b', b))))"
-    val sizes = cappedSizes(s, dir)
-    val pairs = cappedPosts(s, dir)
+  // candidate pairs expand IN-ROW from each posting list (≤ C(DfCap,2)
+  // structs per shingle) instead of a posting-list self-join: the
+  // shuffle moves k ids per shingle, not k² join rows, and the pair
+  // aggregation shuffles compact (long, long) keys instead of md5
+  // shingle strings. Shared by t38 (Jaccard) and t60 (containment).
+  private val pairExpr = "flatten(transform(ids, (a, i) -> " +
+    "transform(slice(ids, i + 2, greatest(size(ids) - i - 1, 0)), " +
+    "b -> named_struct('doc_a', a, 'doc_b', b))))"
+
+  /** (doc_a < doc_b, inter): shared intersection counts over the
+    * df-capped shingle space — the common candidate stage of the two
+    * exact-overlap statistics.
+    */
+  private def cappedPairInter(s: SparkSession, dir: String): DataFrame =
+    cappedPosts(s, dir)
       .filter(size(col("ids")) >= 2)
       .select(explode(expr(pairExpr)).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+
+  def qJaccardDfCap(s: SparkSession, dir: String): DataFrame = {
+    val sizes = cappedSizes(s, dir)
+    val pairs = cappedPairInter(s, dir)
     pairs
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -266,6 +274,57 @@ object TextOps {
     JOIN sz sa ON doc_a = sa.doc_id
     JOIN sz sb ON doc_b = sb.doc_id
     WHERE inter / (sa.n + sb.n - inter) >= 0.5
+    ORDER BY doc_a, doc_b"""
+
+  // ---- Shingle containment (t60): near-superset detection ----
+
+  /** A pair counts as a containment hit when either side is mostly
+    * inside the other — the quote/subset relationship Jaccard misses
+    * (a paragraph embedded in a 100× longer page has tiny Jaccard but
+    * containment ≈ 1 on the small side).
+    */
+  private val ContainmentTau = 0.8
+
+  /** Asymmetric shingle containment over the df-capped space:
+    * `cont_a = |A∩B| / |A|` and `cont_b = |A∩B| / |B|` for every
+    * candidate pair, kept when either direction reaches
+    * [[ContainmentTau]] — the near-superset detector that catches
+    * quoted/embedded/truncated copies symmetric Jaccard (t38) scores
+    * low. Same memoized posting-list index, same in-row pair
+    * expansion, same DfCap² bound — one extra statistic, zero extra
+    * corpus passes.
+    */
+  def qContainment(s: SparkSession, dir: String): DataFrame = {
+    val sizes = cappedSizes(s, dir)
+    cappedPairInter(s, dir)
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("cont_a", col("inter") / col("sa.n"))
+      .withColumn("cont_b", col("inter") / col("sb.n"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= ContainmentTau)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("cont_a"), col("cont_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qContainmentOracle: String = s"""
+    WITH sh AS ($shinglesSql),
+    dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfs USING (s) WHERE df <= $DfCap),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    c AS (
+      SELECT doc_a, doc_b, inter,
+             inter / sa.n AS cont_a, inter / sb.n AS cont_b
+      FROM pairs
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id)
+    SELECT doc_a, doc_b, inter, cont_a, cont_b
+    FROM c
+    WHERE GREATEST(cont_a, cont_b) >= $ContainmentTau
     ORDER BY doc_a, doc_b"""
 
   /** MinHash + LSH near-dup — the scale path. k=8 hash functions
@@ -848,6 +907,7 @@ object TextOps {
     GateQuery("t26_fingerprint", qFingerprint, Some(qFingerprintOracle)),
     GateQuery("t27_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardOracle)),
     GateQuery("t38_jaccard_dfcap", qJaccardDfCap, Some(qJaccardDfCapOracle)),
+    GateQuery("t60_containment", qContainment, Some(qContainmentOracle)),
     GateQuery("t28_minhash_lsh", qMinhashLsh, Some(qMinhashLshOracle)),
     GateQuery("t40_dedup_clusters", qDedupClusters, Some(qDedupClustersOracle)),
     GateQuery("t52_dedup_survivors", qDedupSurvivors, Some(qDedupSurvivorsOracle)),

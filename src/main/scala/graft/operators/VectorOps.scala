@@ -972,6 +972,76 @@ object VectorOps {
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  // ---- SemDeDup (v42): cluster-bounded semantic dedup ----
+
+  /** Pairwise-cosine threshold above which two same-cluster vectors
+    * count as semantic duplicates — v35's near-dup threshold, so the
+    * two dedup families agree on what "duplicate" means.
+    */
+  private val SemDedupTau = 0.3
+
+  /** SemDeDup (Abbas et al. 2023): cluster the corpus with the trained
+    * coarse quantizer, then look for duplicate pairs ONLY within each
+    * cluster — the published trick that turns all-pairs semantic dedup
+    * into K disjoint small problems. Within a cluster, a vector is
+    * REMOVED when a same-cluster vector exceeds [[SemDedupTau]] cosine
+    * against it and sits FARTHER from the centroid in keep-priority —
+    * the paper keeps the member with the LOWEST centroid cosine (ties
+    * to the smaller vec_id), so each duplicate group survives as its
+    * most boundary-hugging representative.
+    *
+    * Scale shape: the pair join is an equi-join on the cell id, so
+    * candidate generation is Σ|cell|² not N² — K grows with the corpus
+    * (cells stay bounded), exactly the IVF partitioning the serving
+    * index already maintains; reuses the memoized centroids/assignment,
+    * and the keep rule needs only the (vec_id, cell, ccos) relation —
+    * vectors are re-attached by key for the pair cosine.
+    */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cent = kmeansCentroids(s, dir)
+    val cc = e.join(assignCells(e, cent), Seq("vec_id"))
+      .join(broadcast(cent), Seq("cid"))
+      .withColumn("ccos", dot("v", "cv") / (col("nv") * col("ncv")))
+      .select(col("vec_id"), col("cid"), col("v"), col("nv"), col("ccos"))
+    val removed = cc.as("a").join(cc.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("pcos", dot("a.v", "b.v") / (col("a.nv") * col("b.nv")))
+      .filter(col("pcos") > SemDedupTau &&
+        (col("b.ccos") < col("a.ccos") ||
+         (col("b.ccos") === col("a.ccos") && col("b.vec_id") < col("a.vec_id"))))
+      .select(col("a.vec_id").as("vec_id"))
+      .distinct()
+      .withColumn("removed", lit(true))
+    cc.join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cell"),
+        floor(col("ccos") * lit(1e12)).cast("long").as("ccos_fp"),
+        coalesce(col("removed"), lit(false)).as("removed"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qSemDedupOracle: String = s"""
+    WITH $coarseOracleCtes,
+    cc AS (
+      SELECT asg.vec_id, asg.ivf_cell AS cid,
+             LIST_DOT_PRODUCT(e.v, cent.cv) /
+               (SQRT(LIST_DOT_PRODUCT(e.v, e.v)) * SQRT(LIST_DOT_PRODUCT(cent.cv, cent.cv))) AS ccos
+      FROM asg JOIN e ON e.vec_id = asg.vec_id JOIN cent ON cent.cid = asg.ivf_cell),
+    rem AS (
+      SELECT DISTINCT a.vec_id
+      FROM cc a JOIN cc b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE LIST_DOT_PRODUCT(ea.v, eb.v) /
+              (SQRT(LIST_DOT_PRODUCT(ea.v, ea.v)) * SQRT(LIST_DOT_PRODUCT(eb.v, eb.v))) > $SemDedupTau
+        AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))),
+    r AS (SELECT vec_id, TRUE AS removed FROM rem)
+    SELECT cc.vec_id, cc.cid AS cell,
+           CAST(FLOOR(cc.ccos * 1e12) AS BIGINT) AS ccos_fp,
+           COALESCE(r.removed, FALSE) AS removed
+    FROM cc LEFT JOIN r ON r.vec_id = cc.vec_id
+    ORDER BY cc.vec_id"""
+
   /** Nearest-centroid cluster assignment — the k-means E-step and the
     * IVF coarse assignment in one operator, plus the purity diagnostic a
     * corpus release wants (how well do embedding clusters track source
@@ -1069,5 +1139,6 @@ object VectorOps {
     GateQuery("v39_cluster_assign", qClusterAssign, Some(qClusterAssignOracle)),
     GateQuery("v40_ann_ivf_sq8", qAnnIvfSq8, Some(qAnnIvfSq8Oracle)),
     GateQuery("v41_ann_ivf_pq", qAnnIvfPq, Some(qAnnIvfPqOracle)),
+    GateQuery("v42_semdedup", qSemDedup, Some(qSemDedupOracle)),
   )
 }

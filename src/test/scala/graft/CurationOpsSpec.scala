@@ -226,6 +226,28 @@ class CurationOpsSpec extends AnyFunSuite {
     SessionMemo.release(spark)
   }
 
+  test("semdedup: every occupied cluster keeps a representative, keep rule is lowest centroid-cosine") {
+    val rows = VectorOps.qSemDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("ccos_fp"), r.getAs[Boolean]("removed")))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    val byCell = rows.groupBy(_._2)
+    byCell.foreach { case (cell, members) =>
+      // a cluster can never dedup itself to nothing
+      assert(members.exists(!_._4), s"cell $cell removed every member")
+      // the member with the LOWEST centroid cosine (ties: smallest id)
+      // has no same-cell vector with higher keep-priority, so the keep
+      // rule can never remove it
+      val keeper = members.minBy(m => (m._3, m._1))
+      assert(!keeper._4,
+        s"cell $cell removed its lowest-ccos member ${keeper._1}")
+    }
+    // the threshold discriminates on this corpus: some but not all removed
+    val nRemoved = rows.count(_._4)
+    assert(nRemoved > 0 && nRemoved < rows.length, s"removed $nRemoved of ${rows.length}")
+    SessionMemo.release(spark)
+  }
+
   test("curated corpus write: partitioned layout, manifest-consistent, dedup/decontaminated") {
     val out = java.nio.file.Files.createTempDirectory("curated").toString
     val manifest = CurationOps.writeCurated(spark, dir, out).collect()
