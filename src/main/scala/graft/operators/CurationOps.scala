@@ -509,13 +509,14 @@ object CurationOps {
     * the fixed-point pattern (v39 lesson) keeping the hash gate immune
     * to float fold order and 1-ulp libm differences on the token sum.
     */
-  def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
-    // ONE pass over the token stream: aggregate straight to
-    // per-(doc, bucket) counts (≤ docs × 256 rows, memoized). The
-    // ratio table, its totals and the per-doc scores all derive from
-    // this compact relation — the corpus text is exploded and hashed
-    // exactly once however many frames reuse it.
-    val docBuckets = SessionMemo.persist("curation:dsir-buckets", s, dir) {
+  /** Per-(doc, bucket) hashed-unigram counts (≤ docs × 256 rows,
+    * memoized): ONE pass over the token stream that every
+    * bucket-model operator (t58 DSIR, t61 surprise) derives from —
+    * the corpus text is exploded and hashed exactly once however
+    * many frames reuse it.
+    */
+  private def docBuckets(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("curation:dsir-buckets", s, dir) {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
@@ -523,7 +524,10 @@ object CurationOps {
         .groupBy(col("doc_id"), col("lang"), col("b"))
         .agg(count(lit(1)).as("cnt"))
     }
-    val ratio0 = docBuckets.groupBy(col("b")).agg(
+
+  def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val buckets = docBuckets(s, dir)
+    val ratio0 = buckets.groupBy(col("b")).agg(
       sum(col("cnt")).as("cr"),
       sum(when(col("lang") === "en", col("cnt")).otherwise(lit(0L))).as("ct"))
     val totals = ratio0.agg(
@@ -535,12 +539,75 @@ object CurationOps {
           ((col("cr") + 1).cast("double") * (col("tt") + lit(DsirBuckets.toDouble)))) *
         lit(1e6)).cast("long"))
       .select(col("b"), col("lrq"))
-    docBuckets.join(broadcast(ratio), Seq("b"))
+    buckets.join(broadcast(ratio), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_toks"),
         sum(col("cnt") * col("lrq")).as("score_micro"))
       .orderBy(col("doc_id"))
   }
+
+  // ---- Unigram-surprise quality filter (t61) ----
+
+  /** Mean per-token surprise (nats) above which a document is flagged
+    * as improbable under the corpus unigram model — the ~95th
+    * percentile of this corpus, so the flag discriminates.
+    */
+  private val SurpriseTau = 3.43
+
+  /** CCNet-style perplexity filtering with the hashed-unigram LM
+    * standing in for the KenLM model (the seam a real deployment
+    * swaps): each document scores the sum over its tokens of
+    * `−ln p_raw(bucket)` under the add-one-smoothed 256-bucket corpus
+    * model, and documents whose MEAN token surprise exceeds
+    * [[SurpriseTau]] are flagged — high-surprise text is the noise
+    * tail (OCR garbage, encoding junk, wrong-tokenizer text) a
+    * pretraining pipeline drops or routes to review.
+    *
+    * Same memoized per-(doc, bucket) relation as t58 — zero extra
+    * corpus passes — and the same integer-exact pattern: `ln` once per
+    * bucket, quantized to micro-nats, exact bigint doc sums; the mean
+    * is one division of exact integers, identical in both engines.
+    */
+  def qUnigramSurprise(s: SparkSession, dir: String): DataFrame = {
+    val buckets = docBuckets(s, dir)
+    val model0 = buckets.groupBy(col("b")).agg(sum(col("cnt")).as("cr"))
+    val total = model0.agg(sum(col("cr")).cast("double").as("tr"))
+    val model = model0.crossJoin(broadcast(total))
+      .withColumn("lq", floor(log(
+          (col("cr") + 1).cast("double") / (col("tr") + lit(DsirBuckets.toDouble))) *
+        lit(1e6)).cast("long"))
+      .select(col("b"), col("lq"))
+    buckets.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_toks"),
+        (-sum(col("cnt") * col("lq"))).as("surprise_micro"))
+      .withColumn("mean_surprise",
+        col("surprise_micro").cast("double") / col("n_toks") / lit(1e6))
+      .withColumn("flagged", col("mean_surprise") > lit(SurpriseTau))
+      .orderBy(col("doc_id"))
+  }
+
+  val qUnigramSurpriseOracle: String = s"""
+    WITH tb AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', SUBSTRING(MD5(w), 1, 2)) AS INT) AS b
+      FROM (SELECT doc_id, UNNEST($wordsSql) AS w FROM documents)),
+    cnts AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM tb GROUP BY 1, 2),
+    model0 AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS cr FROM cnts GROUP BY b),
+    tot AS (SELECT CAST(SUM(cr) AS DOUBLE) AS tr FROM model0),
+    model AS (
+      SELECT b, CAST(FLOOR(LN(CAST(cr + 1 AS DOUBLE) / (tr + ${DsirBuckets.toDouble})) * 1e6) AS BIGINT) AS lq
+      FROM model0 CROSS JOIN tot),
+    d AS (
+      SELECT cnts.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+             CAST(-SUM(cnt * lq) AS BIGINT) AS surprise_micro
+      FROM cnts JOIN model USING (b)
+      GROUP BY cnts.doc_id)
+    SELECT doc_id, n_toks, surprise_micro,
+           CAST(surprise_micro AS DOUBLE) / n_toks / 1e6 AS mean_surprise,
+           CAST(surprise_micro AS DOUBLE) / n_toks / 1e6 > $SurpriseTau AS flagged
+    FROM d
+    ORDER BY doc_id"""
 
   val qDsirWeightsOracle: String = s"""
     WITH tb AS (
@@ -577,6 +644,7 @@ object CurationOps {
     // reference implementation (the m42 pattern), driver does rows>0
     GateQuery("t51_bpe_train", (s, d) => BpeTrainer.qBpeTrain(s, d), None),
     GateQuery("t58_dsir_weights", qDsirWeights, Some(qDsirWeightsOracle)),
+    GateQuery("t61_unigram_surprise", qUnigramSurprise, Some(qUnigramSurpriseOracle)),
     // inference-time BPE tokenization — iterative best-rank-first
     // encode, no single-statement oracle; pinned by BpeTrainerSpec
     GateQuery("t59_bpe_encode", (s, d) => BpeTrainer.qBpeEncode(s, d), None),

@@ -545,24 +545,35 @@ object VectorOps {
       .select(col("vec_id"), col("cid"))
   }
 
+  /** First-k-smallest-id seeds + `iters` spherical Lloyd rounds over
+    * any (vec_id, v, nv) frame — the trained coarse quantizer shared
+    * by v37–v42, reusable on arbitrary vector frames (fixed-point
+    * means, deterministic ties; requires distinct ids). The seed
+    * top-k plans as TakeOrderedAndProject, not a global sort.
+    */
+  private[graft] def trainCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .withColumn("ncv", sqrt(dot("cv", "cv")))
+    for (_ <- 1 to iters) {
+      val assign = assignCells(e, cent)
+      cent = e.join(assign, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(floor(col("x") * lit(1e12)).cast("long")).cast("double") /
+          count(lit(1)) / lit(1e12)).as("c"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
+        .withColumn("ncv", sqrt(dot("cv", "cv")))
+    }
+    cent
+  }
+
   private[graft] def kmeansCentroids(s: SparkSession, dir: String): DataFrame =
     SessionMemo.persist("vec:kmeans", s, dir) {
-      val e = embs(s, dir)
-      var cent = e.filter(col("vec_id") < IvfK)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-        .withColumn("ncv", sqrt(dot("cv", "cv")))
-      for (_ <- 1 to IvfIters) {
-        val assign = assignCells(e, cent)
-        cent = e.join(assign, Seq("vec_id"))
-          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("cid"), col("dim"))
-          .agg((sum(floor(col("x") * lit(1e12)).cast("long")).cast("double") /
-            count(lit(1)) / lit(1e12)).as("c"))
-          .groupBy(col("cid"))
-          .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
-          .withColumn("ncv", sqrt(dot("cv", "cv")))
-      }
-      cent
+      // ids are dense from 0, so smallest-k seeds == the oracle's
+      // `vec_id < k` seed set (gates v37–v42 re-verify this each run)
+      trainCentroids(embs(s, dir), IvfK, IvfIters)
     }
 
   /** The IVF-partitioned SQ8 code index: every corpus vector's int8
@@ -997,9 +1008,11 @@ object VectorOps {
     * and the keep rule needs only the (vec_id, cell, ccos) relation —
     * vectors are re-attached by key for the pair cosine.
     */
-  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir)
-    val cent = kmeansCentroids(s, dir)
+  /** The keep/remove computation over an (vec_id, v, nv) frame and a
+    * trained centroid frame: returns (vec_id, cell, ccos, removed)
+    * with raw centroid cosines (callers quantize for hash gates).
+    */
+  private def semDedupCore(e: DataFrame, cent: DataFrame, tau: Double): DataFrame = {
     val cc = e.join(assignCells(e, cent), Seq("vec_id"))
       .join(broadcast(cent), Seq("cid"))
       .withColumn("ccos", dot("v", "cv") / (col("nv") * col("ncv")))
@@ -1007,17 +1020,42 @@ object VectorOps {
     val removed = cc.as("a").join(cc.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("pcos", dot("a.v", "b.v") / (col("a.nv") * col("b.nv")))
-      .filter(col("pcos") > SemDedupTau &&
+      .filter(col("pcos") > tau &&
         (col("b.ccos") < col("a.ccos") ||
          (col("b.ccos") === col("a.ccos") && col("b.vec_id") < col("a.vec_id"))))
       .select(col("a.vec_id").as("vec_id"))
       .distinct()
       .withColumn("removed", lit(true))
     cc.join(removed, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cid").as("cell"),
-        floor(col("ccos") * lit(1e12)).cast("long").as("ccos_fp"),
+      .select(col("vec_id"), col("cid").as("cell"), col("ccos"),
         coalesce(col("removed"), lit(false)).as("removed"))
+  }
+
+  def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    semDedupCore(embs(s, dir), kmeansCentroids(s, dir), SemDedupTau)
+      .select(col("vec_id"), col("cell"),
+        floor(col("ccos") * lit(1e12)).cast("long").as("ccos_fp"), col("removed"))
       .orderBy(col("vec_id"))
+
+  /** Library-surface SemDeDup over ANY (id, vector) frame — e.g. the
+    * output of `LlmOperators.embed` on a text corpus: trains its own
+    * coarse quantizer (k smallest-id seeds + spherical Lloyd rounds,
+    * the gate quantizer's procedure) and applies the
+    * keep-lowest-centroid-cosine rule. Returns one row per input id
+    * with (cell, ccos, removed); callers keep `!removed`. Requires
+    * distinct numeric ids; identical vectors always share a cell, so
+    * each group of exact-duplicate vectors survives as exactly its
+    * smallest id.
+    */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      tau: Double = SemDedupTau, k: Int = IvfK, iters: Int = IvfIters): DataFrame = {
+    graft.functions.DotProduct.register(vectors.sparkSession)
+    val e = vectors.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", sqrt(dot("v", "v")))
+    semDedupCore(e, trainCentroids(e, k, iters), tau)
+      .withColumnRenamed("vec_id", idCol)
+      .orderBy(col(idCol))
   }
 
   val qSemDedupOracle: String = s"""

@@ -1,6 +1,12 @@
 // Dev tool: which gate-query BUILDERS run Spark jobs at plan-construction
 // time? Those operators must sit in GraftSql.EagerArtifactViews (their view
 // registration is not free). Run: sbt "runMain graft.tools.EagerAudit"
+//
+// Reading the output: many builders show a BASELINE jobs=1 — that is the
+// parquet file-listing job of the first scan over a not-yet-cached table,
+// not model training. "Eager" for the EagerArtifactViews sense means jobs
+// well above that baseline (training collects, fixed-point loops: t40=31,
+// t51/t59=6) or a build time far past the listing floor.
 package graft.tools
 
 import java.util.concurrent.atomic.AtomicInteger

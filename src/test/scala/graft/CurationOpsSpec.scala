@@ -248,6 +248,33 @@ class CurationOpsSpec extends AnyFunSuite {
     SessionMemo.release(spark)
   }
 
+  test("generic semDedup over stub-embedded docs: dup texts collapse toward the smallest id") {
+    // the corpus has no exact-dup texts, so plant known positives
+    // (t41/t56's deterministic-augmentation pattern): copy 5 docs'
+    // texts under new ids — the dup groups exist by construction
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val docs = base.unionByName(planted)
+    val vecs = graft.llm.LlmOperators.embed(docs, new graft.llm.StubEmbedder())
+      .filter(col("error").isNull)
+    val nVecs = vecs.count()
+    val out = VectorOps.semDedup(vecs, "doc_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("removed"))).toMap
+    assert(out.size.toLong == nVecs, "every embedded doc gets a verdict")
+    // exact-duplicate TEXTS produce identical stub vectors, which share
+    // a cell (deterministic assignment) and pair at cosine 1 > τ with
+    // equal centroid cosines — so every NON-smallest member of a dup
+    // group is removed by the id tie-break (the smallest may still fall
+    // to an outside >τ neighbor with lower centroid cosine)
+    (0L until 5L).foreach { id =>
+      assert(out(id + 100000), s"planted dup ${id + 100000} not removed")
+    }
+    // the planted copies never outrank their originals
+    assert((0L until 5L).forall(id => !out(id) || out(id + 100000)))
+    SessionMemo.release(spark)
+  }
+
   test("curated corpus write: partitioned layout, manifest-consistent, dedup/decontaminated") {
     val out = java.nio.file.Files.createTempDirectory("curated").toString
     val manifest = CurationOps.writeCurated(spark, dir, out).collect()
