@@ -194,7 +194,7 @@ object BpeTrainer {
     */
   def qBpeTrain(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
     import s.implicits._
-    train(Tables.documents(s, dir), nMerges)
+    trainedMerges(s, dir, nMerges)
       .toDF()
       .select(col("rank"), col("left"), col("right"), col("count"))
       .orderBy(col("rank"))
@@ -240,40 +240,55 @@ object BpeTrainer {
     syms
   }
 
-  /** Corpus tokenization with a trained BPE: encode each DISTINCT word
-    * once (the encode loop is per-word procedural — a UDF over the
-    * vocabulary-sized distinct-word table, not the corpus token
-    * stream), then map the per-word token counts back onto documents
-    * with a join. At 100 TB the vocab table is millions of rows against
-    * a trillion tokens, so the expensive iterative work stays
-    * vocabulary-bounded and the corpus pass is one hash join + one
-    * aggregation (AQE broadcasts the vocab side when it fits).
+  /** Corpus tokenization with a trained BPE: ONE corpus pass
+    * aggregates to a materialized (doc_id, word, cnt) relation; each
+    * DISTINCT word is encoded once (the encode loop is per-word
+    * procedural — a UDF over the vocabulary-sized distinct-word table,
+    * never the corpus token stream); per-word token counts map back
+    * onto documents weighted by `cnt`. At 100 TB the vocab table is
+    * millions of rows against a trillion tokens, so the expensive
+    * iterative work stays vocabulary-bounded, and the materialize hook
+    * (SessionMemo in the gate) keeps the corpus from being re-split
+    * for the vocab side and the probe side separately.
     */
-  def encodeStats(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+  def encodeStats(docs: DataFrame, merges: Seq[Merge],
+      materialize: DataFrame => DataFrame =
+        _.persist(StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     val spark = docs.sparkSession
     val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
     val bc = spark.sparkContext.broadcast(ranks)
     val encLen = udf((w: String) =>
       if (w == null) 0L else encodeWord(w, bc.value).length.toLong)
-    val toks = docs.select(col("doc_id"), explode(
-      expr("filter(split(text, ' '), w -> w != '')")).as("w"))
-    val vocabEnc = toks.select(col("w")).distinct()
+    val docWords = materialize(
+      docs.select(col("doc_id"), explode(
+          expr("filter(split(text, ' '), w -> w != '')")).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("cnt")))
+    val vocabEnc = docWords.select(col("w")).distinct()
       .withColumn("bpe_len", encLen(col("w")))
       .withColumn("char_len", length(col("w")).cast("long"))
-    toks.join(vocabEnc, Seq("w"))
+    docWords.join(vocabEnc, Seq("w"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("bpe_len")).as("n_bpe_tokens"),
-        sum(col("char_len")).as("n_chars_tokenized"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("bpe_len")).as("n_bpe_tokens"),
+        sum(col("cnt") * col("char_len")).as("n_chars_tokenized"))
       .orderBy(col("doc_id"))
   }
+
+  /** Trained merges memoized per (session, dir, n): t51 and t59 are
+    * both eager plan builders over the same corpus — train once per
+    * session instead of once per gate.
+    */
+  private def trainedMerges(s: SparkSession, dir: String, nMerges: Int): Seq[Merge] =
+    SessionMemo.memo(s"bpe:merges:$nMerges", s, dir) {
+      train(Tables.documents(s, dir), nMerges)
+    }
 
   /** Gate surface for encode (driver smoke: rows > 0; iterative — no
     * single-statement oracle; pinned by BpeTrainerSpec's differential
     * and invariant checks).
     */
-  def qBpeEncode(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    encodeStats(docs, train(docs, nMerges))
-  }
+  def qBpeEncode(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame =
+    encodeStats(Tables.documents(s, dir), trainedMerges(s, dir, nMerges),
+      materialize = df => SessionMemo.persist("bpe:doc-words", s, dir)(df))
 }

@@ -632,15 +632,20 @@ object CurationOps {
     val quality = TextOps.qQualityScore(s, dir).select(col("doc_id"), col("score"))
     val flags = qUnigramSurprise(s, dir)
       .select(col("doc_id"), col("n_toks"), col("flagged"))
-    docs.join(quality, Seq("doc_id")).join(flags, Seq("doc_id"))
+    // LEFT joins: the t31/t61 frames exclude token-less documents, but
+    // the dashboard must still count them (degenerate docs are exactly
+    // what a release audit needs to see) — n_docs/n_dup cover every
+    // doc, token-less docs contribute 0 tokens and no flag, and the
+    // quality mean is over SCORED docs (its denominator counts them).
+    docs.join(quality, Seq("doc_id"), "left").join(flags, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col("n_toks")).as("n_tokens"),
+        sum(coalesce(col("n_toks"), lit(0L))).as("n_tokens"),
         (sum(floor(col("score") * lit(1e12)).cast("long")).cast("double") /
-          count(lit(1)) / lit(1e12)).as("mean_quality"),
+          count(col("score")) / lit(1e12)).as("mean_quality"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
-        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+        sum(when(coalesce(col("flagged"), lit(false)), 1L).otherwise(0L)).as("n_flagged"))
       .orderBy(col("source"))
   }
 
@@ -653,14 +658,14 @@ object CurationOps {
       FROM documents)
     SELECT d.source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(sp.n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(sp.n_toks, 0)) AS BIGINT) AS n_tokens,
            CAST(SUM(CAST(FLOOR(q.score * 1e12) AS BIGINT)) AS DOUBLE)
-             / COUNT(*) / 1e12 AS mean_quality,
+             / COUNT(q.score) / 1e12 AS mean_quality,
            CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-           CAST(SUM(CASE WHEN sp.flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+           CAST(SUM(CASE WHEN COALESCE(sp.flagged, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
     FROM d
-    JOIN q ON q.doc_id = d.doc_id
-    JOIN sp ON sp.doc_id = d.doc_id
+    LEFT JOIN q ON q.doc_id = d.doc_id
+    LEFT JOIN sp ON sp.doc_id = d.doc_id
     GROUP BY d.source
     ORDER BY d.source"""
 
