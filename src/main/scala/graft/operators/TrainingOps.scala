@@ -445,6 +445,44 @@ object TrainingOps {
     FROM c
     ORDER BY doc_id, chunk_id"""
 
+  /** Chunk-level boilerplate dedup (t63): CCNet-style paragraph-hash
+    * dedup with t57's windows as the unit — a chunk whose hash appears
+    * in MORE THAN ONE document is boilerplate (shared headers, quoted
+    * runs, templated spans), reported per document as a count and
+    * fraction. Pure composition of t57 (same builder, same oracle
+    * nested as a CTE): one hash-count aggregate over the chunk
+    * relation + one re-join, both on the chunk hash — corpus-scale
+    * work is two shuffles of chunk-hash-sized rows.
+    */
+  def qChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunks = qChunkDocs(s, dir).select(col("doc_id"), col("chunk_hash"))
+    val hashDf = chunks.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("docs_with"))
+    chunks.join(hashDf, Seq("chunk_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qChunkDedupOracle: String = s"""
+    WITH c AS ($qChunkDocsOracle),
+    hd AS (
+      SELECT chunk_hash, COUNT(DISTINCT doc_id) AS docs_with
+      FROM c GROUP BY chunk_hash),
+    d AS (
+      SELECT c.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN hd.docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+      FROM c JOIN hd ON hd.chunk_hash = c.chunk_hash
+      GROUP BY c.doc_id)
+    SELECT doc_id, n_chunks, n_boiler,
+           CAST(n_boiler AS DOUBLE) / n_chunks AS boiler_frac
+    FROM d
+    ORDER BY doc_id"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("t33_split", qSplit, Some(qSplitOracle)),
     GateQuery("t34_source_mix", qSourceMix, Some(qSourceMixOracle)),
@@ -457,5 +495,6 @@ object TrainingOps {
     GateQuery("t39_seq_pack", qSeqPack, Some(qSeqPackOracle)),
     GateQuery("t53_token_budget", qTokenBudget, Some(qTokenBudgetOracle)),
     GateQuery("t57_chunk_docs", qChunkDocs, Some(qChunkDocsOracle)),
+    GateQuery("t63_chunk_dedup", qChunkDedup, Some(qChunkDedupOracle)),
   )
 }
