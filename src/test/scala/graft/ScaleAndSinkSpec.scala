@@ -100,7 +100,7 @@ class ScaleAndSinkSpec extends AnyFunSuite {
       numPartitions = Some(8),
       materialize = d => { mat = d.persist(); mat })
     val windowed = df.withColumn("off_w", coalesce(
-      sum(col("v")).over(W.orderBy(col("k"))
+      sum(col("v")).over(W.partitionBy(pmod(col("k"), lit(1))).orderBy(col("k"))
         .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
     assert(summed.join(windowed, Seq("k", "v"))
       .filter(col("off") =!= col("off_w")).count() == 0)
@@ -163,7 +163,7 @@ class ScaleAndSinkSpec extends AnyFunSuite {
         numPartitions = Some(1 + rnd.nextInt(12)),
         materialize = d => { mat2 = d.persist(); mat2 })
       val summedW = df.withColumn("off_w", coalesce(
-        sum(col("v")).over(W.orderBy(col("k"))
+        sum(col("v")).over(W.partitionBy(pmod(col("k"), lit(1))).orderBy(col("k"))
           .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
       assert(summed.join(summedW, Seq("k", "v"))
         .filter(col("off") =!= col("off_w")).count() == 0, s"sum round $round")
