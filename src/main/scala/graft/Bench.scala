@@ -37,18 +37,24 @@ object Bench {
 
   /** Warmup pass (plan compilation + codegen + JIT) then `passes`
     * interleaved timed passes; returns per-query samples in suite
-    * order.
+    * order. A query that throws still gets a (tiny) sample — the suite
+    * must finish — but its name lands in `errors` so the artifact can
+    * flag it: a broken query benches as a fast time-to-failure, which
+    * silently FLATTERS the total unless the error channel rides along
+    * (r7: five broken queries recorded ~0.07 s each).
     */
   private def timeSuite(spark: SparkSession,
       queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-      sfDir: String, passes: Int): Array[Vector[Double]] = {
+      sfDir: String, passes: Int,
+      errors: scala.collection.mutable.LinkedHashSet[String]): Array[Vector[Double]] = {
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val samples = Array.fill(queries.size)(Vector.newBuilder[Double])
     for (_ <- 1 to passes; i <- queries.indices) {
       val t0 = System.nanoTime()
-      try queries(i)._2(spark, sfDir).count() catch { case _: Throwable => () }
+      try queries(i)._2(spark, sfDir).count()
+      catch { case _: Throwable => errors += queries(i)._1 }
       samples(i) += (System.nanoTime() - t0) / 1e9
     }
     samples.map(_.result())
@@ -90,7 +96,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
-    val samples = timeSuite(spark, queries, sfDir, TimedPasses)
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    val samples = timeSuite(spark, queries, sfDir, TimedPasses, errors)
     val medians = samples.map(s => s.sorted.apply(s.size / 2))
     val mins = samples.map(_.min)
     val qs = jsonMap(queries.indices.map(i => queries(i)._1 -> r4(medians(i))))
@@ -106,7 +113,7 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0" &&
           smallDir != sfDir && new java.io.File(smallDir).isDirectory) {
         graft.operators.TextOps.releaseCache(spark)
-        val small = timeSuite(spark, queries, smallDir, ScalingPasses)
+        val small = timeSuite(spark, queries, smallDir, ScalingPasses, errors)
         val smallMins = small.map(_.min)
         val ratios = queries.indices.map { i =>
           queries(i)._1 -> (mins(i) / math.max(smallMins(i), 1e-9))
@@ -141,10 +148,15 @@ object Bench {
     }.find(_.length <= 950).getOrElse {
       s"""{"metric":"total","value":${fixed(total, 4)},"unit":"sec","sf":"$sfDir"}"""
     }
-    // file: the full diagnostic artifact (full names, full precision)
+    // file: the full diagnostic artifact (full names, full precision).
+    // `errors` names every query that threw in any timed pass — its
+    // median is time-to-FAILURE, not a measurement, and must not be
+    // read as a win.
     val names = jsonMap(queries.indices.map(i => keys(i) -> ("\"" + queries(i)._1 + "\"")))
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
-      s""""queries":$qs,"queries_min":$qmins,"query_names":$names,"sf":"$sfDir"""" +
+      s""""queries":$qs,"queries_min":$qmins,"query_names":$names,""" +
+      s""""errors":$errJson,"sf":"$sfDir"""" +
       scaling.map(s => s""","scaling":$s""").getOrElse("") + "}"
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }

@@ -22,15 +22,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 does not read
-    * natively: read it as raw long nanos and truncate to microseconds —
-    * the same truncation DuckDB applies when casting TIMESTAMP_NS to
-    * TIMESTAMP, so both engines see identical µs values.
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across corpus generations, so the loader adapts
+    * to the physical type it finds instead of assuming one:
+    *
+    *  - NANOS: Spark 4 has no nanosecond timestamp type, so read the
+    *    column as raw long nanos (`nanosAsLong`) and truncate to
+    *    microseconds — the same truncation DuckDB applies casting
+    *    TIMESTAMP_NS to TIMESTAMP, so both engines see identical µs.
+    *  - MICROS (isAdjustedToUTC=false → Spark infers TIMESTAMP_NTZ):
+    *    cast to session-zone TimestampType. Sessions here pin UTC, so
+    *    the instants are unchanged and downstream ts arithmetic keeps
+    *    the type every consumer was built against.
+    *  - Already TimestampType: pass through.
+    *
+    * `nanosAsLong` stays set either way: it only affects NANOS columns,
+    * so it is a no-op on micros corpora and keeps old corpora readable.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

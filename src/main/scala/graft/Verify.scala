@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // unlock corpus-derived VALUES-literal oracles (BPE train/encode):
+    // they are only valid for the sf dir this dump runs against, so the
+    // dir is pinned here — the one place oracle SQL is produced
+    sys.props(graft.operators.BpeTrainer.OracleDirProp) = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,6 +19,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -25,6 +30,7 @@ object Verify {
           System.err.println(s"[verify] $name failed (${e.getMessage}); retrying")
           try attempt() catch { case e2: Throwable =>
             System.err.println(s"[verify] $name failed: ${e2.getMessage}")
+            failures(name) = Option(e2.getMessage).getOrElse(e2.getClass.getName)
           }
       }
     }
@@ -43,6 +49,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure channel: a query with no output dir would otherwise just
+    // VANISH from the round's correctness file (5 rows disappeared in r7
+    // when a corpus regeneration broke the events loader) — easy to
+    // misread as "queries removed". _errors.json names each query that
+    // failed both attempts so the driver/judge can record `err` instead.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries failed: " +
+        failures.keys.mkString(", "))
     graft.operators.TextOps.releaseCache(spark)
     spark.stop()
   }

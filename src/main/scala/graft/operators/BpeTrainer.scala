@@ -253,7 +253,8 @@ object BpeTrainer {
     */
   def encodeStats(docs: DataFrame, merges: Seq[Merge],
       materialize: DataFrame => DataFrame =
-        _.persist(StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+        _.persist(StorageLevel.MEMORY_AND_DISK),
+      materializeVocab: DataFrame => DataFrame = identity): DataFrame = {
     val spark = docs.sparkSession
     val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
     val bc = spark.sparkContext.broadcast(ranks)
@@ -264,9 +265,12 @@ object BpeTrainer {
           expr("filter(split(text, ' '), w -> w != '')")).as("w"))
         .groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("cnt")))
-    val vocabEnc = docWords.select(col("w")).distinct()
+    // the encoded vocabulary IS the loaded-tokenizer artifact — its
+    // materialize hook lets a session encode many corpora/batches
+    // without re-running the per-word UDF loop
+    val vocabEnc = materializeVocab(docWords.select(col("w")).distinct()
       .withColumn("bpe_len", encLen(col("w")))
-      .withColumn("char_len", length(col("w")).cast("long"))
+      .withColumn("char_len", length(col("w")).cast("long")))
     docWords.join(vocabEnc, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_words"),
@@ -290,5 +294,102 @@ object BpeTrainer {
     */
   def qBpeEncode(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame =
     encodeStats(Tables.documents(s, dir), trainedMerges(s, dir, nMerges),
-      materialize = df => SessionMemo.persist("bpe:doc-words", s, dir)(df))
+      materialize = df => SessionMemo.persist("bpe:doc-words", s, dir)(df),
+      materializeVocab = df => SessionMemo.persist("bpe:vocab-enc", s, dir)(df))
+
+  // ---- VALUES-literal oracles (r7 VERDICT #5, the MediaGate pattern) ----
+  //
+  // DuckDB cannot express the iterative BPE loop, so the oracle is a
+  // straight-line driver-side evaluation of the SAME corpus, pinned as a
+  // VALUES literal: collect (doc_id, text) once, split words and count
+  // frequencies in plain Scala (no Spark relational ops), train with the
+  // in-memory reference loop, encode each distinct word once. The
+  // differential therefore exercises exactly the distributed plumbing the
+  // gates add — the corpus-sized wordCounts aggregate, the regime
+  // dispatch, the explode/groupBy/join/sum encode pipeline — against a
+  // zero-Spark reference, the way m42's oracle replays the stub decoder.
+  //
+  // Unlike MediaGate's seeded corpus, documents is SF-dependent, so the
+  // literal is only valid for the sf directory it was generated from:
+  // oracle generation is gated on `graft.oracle.sfdir` (set by
+  // graft.Verify from its argv, the one place oracle SQL is dumped) and
+  // an active session, and returns None — the old rows-only behavior —
+  // anywhere else.
+
+  /** System property naming the sf dir oracle literals are generated
+    * from; set by [[graft.Verify]].
+    */
+  val OracleDirProp = "graft.oracle.sfdir"
+
+  private val oracleCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[String]]
+
+  private def withOracleContext(kind: String)(
+      f: (SparkSession, String) => String): Option[String] =
+    (SparkSession.getActiveSession, sys.props.get(OracleDirProp)) match {
+      case (Some(s), Some(dir)) =>
+        oracleCache.getOrElseUpdate(s"$kind:$dir", {
+          try Some(f(s, dir))
+          catch { case e: Exception =>
+            System.err.println(s"[bpe-oracle] $kind skipped: ${e.getMessage}")
+            None
+          }
+        })
+      case _ => None
+    }
+
+  /** Driver-side corpus view: (doc_id, words) with the operators'
+    * whitespace split, computed with zero Spark relational ops (the
+    * parquet collect is the only Spark touch).
+    */
+  private def collectedDocs(s: SparkSession, dir: String): Seq[(Long, Array[String])] =
+    Tables.documents(s, dir).select(col("doc_id"), col("text")).collect().toSeq
+      .map(r => (r.getLong(0),
+        Option(r.getString(1)).getOrElse("").split(' ').filterNot(_.isEmpty)))
+      .sortBy(_._1)
+
+  private def pureWordCounts(docs: Seq[(Long, Array[String])]): Seq[(String, Long)] = {
+    val wc = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.foreach { case (_, ws) =>
+      ws.foreach(w => wc.update(w, wc.getOrElse(w, 0L) + 1L))
+    }
+    wc.toSeq
+  }
+
+  private def sqlStr(x: String): String = "'" + x.replace("'", "''") + "'"
+
+  def trainOracle(nMerges: Int = 10): Option[String] =
+    withOracleContext(s"train:$nMerges") { (s, dir) =>
+      val merges = trainLocal(pureWordCounts(collectedDocs(s, dir)), nMerges)
+      val rows = merges.map(m =>
+        s"(${m.rank}, ${sqlStr(m.left)}, ${sqlStr(m.right)}, ${m.count})")
+      require(rows.nonEmpty, "empty corpus")
+      s"""SELECT CAST("rank" AS INTEGER) AS "rank", "left", "right",
+            CAST("count" AS BIGINT) AS "count"
+          FROM (VALUES ${rows.mkString(",\n")}) t("rank", "left", "right", "count")
+          ORDER BY "rank""""
+    }
+
+  def encodeOracle(nMerges: Int = 10): Option[String] =
+    withOracleContext(s"encode:$nMerges") { (s, dir) =>
+      val docs = collectedDocs(s, dir)
+      val ranks = trainLocal(pureWordCounts(docs), nMerges)
+        .map(m => (m.left, m.right) -> m.rank).toMap
+      val encLen = scala.collection.mutable.HashMap.empty[String, Long]
+      def len(w: String): Long =
+        encLen.getOrElseUpdate(w, encodeWord(w, ranks).length.toLong)
+      // docs with no words never survive the gate's explode — drop here too
+      val rows = docs.filter(_._2.nonEmpty).map { case (id, ws) =>
+        s"($id, ${ws.length.toLong}, ${ws.iterator.map(len).sum}, " +
+          s"${ws.iterator.map(_.length.toLong).sum})"
+      }
+      require(rows.nonEmpty, "empty corpus")
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+            CAST(n_words AS BIGINT) AS n_words,
+            CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+            CAST(n_chars_tokenized AS BIGINT) AS n_chars_tokenized
+          FROM (VALUES ${rows.mkString(",\n")})
+            t(doc_id, n_words, n_bpe_tokens, n_chars_tokenized)
+          ORDER BY doc_id"""
+    }
 }

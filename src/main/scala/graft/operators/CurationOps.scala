@@ -232,25 +232,62 @@ object CurationOps {
     (3L, "vector scan filter"),
     (4L, "slow query batch"))
 
+  /** (w, df, idfw) inverse-document-frequency table — df over the
+    * per-doc DISTINCT term list, distinctness in-row (no global
+    * DISTINCT over occurrences). Vocabulary-sized and memoized: the
+    * index artifact of the lexical-retrieval pack, built once per
+    * (session, dir) instead of re-exploding the corpus on every
+    * search (r7 flagged t50 at 6.2× DuckDB largely on that re-derive).
+    */
+  private def docFreq(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("curation:docfreq", s, dir) {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(filter(split(text, ' '), w -> w != ''))")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .withColumn("idfw", expr("1000000 div df"))
+    }
+
+  /** Quantized idf weights for the query vocabulary — ≤ Σ|query terms|
+    * entries collected once per (session, dir) from the memoized
+    * [[docFreq]] index: the search-time model artifact (exactly a
+    * production engine's loaded posting-list statistics), inlined into
+    * the scoring pass as a map literal so a search costs zero extra
+    * jobs for idf lookup.
+    */
+  private def queryIdf(s: SparkSession, dir: String): Map[String, Long] =
+    SessionMemo.memo("curation:query-idf", s, dir) {
+      val qws = RetrievalQueries.flatMap(_._2.split(' ')).filter(_.nonEmpty).distinct
+      docFreq(s, dir).filter(col("w").isin(qws: _*))
+        .select(col("w"), col("idfw")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+
   def qLexicalTopk(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TopKAgg.register(s)
-    import s.implicits._
-    val qterms = RetrievalQueries.toDF("query_id", "qtext")
-      .select(col("query_id"), explode(
-        expr("array_distinct(filter(split(qtext, ' '), w -> w != ''))")).as("w"))
+    // inverted query map: term → the (sorted) query ids that contain
+    // it. Tiny and static, so it rides in as a literal: matching is an
+    // explode over the lookup — a missing term yields null, which
+    // explode drops — rather than a broadcast join that costs a
+    // broadcast-build job every execution.
+    val queryIds: Map[String, Seq[Long]] = RetrievalQueries
+      .flatMap { case (id, t) =>
+        t.split(' ').filter(_.nonEmpty).distinct.map(w => w -> id) }
+      .groupBy(_._1).map { case (w, ps) => w -> ps.map(_._2).sorted }
     val occ = occurrences(s, dir).select(col("doc_id"), col("w"))
-    // df over the per-doc DISTINCT term list, distinctness in-row
-    val dfc = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(filter(split(text, ' '), w -> w != ''))")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .withColumn("idfw", expr("1000000 div df"))
-    val tf = occ.join(broadcast(qterms), Seq("w"))
-      .groupBy(col("query_id"), col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("tf"))
-    val scores = tf.join(dfc, Seq("w"))
+    // Σ_t tf(d,t)·w(t) regrouped as a per-OCCURRENCE sum of w(t): the
+    // intermediate (query, doc, term) tf aggregate is algebraically
+    // redundant — summing idfw over matched occurrences is the same
+    // exact bigint — so scoring is ONE shuffle (partial-agg'd groupBy),
+    // not two groupBys and an idf join (r7 flagged t50's stage count).
+    // Every occurrence word exists in docFreq by construction (same
+    // split), so the idf lookup cannot miss on a matched term.
+    val scores = occ
+      .select(col("doc_id"), col("w"),
+        explode(element_at(typedlit(queryIds), col("w"))).as("query_id"))
+      .withColumn("idfw", element_at(typedlit(queryIdf(s, dir)), col("w")))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("tf") * col("idfw")).as("score"))
+      .agg(sum(col("idfw")).as("score"))
     scores
       .groupBy(col("query_id"))
       .agg(expr(s"top_k_by_value(cast(score as double), doc_id, $RetrievalK)").as("top"))
@@ -466,7 +503,7 @@ object CurationOps {
       case Some(b) => TrainingOps.tokenBudgeted(base, b,
           materialize = df => SessionMemo.persist("curate:budget", s, dir)(df))
         .drop("n_tokens", "cum_tokens")
-        .select(base.columns.map(col): _*)
+        .select(base.columns.toIndexedSeq.map(col): _*)
       case None => base
     }
     selected.write.mode("overwrite")
@@ -525,26 +562,69 @@ object CurationOps {
         .agg(count(lit(1)).as("cnt"))
     }
 
-  def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val buckets = docBuckets(s, dir)
-    val ratio0 = buckets.groupBy(col("b")).agg(
-      sum(col("cnt")).as("cr"),
-      sum(when(col("lang") === "en", col("cnt")).otherwise(lit(0L))).as("ct"))
-    val totals = ratio0.agg(
-      sum(col("cr")).cast("double").as("tr"),
-      sum(col("ct")).cast("double").as("tt"))
-    val ratio = ratio0.crossJoin(broadcast(totals))
-      .withColumn("lrq", floor(log(
-          ((col("ct") + 1).cast("double") * (col("tr") + lit(DsirBuckets.toDouble))) /
-          ((col("cr") + 1).cast("double") * (col("tt") + lit(DsirBuckets.toDouble)))) *
-        lit(1e6)).cast("long"))
-      .select(col("b"), col("lrq"))
-    buckets.join(broadcast(ratio), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n_toks"),
-        sum(col("cnt") * col("lrq")).as("score_micro"))
+  /** The trained 256-bucket model, collected ONCE per (session, dir):
+    * (lrq DSIR log-ratios, lq unigram log-probs), both quantized to
+    * integer micro-units. The model is ≤[[DsirBuckets]] rows — a
+    * bounded artifact like v37's centroids — so instead of a per-run
+    * aggregate → crossJoin(broadcast) → broadcast-join chain (3 extra
+    * Spark jobs every execution; r7 flagged t58 at 4.6× DuckDB on
+    * exactly that scheduling floor), it rides into the scoring pass as
+    * an array LITERAL indexed by bucket id: the whole query becomes one
+    * stage over the persisted bucket relation. The arithmetic mirrors
+    * the former in-plan expressions op-for-op — same IEEE-754 doubles,
+    * same `java.lang.Math.log` Spark's Log expression calls — so
+    * scores are bit-identical and the gate hashes are unchanged.
+    */
+  private def dsirModel(s: SparkSession, dir: String): (Array[Long], Array[Long]) =
+    SessionMemo.memo("curation:dsir-model", s, dir) {
+      val cr = new Array[Long](DsirBuckets)
+      val ct = new Array[Long](DsirBuckets)
+      docBuckets(s, dir).groupBy(col("b")).agg(
+          sum(col("cnt")).as("cr"),
+          sum(when(col("lang") === "en", col("cnt")).otherwise(lit(0L))).as("ct"))
+        .collect()
+        .foreach { r =>
+          cr(r.getInt(0)) = r.getLong(1); ct(r.getInt(0)) = r.getLong(2)
+        }
+      val tr = cr.sum.toDouble
+      val tt = ct.sum.toDouble
+      val lrq = Array.tabulate(DsirBuckets) { b =>
+        math.floor(math.log(
+          ((ct(b) + 1).toDouble * (tr + DsirBuckets.toDouble)) /
+          ((cr(b) + 1).toDouble * (tt + DsirBuckets.toDouble))) * 1e6).toLong
+      }
+      val lq = Array.tabulate(DsirBuckets) { b =>
+        math.floor(math.log(
+          (cr(b) + 1).toDouble / (tr + DsirBuckets.toDouble)) * 1e6).toLong
+      }
+      (lrq, lq)
+    }
+
+  /** Doc-level model scores — (doc_id, n_toks, score_micro,
+    * surprise_micro) in ONE aggregation over the bucket relation,
+    * memoized: t58, t61 and t62 all read doc-granular sums under the
+    * same trained model, so the corpus-granular groupBy runs once per
+    * (session, dir) and each gate is a projection + presentation sort
+    * over a #docs-sized persisted frame. All three sums are exact
+    * bigints, so folding them into one pass cannot change any hash
+    * (long addition is order-independent).
+    */
+  private def docModelScores(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("curation:doc-scores", s, dir) {
+      val (lrq, lq) = dsirModel(s, dir)
+      docBuckets(s, dir)
+        .withColumn("lrq", element_at(lit(lrq), col("b") + 1))
+        .withColumn("lq", element_at(lit(lq), col("b") + 1))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_toks"),
+          sum(col("cnt") * col("lrq")).as("score_micro"),
+          (-sum(col("cnt") * col("lq"))).as("surprise_micro"))
+    }
+
+  def qDsirWeights(s: SparkSession, dir: String): DataFrame =
+    docModelScores(s, dir)
+      .select(col("doc_id"), col("n_toks"), col("score_micro"))
       .orderBy(col("doc_id"))
-  }
 
   // ---- Unigram-surprise quality filter (t61) ----
 
@@ -568,24 +648,13 @@ object CurationOps {
     * bucket, quantized to micro-nats, exact bigint doc sums; the mean
     * is one division of exact integers, identical in both engines.
     */
-  def qUnigramSurprise(s: SparkSession, dir: String): DataFrame = {
-    val buckets = docBuckets(s, dir)
-    val model0 = buckets.groupBy(col("b")).agg(sum(col("cnt")).as("cr"))
-    val total = model0.agg(sum(col("cr")).cast("double").as("tr"))
-    val model = model0.crossJoin(broadcast(total))
-      .withColumn("lq", floor(log(
-          (col("cr") + 1).cast("double") / (col("tr") + lit(DsirBuckets.toDouble))) *
-        lit(1e6)).cast("long"))
-      .select(col("b"), col("lq"))
-    buckets.join(broadcast(model), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n_toks"),
-        (-sum(col("cnt") * col("lq"))).as("surprise_micro"))
+  def qUnigramSurprise(s: SparkSession, dir: String): DataFrame =
+    docModelScores(s, dir)
+      .select(col("doc_id"), col("n_toks"), col("surprise_micro"))
       .withColumn("mean_surprise",
         col("surprise_micro").cast("double") / col("n_toks") / lit(1e6))
       .withColumn("flagged", col("mean_surprise") > lit(SurpriseTau))
       .orderBy(col("doc_id"))
-  }
 
   val qUnigramSurpriseOracle: String = s"""
     WITH tb AS (
@@ -699,15 +768,20 @@ object CurationOps {
     GateQuery("t47_curate_manifest", qCurateManifest, Some(qCurateManifestOracle)),
     GateQuery("t48_bpe_pairs", qBpePairs, Some(qBpePairsOracle)),
     GateQuery("t50_lexical_topk", qLexicalTopk, Some(qLexicalTopkOracle)),
-    // iterative training loop — no single-statement SQL oracle; pinned
-    // by BpeTrainerSpec's differential check against a straight-line
-    // reference implementation (the m42 pattern), driver does rows>0
-    GateQuery("t51_bpe_train", (s, d) => BpeTrainer.qBpeTrain(s, d), None),
+    // iterative training loop — no single-statement SQL over the corpus
+    // can express it, so the oracle is a straight-line driver-side
+    // evaluation pinned as a VALUES literal (the m42 pattern); available
+    // only in the Verify context (see BpeTrainer.trainOracle), rows-only
+    // elsewhere
+    GateQuery("t51_bpe_train", (s, d) => BpeTrainer.qBpeTrain(s, d),
+      BpeTrainer.trainOracle()),
     GateQuery("t58_dsir_weights", qDsirWeights, Some(qDsirWeightsOracle)),
     GateQuery("t61_unigram_surprise", qUnigramSurprise, Some(qUnigramSurpriseOracle)),
     GateQuery("t62_source_dashboard", qSourceDashboard, Some(qSourceDashboardOracle)),
     // inference-time BPE tokenization — iterative best-rank-first
-    // encode, no single-statement oracle; pinned by BpeTrainerSpec
-    GateQuery("t59_bpe_encode", (s, d) => BpeTrainer.qBpeEncode(s, d), None),
+    // encode; VALUES-literal oracle in the Verify context (see
+    // BpeTrainer.encodeOracle), pinned by BpeTrainerSpec elsewhere
+    GateQuery("t59_bpe_encode", (s, d) => BpeTrainer.qBpeEncode(s, d),
+      BpeTrainer.encodeOracle()),
   )
 }

@@ -50,8 +50,14 @@ object GraftSql {
       "part" -> Tables.part, "orders" -> Tables.orders,
       "lineitem" -> Tables.lineitem, "events" -> Tables.events,
       "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
+    // per-table isolation: one unreadable/ill-typed table must degrade
+    // one view, not abort init and take the 9 healthy tables with it
+    // (mirrors registerOperatorViews below)
     loaders.foreach { case (t, load) =>
-      load(spark, dir).createOrReplaceTempView(t)
+      try load(spark, dir).createOrReplaceTempView(t)
+      catch { case e: Exception =>
+        System.err.println(s"[graft-sql] skipping table view $t: ${e.getMessage}")
+      }
     }
   }
 
@@ -63,11 +69,19 @@ object GraftSql {
     * job-counting listener over every builder): t46 trains a Bloom
     * sketch (`df.stat.bloomFilter` collects), t40/t52 run the
     * connected-components loop to convergence, t51/t59 run the BPE
-    * merge loop (t59 then encodes with the trained ranks).
+    * merge loop (t59 then encodes with the trained ranks), t58/t61
+    * (and t62, which composes t61) train the 256-bucket DSIR/unigram
+    * model, and t50 loads the query-vocabulary idf statistics from the
+    * document-frequency index. The model artifacts are memoized per
+    * (session, dir), so the training pass runs once, not per query —
+    * the layout that wins at corpus scale, paid for by eager
+    * registration.
     */
   val EagerArtifactViews: Set[String] = Set(
     "t46_bloom_decontaminate", "t40_dedup_clusters",
-    "t52_dedup_survivors", "t51_bpe_train", "t59_bpe_encode")
+    "t52_dedup_survivors", "t51_bpe_train", "t59_bpe_encode",
+    "t50_lexical_topk", "t58_dsir_weights", "t61_unigram_surprise",
+    "t62_source_dashboard")
 
   /** Register every non-eager catalog operator as a LAZY temp view
     * named after its gate id (`t28_minhash_lsh`, `v38_ann_quantized`,

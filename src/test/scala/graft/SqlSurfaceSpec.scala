@@ -44,6 +44,33 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("one poisoned table degrades one view, not the whole SQL surface") {
+    spark.sparkContext.setLogLevel("WARN")
+    // corpus clone with a corrupt events.parquet: registerViews must
+    // still register the other 9 tables (r7: the events loader threw and
+    // took down GraftSql.init wholesale)
+    val tmp = java.nio.file.Files.createTempDirectory("poisoned_corpus")
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
+    java.nio.file.Files.list(src).forEach { p =>
+      java.nio.file.Files.copy(p, tmp.resolve(p.getFileName.toString))
+    }
+    java.nio.file.Files.writeString(
+      tmp.resolve("events.parquet"), "this is not parquet")
+    try {
+      spark.catalog.dropTempView("events")
+      GraftSql.registerViews(spark, tmp.toString)
+      val healthy = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings")
+      healthy.foreach { t =>
+        assert(spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) > 0, t)
+      }
+      assert(!spark.catalog.tableExists("events"))
+    } finally {
+      // re-register against the healthy corpus for sibling tests
+      GraftSql.registerViews(spark, "/root/testdata/sf0.001")
+    }
+  }
+
   test("operator catalog registered as lazy SQL views") {
     GraftSql.init(spark, "/root/testdata/sf0.001")
     // every gate query is a view; reading one runs the operator
