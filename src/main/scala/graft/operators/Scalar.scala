@@ -286,13 +286,14 @@ object Scalar {
     val ev = Tables.events(s, dir)
       .filter(col("event_type").isin("signup", "purchase"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-    val isSignup = (col("event_type") === "signup").cast("int")
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, isSignup.desc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.withColumn("signup_ts",
-        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"),
+        col("event_id").as("signup_event_id"))
+    AsOfJoin.backward(purchases, signups, Seq("user_id"),
+        leftTs = "ts", rightTs = "signup_ts",
+        payload = Seq("signup_ts"), tieBreak = Seq("signup_event_id"))
       .select(col("event_id"), col("user_id"), col("ts"), col("signup_ts"))
       .orderBy(col("event_id"))
   }
