@@ -61,8 +61,12 @@ object GraftExtract {
     val docs = LlmOperators.structurize(texts, new StubStructurizer, maxInFlight = workers)
       .persist(StorageLevel.MEMORY_AND_DISK)
     FicSources.writeRawJson(docs, out)
-    val failed = docs.filter(col("error").isNotNull).count()
-    println(s"extract complete: ${docs.count()} docs, $failed failed")
+    RunLog.withLog("graft.extract") { log =>
+      val failed = RunLog.logQuarantine(log, docs, "error", "extract")
+      val msg = s"extract complete: ${docs.count()} docs, $failed failed"
+      log.foreach(l => if (failed > 0) l.warning(msg) else l.info(msg))
+      println(msg)
+    }
     docs
   }
 
@@ -95,11 +99,23 @@ object GraftTransform {
       .persist(StorageLevel.MEMORY_AND_DISK)
     FicSources.writePerDocumentJson(transformed, out)
     val warnings = Validation.sumWarnings(transformed)
-    println(s"transform complete: ${transformed.count()} docs, " +
-      s"${warnings.count()} sum warnings")
-    Validation.writeSkipList(
-      Validation.dateFolderCheck(transformed, folderName),
+    val skipped = Validation.dateFolderCheck(transformed, folderName)
+    Validation.writeSkipList(skipped,
       new java.io.File(out, "skip_list.txt").getPath)
+    RunLog.withLog("graft.transform") { log =>
+      val nWarn = warnings.count()
+      val msg = s"transform complete: ${transformed.count()} docs, " +
+        s"$nWarn sum warnings"
+      log.foreach { l =>
+        if (nWarn > 0) l.warning(msg) else l.info(msg)
+        // the skip list is already bounded (one line per mismatched
+        // document of the batch folder) — mirror it at WARNING level
+        skipped.filter(!col("fecha_valida")).select(col("filename"))
+          .orderBy(col("filename")).collect()
+          .foreach(r => l.warning(s"transform: skip-listed ${r.getString(0)}"))
+      }
+      println(msg)
+    }
     transformed
   }
 
@@ -167,7 +183,9 @@ object GraftLoad {
     JdbcSink.loadShredded(tables, url)
     val n = tables.head._2.count()
     retained.foreach(_.unpersist())
-    println(s"load complete: $n documents ($nReplaced replaced)")
+    val msg = s"load complete: $n documents ($nReplaced replaced)"
+    RunLog.withLog("graft.load")(_.foreach(_.info(msg)))
+    println(msg)
     (n, nReplaced)
   }
 
