@@ -38,6 +38,16 @@ object Cli {
 
   def arg(args: Array[String], name: String): Option[String] =
     args.sliding(2).collectFirst { case Array(`name`, v) => v }
+
+  /** JDBC sink URL: `--jdbc` flag, falling back to the
+    * `SPARK_GRAFT_JDBC_URL` environment variable — the reference keeps
+    * its DB connection in env-driven config (settings.py:17-21), so ops
+    * scripts that export the connection once and call stages bare port
+    * directly.
+    */
+  def jdbcUrl(args: Array[String]): String =
+    arg(args, "--jdbc").orElse(sys.env.get("SPARK_GRAFT_JDBC_URL"))
+      .getOrElse(sys.error("--jdbc or SPARK_GRAFT_JDBC_URL required"))
 }
 
 /** Stage 1 — `--folder <pdfs> --out <dir> [--workers N]`:
@@ -191,7 +201,7 @@ object GraftLoad {
 
   def main(args: Array[String]): Unit = {
     val in = Cli.arg(args, "--input").getOrElse(sys.error("--input required"))
-    val url = Cli.arg(args, "--jdbc").getOrElse(sys.error("--jdbc required"))
+    val url = Cli.jdbcUrl(args)
     val spark = Cli.session("graft-load")
     var docs = FicSources.transformedJsonFolder(spark, in)
     Cli.arg(args, "--skip-list").foreach { sl =>
@@ -263,7 +273,7 @@ object GraftPipeline {
   def main(args: Array[String]): Unit = {
     val folder = Cli.arg(args, "--folder").getOrElse(sys.error("--folder required"))
     val work = Cli.arg(args, "--work").getOrElse(sys.error("--work required"))
-    val url = Cli.arg(args, "--jdbc").getOrElse(sys.error("--jdbc required"))
+    val url = Cli.jdbcUrl(args)
     val workers = Cli.arg(args, "--workers").map(_.toInt).getOrElse(3)
     val spark = Cli.session("graft-pipeline")
     run(spark, folder, work, url, Cli.arg(args, "--fics"), workers)
@@ -370,7 +380,7 @@ object GraftTransformLoad {
   def main(args: Array[String]): Unit = {
     val in = Cli.arg(args, "--input").getOrElse(sys.error("--input required"))
     val out = Cli.arg(args, "--output").getOrElse(sys.error("--output required"))
-    val url = Cli.arg(args, "--jdbc").getOrElse(sys.error("--jdbc required"))
+    val url = Cli.jdbcUrl(args)
     val spark = Cli.session("graft-transform-load")
     run(spark, in, out, url, Cli.arg(args, "--fics"))
     spark.stop()

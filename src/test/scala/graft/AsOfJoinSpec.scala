@@ -80,6 +80,53 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.forall(_.isNullAt(3)))
   }
 
+  test("randomized differential vs straight-line reference (fixed seed)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // heavy key/timestamp collision on purpose: 6 keys × ts 0..19
+    val ltRows = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(6)).toString, rnd.nextInt(20).toLong))
+    val rtRows = (1 to 200).map(i =>
+      (1000L + i, (rnd.nextInt(6)).toString, rnd.nextInt(20).toLong, rnd.nextDouble()))
+    val lt = ltRows.toDF("lid", "k", "t")
+    val rt = rtRows.toDF("rid", "k", "rt_ts", "v")
+    def refBackward(key: String, ts: Long): Option[Long] =
+      rtRows.filter(r => r._2 == key && r._3 <= ts)
+        .sortBy(r => (r._3, r._1)).lastOption.map(_._1)
+    def refForward(key: String, ts: Long): Option[Long] =
+      rtRows.filter(r => r._2 == key && r._3 >= ts)
+        .sortBy(r => (r._3, r._1)).headOption.map(_._1)
+    val back = AsOfJoin.backward(lt, rt, Seq("k"), "t", "rt_ts",
+        payload = Seq("rid", "v"), tieBreak = Seq("rid"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_ => r.getLong(3))))
+    assert(back.length == ltRows.length)
+    back.foreach { case (lid, k, t, got) =>
+      assert(got == refBackward(k, t), s"backward lid=$lid k=$k t=$t")
+    }
+    val fwd = AsOfJoin.forward(lt, rt, Seq("k"), "t", "rt_ts",
+        payload = Seq("rid"), tieBreak = Seq("rid"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_ => r.getLong(3))))
+    fwd.foreach { case (lid, k, t, got) =>
+      assert(got == refForward(k, t), s"forward lid=$lid k=$k t=$t")
+    }
+  }
+
+  test("plan: one key shuffle, no join operator, no cartesian") {
+    val plan = AsOfJoin.backward(trades, quotes, Seq("sym"),
+        leftTs = "t", rightTs = "qt", payload = Seq("px"),
+        tieBreak = Seq("qid"))
+      .queryExecution.executedPlan.toString
+    // the whole operator is union → window: any Join node would mean
+    // the formulation regressed to a range join (pair explosion), and
+    // more than one hash exchange would mean the union shuffles twice
+    assert(!plan.contains("Join"), s"as-of join gained a join node:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 key shuffle, got $exchanges:\n$plan")
+  }
+
   test("q23 gate formulation matches a straight-line per-row evaluation") {
     val dir = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, dir)
