@@ -308,6 +308,38 @@ object Scalar {
       ON p.user_id = s.user_id AND p.ts >= s.signup_ts
     ORDER BY p.event_id"""
 
+  /** Forward as-of (q32): for each signup, the user's FIRST purchase
+    * at-or-after it — the activation-latency join. Same single-shuffle
+    * [[AsOfJoin]] plan in the opposite direction; the payload is the
+    * timestamp alone so duplicate same-instant purchases cannot make
+    * the hash depend on which row an engine picks (q23's discipline).
+    */
+  def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_event_id"))
+    AsOfJoin.forward(signups, purchases, Seq("user_id"),
+        leftTs = "ts", rightTs = "purchase_ts",
+        payload = Seq("purchase_ts"), tieBreak = Seq("purchase_event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("purchase_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofForwardOracle: String = """
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+               FROM events WHERE event_type IN ('signup','purchase')),
+    s AS (SELECT * FROM e WHERE event_type = 'signup'),
+    p AS (SELECT user_id, ts AS purchase_ts FROM e WHERE event_type = 'purchase')
+    SELECT s.event_id, s.user_id, s.ts, p.purchase_ts
+    FROM s ASOF LEFT JOIN p
+      ON s.user_id = p.user_id AND s.ts <= p.purchase_ts
+    ORDER BY s.event_id"""
+
   /** High-cardinality aggregation (SURVEY A4/A8 shape + skew note §7):
     * per-user stats then top-k. The groupBy shuffles on user_id; AQE
     * skew handling splits oversized partitions at scale.
@@ -344,6 +376,7 @@ object Scalar {
     GateQuery("q21_time_buckets", qTimeBuckets, Some(qTimeBucketsOracle)),
     GateQuery("q22_classify", qClassify, Some(qClassifyOracle)),
     GateQuery("q23_asof_join", qAsofJoin, Some(qAsofJoinOracle)),
+    GateQuery("q32_asof_forward", qAsofForward, Some(qAsofForwardOracle)),
     GateQuery("q24_user_stats", qUserStats, Some(qUserStatsOracle)),
   )
 }
