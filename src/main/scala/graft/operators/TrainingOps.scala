@@ -95,6 +95,57 @@ object TrainingOps {
     GROUP BY source
     ORDER BY source"""
 
+  /** Temperature (square-root) source sampling — the multilingual
+    * rebalancing rule (XLM-R's α-sampling at α = 0.5): sampling rates
+    * proportional to tokens^α instead of tokens, so head sources stop
+    * drowning the tail without the tail over-repeating. Emitted per
+    * source: exact doc/token counts, the NATURAL token share, and the
+    * temperature-adjusted rate, both in integer micro-units.
+    *
+    * Engine-exact by construction: IEEE `sqrt` is correctly rounded
+    * (unlike `pow`, which is why α is pinned to 0.5 rather than a free
+    * parameter), quantized to micro-units per source BEFORE summing, so
+    * every cross-source reduction is bigint arithmetic; the rates are
+    * bigint multiply-then-divide. Quantization headroom: w_micro × 10⁶
+    * stays under Long.Max through ~10¹⁴ tokens per source — two orders
+    * past a 100 TB corpus.
+    *
+    * Plan: one scan → per-source partial-agg'd groupBy (≤ #sources
+    * rows) → broadcast 1-row totals — scan-shaped at any corpus size.
+    */
+  def qTemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(s, dir)
+      .select(col("source"),
+        expr("size(filter(split(text, ' '), w -> w != ''))").cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .withColumn("w_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e6)).cast("long"))
+    val totals = perSource.agg(
+      sum(col("w_micro")).as("tw"), sum(col("n_tokens")).as("tt"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("natural_micro", expr("n_tokens * 1000000 div tt"))
+      .withColumn("rate_micro", expr("w_micro * 1000000 div tw"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("natural_micro"), col("rate_micro"))
+      .orderBy(col("source"))
+  }
+
+  val qTemperatureMixOracle: String = """
+    WITH ps AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+          FROM ps),
+    t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw,
+                 CAST(SUM(n_tokens) AS BIGINT) AS tt FROM w)
+    SELECT source, n_docs, n_tokens,
+           n_tokens * 1000000 // tt AS natural_micro,
+           w_micro * 1000000 // tw AS rate_micro
+    FROM w CROSS JOIN t
+    ORDER BY source"""
+
   /** Multi-epoch source mixing — the upsampling half of a data recipe
     * (t34's quotas truncate; this REPEATS): weight w means every doc of
     * the source appears floor(w) times (full epochs) plus a
@@ -496,6 +547,7 @@ object TrainingOps {
   val all: Seq[GateQuery] = Seq(
     GateQuery("t33_split", qSplit, Some(qSplitOracle)),
     GateQuery("t34_source_mix", qSourceMix, Some(qSourceMixOracle)),
+    GateQuery("t64_temperature_mix", qTemperatureMix, Some(qTemperatureMixOracle)),
     GateQuery("t49_mix_epochs", qMixEpochs, Some(qMixEpochsOracle)),
     GateQuery("t35_decontaminate", qDecontaminate, Some(qDecontaminateOracle)),
     // same statistic, bloom-prefiltered layout; exact after verify, so
