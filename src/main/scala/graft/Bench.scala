@@ -132,22 +132,29 @@ object Bench {
 
     // stdout: contract fields only, sized so BOTH emitted copies (bare +
     // sentinel-prefixed, see below) fit together inside the driver's
-    // 2,000-char log tail alongside sbt's trailing "[success] …" line —
-    // i.e. ≤ ~950 chars each. Full query names alone are ~1.2 KB at 70
-    // queries, so the compact line keys queries by their unique id
-    // prefix (q1, t46, v40, …); the id→full-name map and full-precision
-    // medians/mins live in the file artifact. Sheds precision 4→1
-    // decimals before giving up per-query detail entirely.
+    // 2,000-char log tail alongside sbt's trailing "[success] …" line.
+    // Full query names alone are ~1.2 KB at 70 queries, so the compact
+    // lines key queries by their unique id prefix (q1, t46, v40, …);
+    // the id→full-name map and full-precision medians/mins live in the
+    // file artifact. Each copy sheds precision 4→1 decimals before
+    // giving up per-query detail entirely, against its OWN budget: the
+    // bare copy fits 950 chars; the sentinel copy — the final line, the
+    // one a tail can never truncate mid-head — spends whatever the bare
+    // copy left of the 1,900-char pair budget, so when the suite
+    // outgrows 950-char maps (89 queries did, r8) the per-query detail
+    // survives on the sentinel line instead of vanishing from both.
     val ids = queries.map(_._1.takeWhile(_ != '_'))
     val useIds = ids.distinct.size == ids.size
     val keys = if (useIds) ids else queries.map(_._1)
-    val compact = Iterator(4, 3, 2, 1).map { dec =>
+    val minimal =
+      s"""{"metric":"total","value":${fixed(total, 4)},"unit":"sec","sf":"$sfDir"}"""
+    def sized(budget: Int): String = Iterator(4, 3, 2, 1).map { dec =>
       val q = jsonMap(queries.indices.map(i => keys(i) -> fixed(medians(i), dec)))
       s"""{"metric":"total","value":${fixed(total, dec)},"unit":"sec",""" +
         s""""queries":$q,"sf":"$sfDir"}"""
-    }.find(_.length <= 950).getOrElse {
-      s"""{"metric":"total","value":${fixed(total, 4)},"unit":"sec","sf":"$sfDir"}"""
-    }
+    }.find(_.length <= budget).getOrElse(minimal)
+    val compact = sized(950)
+    val sentinel = sized(1900 - compact.length - "BENCHJSON ".length)
     // file: the full diagnostic artifact (full names, full precision).
     // `errors` names every query that threw in any timed pass — its
     // median is time-to-FAILURE, not a measurement, and must not be
@@ -171,7 +178,7 @@ object Bench {
     // sentinel-prefixed copy as the absolute final line for a parser —
     // or the judge — that greps for it.
     println(compact)
-    println("BENCHJSON " + compact)
+    println("BENCHJSON " + sentinel)
     System.out.flush()
   }
 }

@@ -506,6 +506,66 @@ object TrainingOps {
     FROM c
     ORDER BY doc_id, chunk_id"""
 
+  /** Minimum repeated-span length in tokens — 20 is reasonably
+    * selective prose (ExactSubstr uses 50 BYTES ≈ 10–12 tokens; a
+    * token-window formulation wants a little more context).
+    */
+  private val SpanL = 20
+
+  /** Alignment-free repeated-span detection (t65) — the windowed-hash
+    * form of exact-substring dedup (the "ExactSubstr" family): hash
+    * EVERY length-[[SpanL]] token window at stride 1, count window
+    * hashes corpus-wide, and report per document how much of it is
+    * covered by spans that occur more than once anywhere (including
+    * within the same document — self-plagiarized boilerplate counts,
+    * as in the reference technique). Complements t63, whose fixed
+    * stride-30 chunks only match ALIGNED copies: a quoted paragraph
+    * starting mid-chunk is invisible to t63 and caught here.
+    *
+    * Scale shape: window hashes are an in-row generator off the one
+    * corpus scan (the span relation is materialized once and read by
+    * both the count and probe sides); the only corpus-sized shuffle is
+    * the hash groupBy, which partial-aggregates to distinct hashes per
+    * task first. That single shuffle is exactly what suffix-array
+    * construction avoids — the trade this formulation makes to stay a
+    * two-stage Spark plan at any corpus size.
+    */
+  def qRepeatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val spans = SessionMemo.persist("training:spans", s, dir) {
+      Tables.documents(s, dir)
+        .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+        .withColumn("n", size(col("words")))
+        .filter(col("n") >= SpanL)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, n - $SpanL + 1),
+                i -> md5(array_join(slice(words, i, $SpanL), ' ')))""")).as("h"))
+    }
+    val counts = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    spans.join(counts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("repeated_frac",
+        col("n_repeated").cast("double") / col("n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qRepeatedSpansOracle: String = s"""
+    WITH f AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '') AS words
+      FROM documents),
+    g AS (SELECT doc_id, words, LEN(words) AS n FROM f WHERE LEN(words) >= $SpanL),
+    sp AS (
+      SELECT doc_id, MD5(ARRAY_TO_STRING(words[i:i + $SpanL - 1], ' ')) AS h
+      FROM (SELECT doc_id, words, UNNEST(RANGE(1, n - $SpanL + 2)) AS i FROM g)),
+    c AS (SELECT h, COUNT(*) AS c FROM sp GROUP BY h)
+    SELECT sp.doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+           CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS repeated_frac
+    FROM sp JOIN c USING (h)
+    GROUP BY sp.doc_id
+    ORDER BY sp.doc_id"""
+
   /** Chunk-level boilerplate dedup (t63): CCNet-style paragraph-hash
     * dedup with t57's windows as the unit — a chunk whose hash appears
     * in MORE THAN ONE document is boilerplate (shared headers, quoted
@@ -558,5 +618,6 @@ object TrainingOps {
     GateQuery("t53_token_budget", qTokenBudget, Some(qTokenBudgetOracle)),
     GateQuery("t57_chunk_docs", qChunkDocs, Some(qChunkDocsOracle)),
     GateQuery("t63_chunk_dedup", qChunkDedup, Some(qChunkDedupOracle)),
+    GateQuery("t65_repeated_spans", qRepeatedSpans, Some(qRepeatedSpansOracle)),
   )
 }
