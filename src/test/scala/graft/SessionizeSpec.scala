@@ -64,6 +64,66 @@ class SessionizeSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("randomized stream equals the batch window formulation (fixed seed)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    // 12 users × bursty timeline: gaps straddle the 30-minute split
+    val events = (1 to 400).map { _ =>
+      val uid = 1L + rnd.nextInt(12)
+      val minute = rnd.nextInt(600)
+      Sessionize.Event(uid, ts(minute), (rnd.nextInt(1000) + 1) / 100.0)
+    }
+    val input = MemoryStream[Sessionize.Event]
+    val query = Sessionize.sessions(input.toDF(), gapMinutes = 30,
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sessions_eq")
+      .outputMode("append").start()
+    try {
+      // arbitrary micro-batch splits — equivalence must not depend on them.
+      // Within one stream, batches must be fed in event-time-ish order or
+      // the watermark (1 min) drops stragglers: sort globally, split at
+      // random points
+      val sorted = events.sortBy(_.ts.getTime)
+      val cuts = (Seq(0, sorted.size) ++ Seq.fill(5)(rnd.nextInt(sorted.size))).distinct.sorted
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        if (b > a) { input.addData(sorted.slice(a, b)); query.processAllAvailable() }
+      }
+      // close every open session: a far-future dummy user advances the
+      // watermark; one more batch lets the event-time timeouts fire
+      input.addData(Sessionize.Event(99L, ts(10000), 0.0))
+      query.processAllAvailable()
+      input.addData(Sessionize.Event(99L, ts(10001), 0.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("sessions_eq").as[Sessionize.Session]
+        .collect().filter(_.user_id != 99L)
+        .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+          s.n_events, math.round(s.session_value * 100)))
+        .toSet
+
+      // batch reference: the q28 lag/cumulative-boundary formulation
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("value"))
+      val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+      val batch = events.toDF("user_id", "ts", "value")
+        .withColumn("new_session",
+          when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("s"), max(col("ts")).as("e"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(3).getTime,
+          r.getTimestamp(4).getTime, r.getLong(2), r.getLong(5)))
+        .toSet
+      assert(streamed == batch,
+        s"only-streamed: ${streamed -- batch}\nonly-batch: ${batch -- streamed}")
+    } finally query.stop()
+  }
+
   test("cents-exact money and minEvents mirror the batch gate filter") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
