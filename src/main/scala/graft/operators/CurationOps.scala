@@ -255,7 +255,7 @@ object CurationOps {
     * the scoring pass as a map literal so a search costs zero extra
     * jobs for idf lookup.
     */
-  private def queryIdf(s: SparkSession, dir: String): Map[String, Long] =
+  private[operators] def queryIdf(s: SparkSession, dir: String): Map[String, Long] =
     SessionMemo.memo("curation:query-idf", s, dir) {
       val qws = RetrievalQueries.flatMap(_._2.split(' ')).filter(_.nonEmpty).distinct
       docFreq(s, dir).filter(col("w").isin(qws: _*))
@@ -263,17 +263,21 @@ object CurationOps {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     }
 
+  /** Inverted query map: term → the (sorted) query ids that contain
+    * it. Tiny and static, so it rides into scoring passes as a
+    * literal: matching is an explode over the lookup — a missing term
+    * yields null, which explode drops — rather than a broadcast join
+    * that costs a broadcast-build job every execution. Shared by t50
+    * (document retrieval) and t67 (chunk retrieval).
+    */
+  private[operators] val queryTermIds: Map[String, Seq[Long]] = RetrievalQueries
+    .flatMap { case (id, t) =>
+      t.split(' ').filter(_.nonEmpty).distinct.map(w => w -> id) }
+    .groupBy(_._1).map { case (w, ps) => w -> ps.map(_._2).sorted }
+
   def qLexicalTopk(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TopKAgg.register(s)
-    // inverted query map: term → the (sorted) query ids that contain
-    // it. Tiny and static, so it rides in as a literal: matching is an
-    // explode over the lookup — a missing term yields null, which
-    // explode drops — rather than a broadcast join that costs a
-    // broadcast-build job every execution.
-    val queryIds: Map[String, Seq[Long]] = RetrievalQueries
-      .flatMap { case (id, t) =>
-        t.split(' ').filter(_.nonEmpty).distinct.map(w => w -> id) }
-      .groupBy(_._1).map { case (w, ps) => w -> ps.map(_._2).sorted }
+    val queryIds = queryTermIds
     val occ = occurrences(s, dir).select(col("doc_id"), col("w"))
     // Σ_t tf(d,t)·w(t) regrouped as a per-OCCURRENCE sum of w(t): the
     // intermediate (query, doc, term) tf aggregate is algebraically
@@ -738,6 +742,52 @@ object CurationOps {
     GROUP BY d.source
     ORDER BY d.source"""
 
+  // ---- Hashed linear quality-classifier inference (t66) ----
+
+  /** fastText-style linear classifier INFERENCE over hashing-trick
+    * unigram features: each token hashes into the same 256-bucket
+    * space the DSIR pack trains on, the bucket counts are dotted with
+    * a weight vector, and the document keeps iff the score is
+    * positive. This is the deployment shape of every learned quality /
+    * domain / toxicity classifier in a pretraining pipeline — the
+    * model is a bounded artifact (256 weights here; a few million for
+    * a real fastText model) broadcast into a single scoring pass, and
+    * the corpus-scale work is one aggregation over the SAME memoized
+    * per-(doc, bucket) relation t58/t61/t62 read: adding one more
+    * model-based signal costs zero extra corpus passes.
+    *
+    * The weights are a deterministic Knuth-multiplicative ramp in
+    * integer micro-units — the stand-in for externally trained weights
+    * (the swap seam a real deployment uses), chosen so the gate is
+    * portable: scores are exact bigint dot products, no floats
+    * anywhere, so the hash comparison cannot drift between engines.
+    */
+  private val ClfKnuth = 2654435761L
+  private val ClfMod = 1997L // prime → weights spread over [-998, 998]
+
+  def qClassifierScore(s: SparkSession, dir: String): DataFrame =
+    docBuckets(s, dir)
+      .withColumn("w_micro",
+        (col("b").cast("long") * lit(ClfKnuth)) % lit(ClfMod) - lit((ClfMod - 1) / 2))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_toks"),
+        sum(col("cnt") * col("w_micro")).as("score_micro"))
+      .withColumn("keep", col("score_micro") > lit(0L))
+      .orderBy(col("doc_id"))
+
+  val qClassifierScoreOracle: String = s"""
+    WITH tb AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', SUBSTRING(MD5(w), 1, 2)) AS INT) AS b
+      FROM (SELECT doc_id, UNNEST($wordsSql) AS w FROM documents)),
+    sc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM((CAST(b AS BIGINT) * $ClfKnuth) % $ClfMod - ${(ClfMod - 1) / 2}) AS BIGINT) AS score_micro
+      FROM tb GROUP BY doc_id)
+    SELECT doc_id, n_toks, score_micro, score_micro > 0 AS keep
+    FROM sc
+    ORDER BY doc_id"""
+
   val qDsirWeightsOracle: String = s"""
     WITH tb AS (
       SELECT doc_id, lang,
@@ -776,6 +826,7 @@ object CurationOps {
     GateQuery("t51_bpe_train", (s, d) => BpeTrainer.qBpeTrain(s, d),
       BpeTrainer.trainOracle()),
     GateQuery("t58_dsir_weights", qDsirWeights, Some(qDsirWeightsOracle)),
+    GateQuery("t66_classifier_score", qClassifierScore, Some(qClassifierScoreOracle)),
     GateQuery("t61_unigram_surprise", qUnigramSurprise, Some(qUnigramSurpriseOracle)),
     GateQuery("t62_source_dashboard", qSourceDashboard, Some(qSourceDashboardOracle)),
     // inference-time BPE tokenization — iterative best-rank-first

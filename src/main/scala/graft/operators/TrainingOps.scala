@@ -506,6 +506,101 @@ object TrainingOps {
     FROM c
     ORDER BY doc_id, chunk_id"""
 
+  // ---- Chunk-level lexical retrieval (t67) ----
+
+  /** Passage (chunk-level) retrieval — the RAG query shape: t57's
+    * sliding windows are the retrieval unit, scored with t50's
+    * idf-weighted term matching, top-[[ChunkK]] passages per query.
+    * The composition reuses the shared artifacts end-to-end — the
+    * inverted query map and quantized idf weights ride in as literals
+    * from the memoized document-frequency index (zero extra jobs), and
+    * the scored (query, doc, chunk) relation is memoized so repeat
+    * searches skip the window fan-out entirely.
+    *
+    * Scale: the expensive pass is one in-row generator explode (token
+    * stream × W/S) feeding a partial-agg'd groupBy whose shuffle
+    * carries only MATCHED (query, doc, chunk) rows; top-k is the
+    * bounded [[graft.functions.TopKAgg]] — k pairs per query cross the
+    * wire, no global sort. Chunk identity packs into one long
+    * (doc_id × 10⁶ + chunk_id) for the aggregate's id slot — fine to
+    * ~10⁶ chunks/doc and ~10¹² docs; past that the id slot widens to a
+    * struct, nothing else changes. Scores are exact bigint idf sums.
+    */
+  private val ChunkK = 3
+  private val ChunkIdSpan = 1000000L
+
+  def qChunkRetrieval(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.register(s)
+    val scored = SessionMemo.persist("training:chunk-scores", s, dir) {
+      val occ = Tables.documents(s, dir)
+        .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+        .withColumn("n", size(col("words")))
+        .filter(col("n") > 0)
+        .withColumn("c", explode(expr(
+          s"""transform(sequence(0, greatest((n - $ChunkW + $ChunkS - 1) div $ChunkS, 0)),
+                i -> named_struct(
+                  'chunk_id', cast(i as bigint),
+                  'cw', slice(words, i * $ChunkS + 1, $ChunkW)))""")))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          explode(col("c.cw")).as("w"))
+      occ
+        .select(col("doc_id"), col("chunk_id"), col("w"),
+          explode(element_at(typedlit(CurationOps.queryTermIds), col("w"))).as("query_id"))
+        .withColumn("idfw", element_at(typedlit(CurationOps.queryIdf(s, dir)), col("w")))
+        .groupBy(col("query_id"), col("doc_id"), col("chunk_id"))
+        .agg(sum(col("idfw")).as("score"))
+    }
+    scored
+      .withColumn("cid", col("doc_id") * lit(ChunkIdSpan) + col("chunk_id"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"top_k_by_value(cast(score as double), cid, $ChunkK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        expr(s"p.id div $ChunkIdSpan").as("doc_id"),
+        expr(s"p.id % $ChunkIdSpan").as("chunk_id"),
+        col("p.value").cast("long").as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qChunkRetrievalOracle: String = {
+    val values = CurationOps.RetrievalQueries
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""
+    WITH qs(query_id, qtext) AS (VALUES $values),
+    qterms AS (
+      SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+             UNNEST(LIST_FILTER(STRING_SPLIT(qtext, ' '), w -> w <> '')) AS w
+      FROM qs),
+    f AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '') AS words
+      FROM documents),
+    g AS (SELECT doc_id, words, LEN(words) AS n FROM f WHERE LEN(words) > 0),
+    dfc AS (
+      SELECT w, 1000000 // COUNT(*) AS idfw
+      FROM (SELECT DISTINCT doc_id, w
+            FROM (SELECT doc_id, UNNEST(words) AS w FROM g))
+      GROUP BY w),
+    c AS (
+      SELECT doc_id, words,
+             UNNEST(RANGE(0, 1 + GREATEST((n - $ChunkW + $ChunkS - 1) // $ChunkS, 0))) AS chunk_id
+      FROM g),
+    occ AS (
+      SELECT doc_id, chunk_id,
+             UNNEST(words[(chunk_id * $ChunkS + 1):(chunk_id * $ChunkS + $ChunkW)]) AS w
+      FROM c),
+    sc AS (
+      SELECT query_id, doc_id, chunk_id, CAST(SUM(idfw) AS BIGINT) AS score
+      FROM occ JOIN qterms USING (w) JOIN dfc USING (w)
+      GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id, chunk_id) AS rank
+      FROM sc)
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, chunk_id, score
+    FROM ranked WHERE rank <= $ChunkK
+    ORDER BY query_id, rank"""
+  }
+
   /** Minimum repeated-span length in tokens — 20 is reasonably
     * selective prose (ExactSubstr uses 50 BYTES ≈ 10–12 tokens; a
     * token-window formulation wants a little more context).
@@ -619,5 +714,6 @@ object TrainingOps {
     GateQuery("t57_chunk_docs", qChunkDocs, Some(qChunkDocsOracle)),
     GateQuery("t63_chunk_dedup", qChunkDedup, Some(qChunkDedupOracle)),
     GateQuery("t65_repeated_spans", qRepeatedSpans, Some(qRepeatedSpansOracle)),
+    GateQuery("t67_chunk_retrieval", qChunkRetrieval, Some(qChunkRetrievalOracle)),
   )
 }

@@ -1167,6 +1167,45 @@ object VectorOps {
       .orderBy(col("method"))
   }
 
+  /** Declarative per-query recall gate (v43): the LSH leg of
+    * [[annRecallReport]] as a pure plan — exact top-3 LEFT-joined
+    * against the approximate answer on (query, neighbor) ids, hit
+    * counting by the join's null contract. Unlike the report (which
+    * drives `.count()` actions for its 5-method table), this is one
+    * id-only join + aggregation the optimizer sees whole, so the
+    * evaluation itself scales like any other query — at 100 TB you
+    * evaluate recall on a sampled query set with exactly this plan.
+    * Counts are integers and the one division is a single IEEE op, so
+    * the gate is engine-exact.
+    */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = qAnnBruteForce(s, dir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = qAnnLsh(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("m"))
+    truth.join(got, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("m")).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+      .orderBy(col("query_id"))
+  }
+
+  val qAnnRecallOracle: String = s"""
+    WITH ex0 AS ($qAnnBruteForceOracle),
+    ap AS ($qAnnLshOracle),
+    ex AS (SELECT query_id, neighbor_id FROM ex0 WHERE rank <= 3),
+    cnt AS (
+      SELECT ex.query_id,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hit
+      FROM ex LEFT JOIN ap
+        ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+      GROUP BY ex.query_id)
+    SELECT query_id, n_exact, n_hit,
+           CAST(n_hit AS DOUBLE) / n_exact AS recall
+    FROM cnt
+    ORDER BY query_id"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("v33_ann_bruteforce", qAnnBruteForce, Some(qAnnBruteForceOracle)),
     GateQuery("v34_ann_lsh", qAnnLsh, Some(qAnnLshOracle)),
@@ -1178,5 +1217,6 @@ object VectorOps {
     GateQuery("v40_ann_ivf_sq8", qAnnIvfSq8, Some(qAnnIvfSq8Oracle)),
     GateQuery("v41_ann_ivf_pq", qAnnIvfPq, Some(qAnnIvfPqOracle)),
     GateQuery("v42_semdedup", qSemDedup, Some(qSemDedupOracle)),
+    GateQuery("v43_ann_recall", qAnnRecall, Some(qAnnRecallOracle)),
   )
 }
