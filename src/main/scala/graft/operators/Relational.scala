@@ -355,67 +355,6 @@ object Relational {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""
 
-  /** Exact grouped percentiles (SURVEY §2.4 ordered-statistic note).
-    * `percentile` is Spark's exact ordered-statistic aggregate — a
-    * per-group count map, partial-agg'd like any hash aggregate, so the
-    * shuffle carries #distinct-values per group, not #rows. At 100 TB
-    * the same query swaps in `approx_percentile` (t-digest sketch,
-    * constant-size partials) — the exact form is the correctness gate
-    * for that swap. l_quantity is integer-valued and the quartile
-    * fractions are exact binary (.25/.5/.75), so linear interpolation
-    * is exactly representable and engine-portable.
-    */
-  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
-        count(lit(1)).as("n_rows"))
-      .select(col("l_returnflag"),
-        col("qs").getItem(0).as("q25"),
-        col("qs").getItem(1).as("q50"),
-        col("qs").getItem(2).as("q75"),
-        col("n_rows"))
-      .orderBy(col("l_returnflag"))
-  }
-
-  val qPercentilesOracle: String = """
-    SELECT l_returnflag,
-           QUANTILE_CONT(l_quantity, 0.25) AS q25,
-           QUANTILE_CONT(l_quantity, 0.50) AS q50,
-           QUANTILE_CONT(l_quantity, 0.75) AS q75,
-           COUNT(*) AS n_rows
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag"""
-
-  /** Pivot (long→wide reshape, SURVEY §2.5 report shaping). The pivot
-    * values are DECLARED (`Seq("F", "O")`) — the two-arg `.pivot`
-    * overload skips the distinct-values pre-query Spark otherwise runs,
-    * so the plan is a single partial-agg'd hash aggregate whose shuffle
-    * carries #groups × #pivot-values cells: the right shape at any
-    * scale, and the declared-domain contract a production report wants
-    * anyway (a surprise new status becomes a visible schema change, not
-    * a silently widening table).
-    */
-  def qPivot(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .pivot("l_linestatus", Seq("F", "O"))
-      .agg(sum(dec2(col("l_quantity"))).cast("double"))
-      .withColumnRenamed("F", "qty_f")
-      .withColumnRenamed("O", "qty_o")
-      .orderBy(col("l_returnflag"))
-  }
-
-  val qPivotOracle: String = """
-    SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS qty_f,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS qty_o
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag"""
-
   val all: Seq[GateQuery] = Seq(
     GateQuery("q1_pricing_summary", q1PricingSummary, Some(q1Oracle)),
     GateQuery("q2_filter_project", q2FilterProject, Some(q2Oracle)),
@@ -430,7 +369,5 @@ object Relational {
     GateQuery("q12_set_ops", qSetOps, Some(qSetOpsOracle)),
     GateQuery("q13_rollup", qRollup, Some(qRollupOracle)),
     GateQuery("q14_distinct_agg", qDistinctAgg, Some(qDistinctAggOracle)),
-    GateQuery("q33_percentiles", qPercentiles, Some(qPercentilesOracle)),
-    GateQuery("q34_pivot", qPivot, Some(qPivotOracle)),
   )
 }

@@ -3,12 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{CurationOps, Relational, TrainingOps, VectorOps}
+import graft.operators.{CurationOps, TrainingOps, VectorOps}
 
 /** Behavioral contracts of the round-8 additions beyond their DuckDB
   * hash gates: classifier inference (t66), chunk-level retrieval
-  * (t67), the ANN recall gate (v43), grouped percentiles (q33) and
-  * pivot (q34).
+  * (t67) and the ANN recall gate (v43).
   */
 class Round8GatesSpec extends AnyFunSuite {
 
@@ -78,39 +77,4 @@ class Round8GatesSpec extends AnyFunSuite {
     }
   }
 
-  test("q33 percentiles agree with a driver-side sort of the same column") {
-    val rows = Relational.qPercentiles(spark, dir).collect()
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_quantity")).collect()
-      .groupBy(_.getAs[String]("l_returnflag"))
-    rows.foreach { r =>
-      val qs = li(r.getAs[String]("l_returnflag"))
-        .map(_.getAs[Double]("l_quantity")).sorted
-      def pct(p: Double): Double = {
-        val pos = (qs.length - 1) * p
-        val lo = pos.floor.toInt; val hi = pos.ceil.toInt
-        if (lo == hi) qs(lo) else qs(lo) * (hi - pos) + qs(hi) * (pos - lo)
-      }
-      assert(r.getAs[Long]("n_rows").toInt == qs.length)
-      assert(r.getAs[Double]("q25") == pct(0.25))
-      assert(r.getAs[Double]("q50") == pct(0.50))
-      assert(r.getAs[Double]("q75") == pct(0.75))
-    }
-  }
-
-  test("q34 pivot: wide cells reconcile with the long-form grouped sums") {
-    val wide = Relational.qPivot(spark, dir).collect()
-      .map(r => r.getAs[String]("l_returnflag") ->
-        (r.getAs[Double]("qty_f"), r.getAs[Double]("qty_o"))).toMap
-    val long = Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
-      .collect()
-    assert(long.nonEmpty)
-    long.foreach { r =>
-      val (f, o) = wide(r.getAs[String]("l_returnflag"))
-      val cell = if (r.getAs[String]("l_linestatus") == "F") f else o
-      assert(cell == r.getAs[Double]("qty"))
-    }
-  }
 }
