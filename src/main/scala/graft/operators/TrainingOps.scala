@@ -625,8 +625,14 @@ object TrainingOps {
     * construction avoids — the trade this formulation makes to stay a
     * two-stage Spark plan at any corpus size.
     */
-  def qRepeatedSpans(s: SparkSession, dir: String): DataFrame = {
-    val spans = SessionMemo.persist("training:spans", s, dir) {
+  /** The memoized (doc_id, h) span-hash relation — every length-
+    * [[SpanL]] token window at stride 1, hashed in-row off one corpus
+    * scan. Read by t65 (corpus-wide repeat counting) and t68
+    * (train-vs-eval collision screening): the generator fan-out runs
+    * once per (session, dir) however many screens consume it.
+    */
+  private def spanRelation(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("training:spans", s, dir) {
       Tables.documents(s, dir)
         .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
         .withColumn("n", size(col("words")))
@@ -635,6 +641,9 @@ object TrainingOps {
           s"""transform(sequence(1, n - $SpanL + 1),
                 i -> md5(array_join(slice(words, i, $SpanL), ' ')))""")).as("h"))
     }
+
+  def qRepeatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val spans = spanRelation(s, dir)
     val counts = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
     spans.join(counts, Seq("h"))
       .groupBy(col("doc_id"))
@@ -660,6 +669,59 @@ object TrainingOps {
     FROM sp JOIN c USING (h)
     GROUP BY sp.doc_id
     ORDER BY sp.doc_id"""
+
+  // ---- Span-overlap decontamination (t68) ----
+
+  /** N-gram-collision decontamination — the overlap screen the GPT-3 /
+    * PaLM data cards describe: a TRAIN document is contaminated if any
+    * of its token windows also occurs in the held-out EVAL split
+    * (t33's deterministic md5 split, so the screen and the split
+    * cannot desync). Complements t35/t46, which catch whole-text exact
+    * matches: a benchmark question quoted INSIDE a larger train
+    * document is invisible to text-equality but collides here.
+    *
+    * Scale shape: both sides read the memoized span relation (zero
+    * extra corpus passes); the eval hash set is DISTINCT-reduced
+    * before the probe join, and the split tag is in-row md5 arithmetic
+    * (no doc join). In production the eval side is a benchmark suite —
+    * a broadcast-sized list against the train corpus; here it is 10 %
+    * of the same corpus and the equi-join shuffles, which is the same
+    * plan AQE picks either way. Counts are exact integers.
+    */
+  def qSpanDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val tagged = spanRelation(s, dir)
+      .withColumn("split", splitCol(col("doc_id")))
+    val evalHashes = tagged.filter(col("split") === "eval")
+      .select(col("h")).distinct().withColumn("m", lit(1L))
+    tagged.filter(col("split") === "train")
+      .join(evalHashes, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), count(col("m")).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") > lit(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSpanDecontaminateOracle: String = s"""
+    WITH f AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '') AS words
+      FROM documents),
+    g AS (SELECT doc_id, words, LEN(words) AS n FROM f WHERE LEN(words) >= $SpanL),
+    sp AS (
+      SELECT doc_id, MD5(ARRAY_TO_STRING(words[i:i + $SpanL - 1], ' ')) AS h
+      FROM (SELECT doc_id, words, UNNEST(RANGE(1, n - $SpanL + 2)) AS i FROM g)),
+    sw AS (
+      SELECT doc_id, h,
+             CASE WHEN b < 13 THEN 'test' WHEN b < 39 THEN 'eval' ELSE 'train' END AS split
+      FROM (SELECT *, CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) AS b
+            FROM sp)),
+    ev AS (SELECT DISTINCT h FROM sw WHERE split = 'eval'),
+    tr AS (SELECT doc_id, h FROM sw WHERE split = 'train')
+    SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(ev.h) AS BIGINT) AS n_hit,
+           COUNT(ev.h) > 0 AS contaminated
+    FROM tr LEFT JOIN ev ON ev.h = tr.h
+    GROUP BY tr.doc_id
+    ORDER BY tr.doc_id"""
 
   /** Chunk-level boilerplate dedup (t63): CCNet-style paragraph-hash
     * dedup with t57's windows as the unit — a chunk whose hash appears
@@ -715,5 +777,6 @@ object TrainingOps {
     GateQuery("t63_chunk_dedup", qChunkDedup, Some(qChunkDedupOracle)),
     GateQuery("t65_repeated_spans", qRepeatedSpans, Some(qRepeatedSpansOracle)),
     GateQuery("t67_chunk_retrieval", qChunkRetrieval, Some(qChunkRetrievalOracle)),
+    GateQuery("t68_span_decontaminate", qSpanDecontaminate, Some(qSpanDecontaminateOracle)),
   )
 }

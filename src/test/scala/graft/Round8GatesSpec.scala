@@ -63,6 +63,25 @@ class Round8GatesSpec extends AnyFunSuite {
     }
   }
 
+  test("t68 decontamination: train docs only, contaminated ⇔ n_hit > 0, hits bounded by spans") {
+    val rows = TrainingOps.qSpanDecontaminate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hit")
+      assert(hits >= 0L && hits <= r.getAs[Long]("n_spans"))
+      assert(r.getAs[Boolean]("contaminated") == (hits > 0L))
+    }
+    // the screen must report exactly the train-split docs that carry
+    // at least one full-length span — same split rule as t33
+    val expected = Tables.documents(spark, dir)
+      .withColumn("n", size(expr("filter(split(text, ' '), w -> w != '')")))
+      .filter(col("n") >= 20)
+      .withColumn("split", graft.operators.TrainingOps.splitCol(col("doc_id")))
+      .filter(col("split") === "train")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.sameElements(expected))
+  }
+
   test("v43 recall: n_hit ≤ n_exact = 3, recall consistent, one row per brute-force query") {
     val rows = VectorOps.qAnnRecall(spark, dir).collect()
     val nQueries = VectorOps.qAnnBruteForce(spark, dir)
