@@ -191,6 +191,40 @@ object Analytics {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""
 
+  /** Sketch-quantile surface (q35): `approx_percentile` is the
+    * percentile that actually runs at 100 TB — constant-size
+    * partial state per task where q29's exact form carries a
+    * per-group value-count map. Like q30's HLL gate, the sketch
+    * estimate itself is engine-specific, so the compared columns are
+    * the exact percentile plus `within_tol`: the assertion that the
+    * sketch (accuracy 10 000) landed within 2 % of the exact answer
+    * — the property a deployment swapping q29 → q35 relies on. The
+    * measure is price in INTEGER CENTS (round-to-cent is exact on
+    * 2-decimal inputs): median interpolation over integers at .5 is
+    * IEEE-exact, so the anchor column cannot drift between the two
+    * engines' algebraically-different interpolation formulas.
+    */
+  def qApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .withColumn("cents", expr("cast(round(l_extendedprice * 100) as bigint)"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(cents, 0.5, 10000)").as("approx_p50"),
+        expr("percentile(cents, 0.5)").as("exact_p50"))
+      .select(col("l_returnflag"), col("exact_p50"),
+        (abs(col("approx_p50") - col("exact_p50")) <=
+          col("exact_p50") * lit(0.02)).as("within_tol"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qApproxPercentileOracle: String = """
+    SELECT l_returnflag,
+           QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5) AS exact_p50,
+           TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
   /** Top-k per key via the custom bounded TypedImperativeAggregate
     * (graft.functions.TopKAgg) instead of a window sort: partial
     * aggregation means the shuffle carries at most k pairs per
@@ -224,6 +258,7 @@ object Analytics {
     GateQuery("q28_sessionize", qSessionize, Some(qSessionizeOracle)),
     GateQuery("q29_percentiles", qPercentiles, Some(qPercentilesOracle)),
     GateQuery("q30_approx_distinct", qApproxDistinct, Some(qApproxDistinctOracle)),
+    GateQuery("q35_approx_percentile", qApproxPercentile, Some(qApproxPercentileOracle)),
     GateQuery("q31_topk_aggregate", qTopkAggregate, Some(qTopkAggregateOracle)),
   )
 }
