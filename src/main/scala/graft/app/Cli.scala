@@ -388,20 +388,21 @@ object GraftTransformLoad {
 }
 
 /** One-command corpus curation — `--in <tablesDir> --out <dir>
-  * [--budget N]`: the LLM-pipeline counterpart of the FIC drivers
-  * above. Runs the full corpus-production chain
+  * [--budget N] [--span-decontaminate]`: the LLM-pipeline counterpart
+  * of the FIC drivers above. Runs the full corpus-production chain
   * ([[graft.operators.CurationOps.writeCuratedFull]]): exact-canonical
   * ∧ quality ∧ decontaminated ∧ near-dup-survivor filtering, optional
-  * ~N whitespace tokens per source, then the partitioned
-  * (split, source) parquet write + release manifest. Prints the
-  * manifest as the run summary.
+  * ~N whitespace tokens per source and optional t68 span-overlap
+  * screening (drops train docs sharing any token window with the eval
+  * split), then the partitioned (split, source) parquet write +
+  * release manifest. Prints the manifest as the run summary.
   */
 object GraftCurate {
 
   def run(spark: SparkSession, in: String, out: String,
-      budget: Option[Long]): DataFrame = {
+      budget: Option[Long], spanDecontaminate: Boolean = false): DataFrame = {
     val manifest = graft.operators.CurationOps
-      .writeCuratedFull(spark, in, out, budget)
+      .writeCuratedFull(spark, in, out, budget, spanDecontaminate)
     manifest.collect().foreach { r =>
       println(s"curated ${r.getAs[String]("split")}/${r.getAs[String]("source")}: " +
         s"${r.getAs[Long]("n_docs")} docs, ${r.getAs[Long]("n_chars")} chars")
@@ -413,8 +414,9 @@ object GraftCurate {
     val in = Cli.arg(args, "--in").getOrElse(sys.error("--in required"))
     val out = Cli.arg(args, "--out").getOrElse(sys.error("--out required"))
     val budget = Cli.arg(args, "--budget").map(_.toLong)
+    val spanDecon = args.contains("--span-decontaminate")
     val spark = Cli.session("graft-curate")
-    run(spark, in, out, budget)
+    run(spark, in, out, budget, spanDecon)
     spark.stop()
   }
 }

@@ -499,10 +499,21 @@ object CurationOps {
     * composition cannot desync from the oracled operators.
     */
   def writeCuratedFull(s: SparkSession, dir: String, outPath: String,
-      budget: Option[Long] = None): DataFrame = {
+      budget: Option[Long] = None,
+      spanDecontaminate: Boolean = false): DataFrame = {
     val survivors = TextOps.qDedupSurvivors(s, dir)
       .select(col("survivor_id").as("doc_id"))
-    val base = curatedDocs(s, dir).join(survivors, Seq("doc_id"), "left_semi")
+    val deduped = curatedDocs(s, dir).join(survivors, Seq("doc_id"), "left_semi")
+    // opt-in t68 screen on top of the chain's whole-text t35 screen:
+    // drop train docs sharing ANY token window with the eval split
+    // (t68 reports train docs only, so one anti-join suffices and
+    // eval/test rows pass through untouched)
+    val base =
+      if (!spanDecontaminate) deduped
+      else deduped.join(
+        TrainingOps.qSpanDecontaminate(s, dir)
+          .filter(col("contaminated")).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
     val selected = budget match {
       case Some(b) => TrainingOps.tokenBudgeted(base, b,
           materialize = df => SessionMemo.persist("curate:budget", s, dir)(df))

@@ -373,6 +373,38 @@ class CurationOpsSpec extends AnyFunSuite {
     SessionMemo.release(spark)
   }
 
+  test("full curation driver: --span-decontaminate drops exactly the t68-flagged train docs") {
+    val outPlain = java.nio.file.Files.createTempDirectory("curateplain").toString
+    val outDecon = java.nio.file.Files.createTempDirectory("curatedecon").toString
+    CurationOps.writeCuratedFull(spark, dir, outPlain, budget = None)
+    CurationOps.writeCuratedFull(spark, dir, outDecon, budget = None,
+      spanDecontaminate = true)
+    val plain = spark.read.parquet(s"$outPlain/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val decon = spark.read.parquet(s"$outDecon/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged = TrainingOps.qSpanDecontaminate(spark, dir)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // the screened run is the plain run minus exactly the flagged docs.
+    // (On this corpus the near-dup survivor filter already removes every
+    // flagged doc — span-sharers are usually near-dups — so the sets can
+    // coincide; the screen is the residual net for the quote-inside-a-
+    // different-doc case, and the anti-join contract is what's pinned.)
+    assert(decon == plain.diff(flagged),
+      "span screen removed a different set than t68 flags")
+    assert(flagged.nonEmpty, "t68 found no contamination — corpus drifted")
+    // eval/test rows are untouched by construction (t68 reports train only)
+    val evalPlain = spark.read.parquet(s"$outPlain/docs")
+      .filter(col("split") =!= "train").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val evalDecon = spark.read.parquet(s"$outDecon/docs")
+      .filter(col("split") =!= "train").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(evalPlain == evalDecon)
+    SessionMemo.release(spark)
+  }
+
   test("BPE pair counts: k merge candidates, descending, well-formed pairs") {
     val rows = CurationOps.qBpePairs(spark, dir).collect()
     assert(rows.length == 20)
