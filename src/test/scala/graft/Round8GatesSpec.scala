@@ -82,6 +82,50 @@ class Round8GatesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("doc_id")).sorted.sameElements(expected))
   }
 
+  test("round-8 ops on a degenerate corpus: empty text, sub-span docs, planted contamination") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("r8edge").toString
+    val aSpan = (0 until 20).map(i => s"a$i").mkString(" ")
+    Seq(
+      // doc 0 (train, md5 bucket 207): identical 20-token text to the
+      // eval doc below -> its ONLY span collides -> contaminated
+      (0L, aSpan, "en", "s", aSpan.length.toLong),
+      // doc 1 (train): 25 distinct tokens, no overlap -> clean
+      (1L, (0 until 25).map(i => s"b$i").mkString(" "), "en", "s", 100L),
+      // doc 2 (train): carries retrieval-query-1 terms -> t67 hit
+      (2L, "window agg stream " + (0 until 21).map(i => s"c$i").mkString(" "),
+        "en", "s", 120L),
+      // doc 3: EMPTY text -> zero tokens -> absent from every token op
+      (3L, "", "en", "s", 0L),
+      // doc 4 (train): 2 tokens -> in t66, below t68's 20-token span floor
+      (4L, "tiny doc", "en", "s", 8L),
+      // doc 6 (EVAL, md5 bucket 22): the planted contamination source
+      (6L, aSpan, "en", "s", aSpan.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // t66: every tokenful doc scored, empty-text doc absent
+    val clf = CurationOps.qClassifierScore(spark, tmp).collect()
+    assert(clf.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L, 1L, 2L, 4L, 6L))
+    assert(clf.find(_.getAs[Long]("doc_id") == 4L).get.getAs[Long]("n_toks") == 2L)
+
+    // t68: population = train docs with >= 20 tokens; only doc 0 flagged
+    val dec = TrainingOps.qSpanDecontaminate(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(dec == Map(0L -> true, 1L -> false, 2L -> false))
+
+    // t67: query 1 ("window agg stream") hits doc 2 chunk 0 with the
+    // full idf sum (df=1 per term -> 1_000_000 each); no other query
+    // has a term in this corpus
+    val ret = TrainingOps.qChunkRetrieval(spark, tmp).collect()
+    assert(ret.length == 1)
+    val hit = ret.head
+    assert(hit.getAs[Long]("query_id") == 1L && hit.getAs[Int]("rank") == 1)
+    assert(hit.getAs[Long]("doc_id") == 2L && hit.getAs[Long]("chunk_id") == 0L)
+    assert(hit.getAs[Long]("score") == 3000000L)
+    graft.operators.SessionMemo.release(spark)
+  }
+
   test("v43 recall: n_hit ≤ n_exact = 3, recall consistent, one row per brute-force query") {
     val rows = VectorOps.qAnnRecall(spark, dir).collect()
     val nQueries = VectorOps.qAnnBruteForce(spark, dir)
