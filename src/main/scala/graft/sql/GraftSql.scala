@@ -81,7 +81,10 @@ object GraftSql {
     "t46_bloom_decontaminate", "t40_dedup_clusters",
     "t52_dedup_survivors", "t51_bpe_train", "t59_bpe_encode",
     "t50_lexical_topk", "t58_dsir_weights", "t61_unigram_surprise",
-    "t62_source_dashboard")
+    "t62_source_dashboard",
+    // t67 collects its query-idf statistics from the corpus at plan
+    // build (same retrieval model artifact as t50)
+    "t67_chunk_retrieval")
 
   /** Register every non-eager catalog operator as a LAZY temp view
     * named after its gate id (`t28_minhash_lsh`, `v38_ann_quantized`,

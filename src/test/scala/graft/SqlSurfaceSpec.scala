@@ -87,6 +87,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
   }
 
   test("eager-artifact views are excluded from free init, available on opt-in") {
+    // a NEW operator whose plan build trains an artifact must go into
+    // EagerArtifactViews, not the free catalog — count Spark jobs
+    // during registerOperatorViews and fail on any (this round: t67's
+    // idf collect would have leaked silently without the counter)
+    val jobs = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(js.stageInfos.map(_.name).mkString("; "))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      GraftSql.registerOperatorViews(spark, "/root/testdata/sf0.001")
+      Thread.sleep(1000) // listener events post asynchronously
+      // source listing/schema jobs are inherent to building a plan over
+      // files; what must NOT happen here is model TRAINING — collects,
+      // counts, writes (t67's idf collect, the BPE loop, …)
+      val training = jobs.toArray.map(_.toString).filterNot(d =>
+        d.contains("Listing leaf files") || d.contains("parquet") ||
+        d.contains("json") || d.contains("binaryFile"))
+      assert(training.isEmpty,
+        s"free operator-view registration ran training job(s):\n  " +
+          training.mkString("\n  "))
+    } finally spark.sparkContext.removeSparkListener(listener)
     GraftSql.init(spark, "/root/testdata/sf0.001")
     // init must stay plan-construction-only: sketch training (t46),
     // the components loops (t40/t52) and the BPE merge loop (t51) all
