@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (Array(sfDir, outDir), only) = (args.take(2), args.drop(2).toSet)
     // unlock corpus-derived VALUES-literal oracles (BPE train/encode):
     // they are only valid for the sf dir this dump runs against, so the
     // dir is pinned here — the one place oracle SQL is produced
@@ -20,7 +20,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev loop: trailing args restrict the dump to named queries
+    // (`runMain graft.Verify <sf> <out> q36_gap_fill`); the driver
+    // passes exactly two args, so its contract is unchanged
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       // one retry: a transient executor/FS hiccup on a single query

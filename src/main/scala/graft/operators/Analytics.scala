@@ -251,6 +251,67 @@ object Analytics {
     WHERE rn <= 3
     ORDER BY o_custkey, rank"""
 
+  /** Time-series resample + forward fill (q36): each user's event
+    * stream becomes a regular hourly series over [min, max] of that
+    * user's own activity — the gap-fill/`resample('1H').ffill()` shape
+    * every metrics pipeline needs before joining series of different
+    * densities. Hours with no event carry the last observed value
+    * forward; `observed` marks real vs filled points.
+    *
+    * Scale shape: the grid is generated IN-ROW (`sequence` + explode
+    * from one 2-column span row per user — no driver loop, no
+    * cross-join with a calendar table), the per-hour "last event"
+    * reduction happens BEFORE the grid join (so the window that picks
+    * the closing value per hour runs over #events, and the fill window
+    * over #grid-points, both partitioned by user — embarrassingly
+    * parallel), and the only shuffles are the two user-keyed
+    * repartitions AQE already coalesces. At 100 TB the grid is
+    * #users × span-hours — output-sized, never events-sized.
+    */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        col("ts"), col("event_id"), col("value"))
+    // closing value per (user, hour): latest ts wins, event_id tie-break
+    val byHour = Window.partitionBy(col("user_id"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hourly = ev
+      .withColumn("rn", row_number().over(byHour))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("h"), col("value"), lit(true).as("obs"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        coalesce(col("obs"), lit(false)).as("observed"),
+        last(col("value"), ignoreNulls = true).over(fill).as("value_ff"))
+      .orderBy(col("user_id"), col("h"))
+  }
+
+  val qGapFillOracle: String = """
+    WITH ev AS (
+      SELECT user_id, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      FROM events),
+    hourly AS (
+      SELECT user_id, h, value, TRUE AS obs FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, h
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev)
+      WHERE rn = 1),
+    grid AS (
+      SELECT user_id, UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM ev GROUP BY user_id))
+    SELECT g.user_id, g.h, COALESCE(obs, FALSE) AS observed,
+           LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+    FROM grid g LEFT JOIN hourly USING (user_id, h)
+    ORDER BY user_id, h"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("q25_pivot", qPivot, Some(qPivotOracle)),
     GateQuery("q26_window_analytics", qWindowAnalytics, Some(qWindowAnalyticsOracle)),
@@ -260,5 +321,6 @@ object Analytics {
     GateQuery("q30_approx_distinct", qApproxDistinct, Some(qApproxDistinctOracle)),
     GateQuery("q35_approx_percentile", qApproxPercentile, Some(qApproxPercentileOracle)),
     GateQuery("q31_topk_aggregate", qTopkAggregate, Some(qTopkAggregateOracle)),
+    GateQuery("q36_gap_fill", qGapFill, Some(qGapFillOracle)),
   )
 }

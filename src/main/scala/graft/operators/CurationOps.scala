@@ -693,6 +693,97 @@ object CurationOps {
     FROM d
     ORDER BY doc_id"""
 
+  // ---- Bigram-surprise quality filter (t69) ----
+
+  /** Mean per-bigram surprise (nats) above which a document is flagged
+    * under the bigram model — the ~95th percentile of this corpus,
+    * mirroring [[SurpriseTau]]'s calibration.
+    */
+  private val BigramTau = 3.65
+
+  /** Bigram-LM perplexity filtering — the next model order up from
+    * t61's unigram surprise, standing in for the KenLM 5-gram a CCNet
+    * deployment swaps into the same seam: token buckets as in t58
+    * (md5 first-two-hex → 256 states), a bigram model over consecutive
+    * bucket pairs with add-one smoothing `p(b2|b1) =
+    * (c(b1,b2)+1)/(c(b1)+256)`, and each document scored by the mean
+    * `−ln p` over its bigrams. Unigram surprise catches junk VOCABULARY
+    * (improbable tokens); bigram surprise also catches junk ORDER —
+    * shuffled/boilerplate-stitched text whose tokens are individually
+    * common — which is exactly the failure mode real perplexity
+    * filters exist for.
+    *
+    * Scale shape: bigram extraction is IN-ROW (one `transform` over the
+    * bucket array — no token-stream window, no per-doc shuffle of
+    * positions), reduced immediately to per-(doc, pair) counts
+    * (≤ docs × distinct-pairs rows, memoized); the model is a
+    * ≤ 256²-row frame joined back BROADCAST, so scoring is one
+    * hash-join + doc-granular aggregation. Engine parity: `ln` once
+    * per observed pair, quantized to integer micro-nats, exact bigint
+    * doc sums — the t58/t61 fixed-point pattern.
+    */
+  private def docBigrams(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("curation:bigrams", s, dir) {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("""transform(filter(split(text, ' '), w -> w != ''),
+                   w -> cast(conv(substring(md5(w), 1, 2), 16, 10) as int))""").as("bs"))
+        .filter(size(col("bs")) >= 2)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(bs) - 1), i -> bs[i-1] * 256 + bs[i])")).as("bb"))
+        .groupBy(col("doc_id"), col("bb"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+
+  def qBigramSurprise(s: SparkSession, dir: String): DataFrame = {
+    val pairs = docBigrams(s, dir)
+    val m0 = pairs.groupBy(col("bb")).agg(sum(col("cnt")).as("c12"))
+    val ctx = m0.groupBy(expr("bb div 256").as("b1"))
+      .agg(sum(col("c12")).as("c1"))
+    val model = m0.join(ctx, expr("bb div 256") === col("b1"))
+      .select(col("bb"),
+        floor(log((col("c12") + 1).cast("double") / (col("c1") + lit(256.0))) * 1e6)
+          .cast("long").as("lp"))
+    pairs.join(broadcast(model), Seq("bb"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        (-sum(col("cnt") * col("lp"))).as("bi_surprise_micro"))
+      .withColumn("mean_surprise",
+        col("bi_surprise_micro").cast("double") / col("n_bigrams") / lit(1e6))
+      .withColumn("flagged", col("mean_surprise") > lit(BigramTau))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBigramSurpriseOracle: String = s"""
+    WITH tb AS (
+      SELECT doc_id,
+             LIST_TRANSFORM($wordsSql,
+               w -> CAST(CONCAT('0x', SUBSTRING(MD5(w), 1, 2)) AS INT)) AS bs
+      FROM documents),
+    pp AS (
+      SELECT doc_id,
+             UNNEST(LIST_ZIP(bs[1:LEN(bs)-1], bs[2:LEN(bs)])) AS z
+      FROM tb WHERE LEN(bs) >= 2),
+    cnts AS (
+      SELECT doc_id, z[1] * 256 + z[2] AS bb,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pp GROUP BY 1, 2),
+    m0 AS (SELECT bb, CAST(SUM(cnt) AS BIGINT) AS c12 FROM cnts GROUP BY bb),
+    ctx AS (SELECT bb // 256 AS b1, CAST(SUM(c12) AS BIGINT) AS c1 FROM m0 GROUP BY 1),
+    model AS (
+      SELECT bb, CAST(FLOOR(LN(CAST(c12 + 1 AS DOUBLE) / (c1 + 256.0)) * 1e6) AS BIGINT) AS lp
+      FROM m0 JOIN ctx ON m0.bb // 256 = ctx.b1),
+    d AS (
+      SELECT cnts.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+             CAST(-SUM(cnt * lp) AS BIGINT) AS bi_surprise_micro
+      FROM cnts JOIN model USING (bb)
+      GROUP BY 1)
+    SELECT doc_id, n_bigrams, bi_surprise_micro,
+           CAST(bi_surprise_micro AS DOUBLE) / n_bigrams / 1e6 AS mean_surprise,
+           CAST(bi_surprise_micro AS DOUBLE) / n_bigrams / 1e6 > $BigramTau AS flagged
+    FROM d
+    ORDER BY doc_id"""
+
   // ---- Per-source release dashboard (t62) ----
 
   /** The corpus-release rollup a data team reads before shipping a
@@ -839,6 +930,7 @@ object CurationOps {
     GateQuery("t58_dsir_weights", qDsirWeights, Some(qDsirWeightsOracle)),
     GateQuery("t66_classifier_score", qClassifierScore, Some(qClassifierScoreOracle)),
     GateQuery("t61_unigram_surprise", qUnigramSurprise, Some(qUnigramSurpriseOracle)),
+    GateQuery("t69_bigram_surprise", qBigramSurprise, Some(qBigramSurpriseOracle)),
     GateQuery("t62_source_dashboard", qSourceDashboard, Some(qSourceDashboardOracle)),
     // inference-time BPE tokenization — iterative best-rank-first
     // encode; VALUES-literal oracle in the Verify context (see

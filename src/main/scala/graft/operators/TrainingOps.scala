@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Training-data curation operators beyond dedup/quality: deterministic
@@ -144,6 +145,102 @@ object TrainingOps {
            n_tokens * 1000000 // tt AS natural_micro,
            w_micro * 1000000 // tw AS rate_micro
     FROM w CROSS JOIN t
+    ORDER BY source"""
+
+  // UniMax parameters: at most [[UniMaxEpochs]] passes over any source,
+  // total budget 1.9× the corpus (19/10 in exact integer form) — sized
+  // so the waterfill hits BOTH regimes on the synthetic corpus (the
+  // smallest sources cap out, the rest sit at the shared water level).
+  private val UniMaxEpochs = 2L
+
+  /** UniMax source sampling (Chung et al. 2023): distribute a token
+    * budget across sources as UNIFORMLY as possible subject to a hard
+    * per-source epoch cap — the fairness-first alternative to t64's
+    * temperature rule (which still tracks corpus size) and t34's
+    * natural-share quotas. Sources too small to absorb an equal share
+    * repeat up to [[UniMaxEpochs]] epochs and cap out; every other
+    * source gets the same water-level allocation.
+    *
+    * The waterfill is CLOSED-FORM over the per-source aggregate — no
+    * iteration: sort sources by capacity ascending; source i (with
+    * prefix-capacity S_{i−1} and k_i = n−i+1 sources remaining) caps
+    * out iff even granting it and every larger source its own capacity
+    * level, S_{i−1} + cap_i·k_i ≤ B — the textbook monotone test — and
+    * the uncapped remainder splits B − Σ capped exactly, the integer
+    * remainder going to the first uncapped sources in sort order
+    * (cap_i > level guarantees share+1 ≤ cap_i, so the bump never
+    * violates a cap).
+    *
+    * Scale shape: one scan → per-source partial-agg'd groupBy
+    * (≤ #sources rows); the window sort and the broadcast 1-row
+    * reduction run over the #sources frame — scan-shaped at any corpus
+    * size. Every quantity is exact bigint arithmetic end to end: the
+    * gate is engine-portable with zero float ops.
+    */
+  def qUnimaxMix(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(s, dir)
+      .select(col("source"),
+        expr("size(filter(split(text, ' '), w -> w != ''))").cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("toks")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * lit(UniMaxEpochs))
+    val order = Window.orderBy(col("cap"), col("source"))
+    val ranked = perSource
+      .withColumn("i", row_number().over(order))
+      .withColumn("s_prev", coalesce(sum(col("cap")).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val totals = ranked.agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tt"))
+    val flagged = ranked.crossJoin(broadcast(totals))
+      .withColumn("budget", expr("tt * 19 div 10"))
+      .withColumn("capped",
+        col("s_prev") + col("cap") * (col("n") - col("i") + 1) <= col("budget"))
+    val fill = flagged.agg(
+      coalesce(sum(when(col("capped"), col("cap"))), lit(0L)).as("sc"),
+      sum(when(col("capped"), lit(0L)).otherwise(lit(1L))).as("k"))
+    flagged.crossJoin(broadcast(fill))
+      .withColumn("rn_unc", row_number().over(
+        Window.partitionBy(col("capped")).orderBy(col("cap"), col("source"))))
+      .withColumn("alloc", when(col("capped"), col("cap")).otherwise(
+        expr("(budget - sc) div greatest(k, 1)") +
+          when(col("rn_unc") <= expr("(budget - sc) % greatest(k, 1)"), lit(1L))
+            .otherwise(lit(0L))))
+      .withColumn("epochs_micro", expr("alloc * 1000000 div n_tokens"))
+      .select(col("source"), col("n_tokens"), col("cap"), col("capped"),
+        col("alloc"), col("epochs_micro"))
+      .orderBy(col("source"))
+  }
+
+  val qUnimaxMixOracle: String = s"""
+    WITH ps AS (
+      SELECT source,
+             CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    c AS (SELECT *, n_tokens * $UniMaxEpochs AS cap FROM ps),
+    o AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cap, source) AS i,
+             COUNT(*) OVER () AS n,
+             COALESCE(SUM(cap) OVER (ORDER BY cap, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev,
+             CAST(SUM(n_tokens) OVER () * 19 AS BIGINT) // 10 AS budget
+      FROM c),
+    f AS (SELECT *, s_prev + cap * (n - i + 1) <= budget AS capped FROM o),
+    agg AS (
+      SELECT COALESCE(CAST(SUM(cap) FILTER (WHERE capped) AS BIGINT), 0) AS sc,
+             CAST(COUNT(*) FILTER (WHERE NOT capped) AS BIGINT) AS k
+      FROM f),
+    r AS (
+      SELECT f.*, sc, k,
+             ROW_NUMBER() OVER (PARTITION BY capped ORDER BY cap, source) AS rn_unc
+      FROM f CROSS JOIN agg)
+    SELECT source, n_tokens, cap, capped,
+           CASE WHEN capped THEN cap
+                ELSE (budget - sc) // GREATEST(k, 1) +
+                     CASE WHEN rn_unc <= (budget - sc) % GREATEST(k, 1) THEN 1 ELSE 0 END
+           END AS alloc,
+           CASE WHEN capped THEN cap ELSE (budget - sc) // GREATEST(k, 1) +
+                CASE WHEN rn_unc <= (budget - sc) % GREATEST(k, 1) THEN 1 ELSE 0 END
+           END * 1000000 // n_tokens AS epochs_micro
+    FROM r
     ORDER BY source"""
 
   /** Multi-epoch source mixing — the upsampling half of a data recipe
@@ -765,6 +862,7 @@ object TrainingOps {
     GateQuery("t33_split", qSplit, Some(qSplitOracle)),
     GateQuery("t34_source_mix", qSourceMix, Some(qSourceMixOracle)),
     GateQuery("t64_temperature_mix", qTemperatureMix, Some(qTemperatureMixOracle)),
+    GateQuery("t70_unimax_mix", qUnimaxMix, Some(qUnimaxMixOracle)),
     GateQuery("t49_mix_epochs", qMixEpochs, Some(qMixEpochsOracle)),
     GateQuery("t35_decontaminate", qDecontaminate, Some(qDecontaminateOracle)),
     // same statistic, bloom-prefiltered layout; exact after verify, so

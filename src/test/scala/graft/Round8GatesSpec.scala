@@ -126,6 +126,75 @@ class Round8GatesSpec extends AnyFunSuite {
     graft.operators.SessionMemo.release(spark)
   }
 
+  test("q36 gap fill: contiguous hourly grid per user, first point observed, fill carries last value") {
+    val rows = graft.operators.Analytics.qGapFill(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rs) =>
+      val hours = rs.map(_.getAs[java.sql.Timestamp]("h").getTime).sorted
+      // contiguous hourly grid over [min, max]
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600000L })
+      // grid starts at an observed point, so the fill never emits null
+      val first = rs.minBy(_.getAs[java.sql.Timestamp]("h").getTime)
+      assert(first.getAs[Boolean]("observed"))
+      assert(rs.forall(!_.isNullAt(rs.head.fieldIndex("value_ff"))))
+    }
+    // filled (unobserved) points repeat the previous point's value
+    byUser.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("h").getTime)
+      sorted.zip(sorted.tail).foreach { case (prev, cur) =>
+        if (!cur.getAs[Boolean]("observed"))
+          assert(cur.getAs[Double]("value_ff") == prev.getAs[Double]("value_ff"))
+      }
+    }
+    // observed count equals the distinct (user, hour) pairs in events
+    val expected = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts"))).distinct().count()
+    assert(rows.count(_.getAs[Boolean]("observed")).toLong == expected)
+  }
+
+  test("t69 bigram surprise: n_bigrams = tokens − 1, flag discriminates, flagged ⇔ mean > τ") {
+    val rows = CurationOps.qBigramSurprise(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), w -> w != '')")).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_bigrams") == toks(id) - 1L)
+      val mean = r.getAs[Double]("mean_surprise")
+      assert(r.getAs[Boolean]("flagged") == (mean > 3.65))
+      assert(mean > 0.0)
+    }
+    // every multi-token doc is scored; the tau actually discriminates
+    assert(rows.length == toks.count(_._2 >= 2))
+    val flagged = rows.count(_.getAs[Boolean]("flagged"))
+    assert(flagged > 0 && flagged < rows.length)
+  }
+
+  test("t70 unimax: allocations exhaust the budget, caps respected, water level uniform ±1") {
+    val rows = TrainingOps.qUnimaxMix(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val tt = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = tt * 19 / 10
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc") <= r.getAs[Long]("cap"))
+      assert(r.getAs[Boolean]("capped") ==
+        (r.getAs[Long]("alloc") == r.getAs[Long]("cap")))
+      // epoch cap: alloc / n_tokens ≤ 2 epochs
+      assert(r.getAs[Long]("epochs_micro") <= 2000000L)
+    }
+    val (capped, uncapped) = rows.partition(_.getAs[Boolean]("capped"))
+    // both waterfill regimes must be exercised on this corpus
+    assert(capped.nonEmpty && uncapped.nonEmpty)
+    // uncapped sources sit at one shared water level (remainder ±1)
+    val allocs = uncapped.map(_.getAs[Long]("alloc"))
+    assert(allocs.max - allocs.min <= 1L)
+    // the budget is spent exactly when any source is uncapped
+    assert(rows.map(_.getAs[Long]("alloc")).sum == budget)
+  }
+
   test("v43 recall: n_hit ≤ n_exact = 3, recall consistent, one row per brute-force query") {
     val rows = VectorOps.qAnnRecall(spark, dir).collect()
     val nQueries = VectorOps.qAnnBruteForce(spark, dir)
