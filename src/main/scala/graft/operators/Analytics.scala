@@ -312,6 +312,59 @@ object Analytics {
     FROM grid g LEFT JOIN hourly USING (user_id, h)
     ORDER BY user_id, h"""
 
+  /** Temporal proximity join (q37) — the binned-range-join algorithm:
+    * count, per event type, the ordered pairs of events from DIFFERENT
+    * users where the second lands within 5 minutes of the first — the
+    * "what co-occurs with what" interval join every funnel/incident
+    * analysis runs, and the join shape Spark has no native operator
+    * for (a raw inequality join plans as a nested-loop cross product).
+    *
+    * Scale shape: time is binned at exactly the window width W, the
+    * probe side keeps its own bin and the build side replicates each
+    * row to bins {b, b+1} (a later-event match lives in the same or
+    * next bin — never further), so candidates come from a hash
+    * EQUI-join on (event_type, bin) and the exact `0 < Δt ≤ W`
+    * predicate only filters within-bin candidates. Candidate volume is
+    * Σ_bin |probe_bin|·|build_bin| ≈ 2·W·density·N — linear in N for a
+    * fixed window and arrival rate (and the true pair count is the
+    * same order, so no algorithm does asymptotically better). The
+    * 2× replication happens BEFORE the shuffle on the already-pruned
+    * 3-column projection; per-type skew spreads across bins because
+    * the bin id is in the join key.
+    */
+  def qProximityJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = 300L * 1000000 // 5-minute proximity window, µs
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val lead = ev
+      .select(col("event_type"), col("user_id").as("ua"), col("us").as("ta"))
+      .withColumn("bk", explode(array(expr(s"ta div $w"), expr(s"ta div $w + 1"))))
+    val follow = ev
+      .select(col("event_type"), col("user_id").as("ub"), col("us").as("tb"))
+      .withColumn("bk", expr(s"tb div $w"))
+    lead.join(follow, Seq("event_type", "bk"))
+      .filter(col("ub") =!= col("ua") &&
+        col("tb") > col("ta") && col("tb") - col("ta") <= w)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("ua")).as("n_lead_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle: the plain inequality join — DuckDB's IEJoin handles it at
+    * oracle scale; the Spark build must produce identical counts from
+    * the binned formulation.
+    */
+  val qProximityJoinOracle: String = """
+    SELECT a.event_type, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT a.user_id) AS n_lead_users
+    FROM events a JOIN events b
+      ON a.event_type = b.event_type AND a.user_id <> b.user_id
+     AND b.ts > a.ts
+     AND EPOCH_US(CAST(b.ts AS TIMESTAMP)) - EPOCH_US(CAST(a.ts AS TIMESTAMP)) <= 300000000
+    GROUP BY a.event_type
+    ORDER BY a.event_type"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("q25_pivot", qPivot, Some(qPivotOracle)),
     GateQuery("q26_window_analytics", qWindowAnalytics, Some(qWindowAnalyticsOracle)),
@@ -322,5 +375,6 @@ object Analytics {
     GateQuery("q35_approx_percentile", qApproxPercentile, Some(qApproxPercentileOracle)),
     GateQuery("q31_topk_aggregate", qTopkAggregate, Some(qTopkAggregateOracle)),
     GateQuery("q36_gap_fill", qGapFill, Some(qGapFillOracle)),
+    GateQuery("q37_range_join", qProximityJoin, Some(qProximityJoinOracle)),
   )
 }

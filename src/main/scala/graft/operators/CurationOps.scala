@@ -912,6 +912,83 @@ object CurationOps {
     GROUP BY tb.doc_id
     ORDER BY tb.doc_id"""
 
+  // ---- Sub-corpus distribution divergence (t71) ----
+
+  /** Pairwise Jensen–Shannon divergence between the hashed-unigram
+    * distributions of the corpus's language sub-corpora — the drift
+    * detector a curation pipeline runs when comparing snapshots,
+    * sources, or (here) languages: JS is symmetric, bounded by ln 2,
+    * and zero iff the distributions agree, so one bounded number per
+    * pair answers "how different is this slice's text?". Distributions
+    * are the same 256-bucket add-one-smoothed models as t58/t61
+    * (p = (c_b+1)/(tot+256)), and JS(P,Q) = ½Σ p·ln(p/m) + ½Σ q·ln(q/m)
+    * with m the per-bucket mixture mean.
+    *
+    * Scale shape: the only corpus-sized work is the memoized
+    * [[docBuckets]] pass shared with t58/t61/t62/t66 — this gate adds
+    * a langs×256 aggregate on top (map-side combinable), and every
+    * frame after that is bounded by langs²×256 rows regardless of
+    * corpus size. Engine parity: the per-(pair, bucket) term is
+    * quantized to integer nano-nats and summed exactly (the t58
+    * fixed-point pattern), so the hash can't hinge on float fold order.
+    */
+  def qLangDivergence(s: SparkSession, dir: String): DataFrame = {
+    val counts = docBuckets(s, dir)
+      .groupBy(col("lang"), col("b"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
+    // full 256-bucket grid per lang: smoothing needs the zero-count rows
+    val grid = totals
+      .crossJoin(s.range(DsirBuckets).select(col("id").cast("int").as("b")))
+      .join(counts, Seq("lang", "b"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val a = grid.select(col("b"), col("lang").as("lang_a"),
+      col("cnt").as("ca"), col("tot").as("tota"))
+    val bside = grid.select(col("b"), col("lang").as("lang_b"),
+      col("cnt").as("cb"), col("tot").as("totb"))
+    a.join(bside, Seq("b"))
+      .filter(col("lang_a") < col("lang_b"))
+      .withColumn("p",
+        (col("ca") + 1).cast("double") / (col("tota") + DsirBuckets).cast("double"))
+      .withColumn("q",
+        (col("cb") + 1).cast("double") / (col("totb") + DsirBuckets).cast("double"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("tn", floor(
+        (col("p") * log(col("p") / col("m")) / 2 +
+         col("q") * log(col("q") / col("m")) / 2) * lit(1e9)).cast("long"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(sum(col("tn")).as("js_nano"))
+      .withColumn("js", col("js_nano").cast("double") / lit(1e9))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  val qLangDivergenceOracle: String = s"""
+    WITH tb AS (
+      SELECT lang,
+             CAST(CONCAT('0x', SUBSTRING(MD5(w), 1, 2)) AS INT) AS b
+      FROM (SELECT lang, UNNEST($wordsSql) AS w FROM documents)),
+    lc AS (SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM tb GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot FROM lc GROUP BY 1),
+    grid AS (
+      SELECT t.lang, CAST(r.range AS INT) AS b, t.tot, COALESCE(lc.cnt, 0) AS cnt
+      FROM tot t CROSS JOIN RANGE(256) r
+      LEFT JOIN lc ON lc.lang = t.lang AND lc.b = r.range),
+    pairs AS (
+      SELECT a.lang AS lang_a, bb.lang AS lang_b,
+             CAST(a.cnt + 1 AS DOUBLE) / CAST(a.tot + 256 AS DOUBLE) AS p,
+             CAST(bb.cnt + 1 AS DOUBLE) / CAST(bb.tot + 256 AS DOUBLE) AS q
+      FROM grid a JOIN grid bb ON a.b = bb.b AND a.lang < bb.lang),
+    terms AS (
+      SELECT lang_a, lang_b,
+             CAST(FLOOR((p * LN(p / ((p + q) / 2)) / 2 +
+                         q * LN(q / ((p + q) / 2)) / 2) * 1000000000.0) AS BIGINT) AS tn
+      FROM pairs)
+    SELECT lang_a, lang_b, CAST(SUM(tn) AS BIGINT) AS js_nano,
+           CAST(CAST(SUM(tn) AS BIGINT) AS DOUBLE) / 1000000000.0 AS js
+    FROM terms
+    GROUP BY lang_a, lang_b
+    ORDER BY lang_a, lang_b"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("t42_stratified_sample", qStratifiedSample, Some(qStratifiedSampleOracle)),
     GateQuery("t43_term_stats", qTermStats, Some(qTermStatsOracle)),
@@ -932,6 +1009,7 @@ object CurationOps {
     GateQuery("t61_unigram_surprise", qUnigramSurprise, Some(qUnigramSurpriseOracle)),
     GateQuery("t69_bigram_surprise", qBigramSurprise, Some(qBigramSurpriseOracle)),
     GateQuery("t62_source_dashboard", qSourceDashboard, Some(qSourceDashboardOracle)),
+    GateQuery("t71_lang_divergence", qLangDivergence, Some(qLangDivergenceOracle)),
     // inference-time BPE tokenization — iterative best-rank-first
     // encode; VALUES-literal oracle in the Verify context (see
     // BpeTrainer.encodeOracle), pinned by BpeTrainerSpec elsewhere

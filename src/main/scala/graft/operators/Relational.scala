@@ -355,6 +355,45 @@ object Relational {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""
 
+  /** Skew-resistant fact-fact join (q38) — [[Scale.saltedJoin]] as an
+    * oracle-gated operator: lineitem⋈orders on the order key with the
+    * probe side salted into 4 random shards and the build side
+    * replicated across them, then per-priority revenue. The result is
+    * IDENTICAL to the plain inner join (salting only re-keys the
+    * shuffle), which is exactly what the oracle asserts — the point of
+    * the gate is that the skew-mitigation rewrite is a pure
+    * partitioning change, verified, not trusted.
+    *
+    * Scale shape: a hot order key (one key carrying a disproportionate
+    * share of fact rows) no longer lands on one reducer — its rows
+    * spread over `saltFactor` tasks at the cost of replicating the
+    * build side's single matching row per salt. This is the manual
+    * fallback for skew AQE's size-based splitter misses (many small
+    * rows under ONE key value).
+    */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+    Scale.saltedJoin(li, orders, "o_orderkey", saltFactor = 4)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qSaltedJoinOracle: String = """
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("q1_pricing_summary", q1PricingSummary, Some(q1Oracle)),
     GateQuery("q2_filter_project", q2FilterProject, Some(q2Oracle)),
@@ -369,5 +408,6 @@ object Relational {
     GateQuery("q12_set_ops", qSetOps, Some(qSetOpsOracle)),
     GateQuery("q13_rollup", qRollup, Some(qRollupOracle)),
     GateQuery("q14_distinct_agg", qDistinctAgg, Some(qDistinctAggOracle)),
+    GateQuery("q38_salted_join", qSaltedJoin, Some(qSaltedJoinOracle)),
   )
 }

@@ -902,6 +902,66 @@ object TextOps {
     FROM f JOIN b ON f.doc_id = b.doc_id
     ORDER BY f.doc_id"""
 
+  // ---- Per-source quantile thresholding (t72) ----
+
+  /** FineWeb-style per-source quality thresholding: rank every document
+    * by t31's quality score WITHIN its source and keep the top 70% of
+    * each source — the calibration trick that stops a single
+    * high-scoring source from crowding out every other source under a
+    * single global cutoff (each source's own score distribution sets
+    * its bar). Shares [[withQualityScore]] with t31/t47, so the score
+    * being thresholded is the same one the quality gate reports.
+    *
+    * Scale shape: the per-source ranking is [[Scale.distributedRank]]
+    * — a naive `row_number().over(partitionBy(source))` funnels every
+    * row of a source through ONE reducer (a handful of sources over
+    * 100 TB = a handful of straggler tasks); the two-phase
+    * range-partition + prefix-offset formulation ranks bounded slices.
+    * The keep rule is pure integer arithmetic (`rank·10 ≤ 7·n`): no
+    * percentile float whose last ulp could disagree across engines.
+    */
+  def qQuantileThreshold(s: SparkSession, dir: String): DataFrame = {
+    val scored = withQualityScore(
+        Tables.documents(s, dir).withColumn("words", wordsCol))
+      .select(col("doc_id"), col("source"), col("score"))
+      // rank by score DESC then doc_id ASC as ONE range-partitionable
+      // key: negating an IEEE double is exact, so ordering by -score is
+      // ordering by score desc
+      .withColumn("__ord", struct((-col("score")).as("ns"), col("doc_id")))
+    val ranked = Scale.distributedRank(scored, "source", "__ord", "src_rank",
+      materialize = df => SessionMemo.persist("text:quantile-rank", s, dir)(df))
+    val sizes = ranked.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    ranked.join(broadcast(sizes), Seq("source"))
+      .withColumn("keep", col("src_rank") * 10 <= col("n_src") * 7)
+      .select(col("doc_id"), col("source"), col("score"),
+        col("src_rank"), col("n_src"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQuantileThresholdOracle: String = s"""
+    WITH f AS (
+      SELECT doc_id, source, $wordsSql AS words FROM documents),
+    g AS (
+      SELECT doc_id, source, LEN(words) AS n_words,
+             LEN(LIST_DISTINCT(words)) AS n_distinct,
+             LEN(LIST_FILTER(words, w -> w IN ('the','a','of','and','to'))) AS n_stop
+      FROM f
+      WHERE LEN(words) > 0),
+    h AS (
+      SELECT doc_id, source,
+             (n_distinct / n_words) * 0.5 + (1.0 - (n_stop / n_words)) * 0.3 +
+             LEAST(n_words / 50.0, 1.0) * 0.2 AS score
+      FROM g),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS src_rank,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM h)
+    SELECT doc_id, source, score, src_rank, n_src,
+           (src_rank * 10 <= n_src * 7) AS keep
+    FROM r
+    ORDER BY doc_id"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("t25_dedup_exact", qDedupExact, Some(qDedupExactOracle)),
     GateQuery("t26_fingerprint", qFingerprint, Some(qFingerprintOracle)),
@@ -919,5 +979,6 @@ object TextOps {
     GateQuery("t31_quality_score", qQualityScore, Some(qQualityScoreOracle)),
     GateQuery("t56_gopher_rules", qGopherRules, Some(qGopherRulesOracle)),
     GateQuery("t32_token_count", qTokenCount, Some(qTokenCountOracle)),
+    GateQuery("t72_quantile_threshold", qQuantileThreshold, Some(qQuantileThresholdOracle)),
   )
 }

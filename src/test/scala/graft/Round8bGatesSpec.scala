@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Analytics, CurationOps, Relational, TextOps}
+
+/** Behavioral contracts of the round-8 late additions beyond their
+  * DuckDB hash gates: the binned temporal-proximity join (q37), the
+  * salted skew-resistant join (q38), language-pair JS divergence
+  * (t71) and per-source quantile thresholding (t72).
+  *
+  * Each test is a DIFFERENTIAL check where feasible: the operator's
+  * distributed formulation against a straight-line driver-side
+  * reference on the sf0.001 corpus — the same discipline as the
+  * golden/gate pattern, but runnable inside `sbt test`.
+  */
+class Round8bGatesSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("q37 proximity join: binned formulation == brute-force pair count") {
+    val w = 300L * 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id"), r.getAs[Long]("us")))
+    val expected = ev.flatMap { case (et, ua, ta) =>
+      ev.collect { case (et2, ub, tb)
+        if et2 == et && ub != ua && tb > ta && tb - ta <= w => (et, ua) }
+    }
+    val expPairs = expected.groupBy(_._1).view.mapValues(_.length).toMap
+    val expLead = expected.distinct.groupBy(_._1).view.mapValues(_.length).toMap
+    val got = Analytics.qProximityJoin(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_pairs") == expPairs(et).toLong, s"n_pairs($et)")
+      assert(r.getAs[Long]("n_lead_users") == expLead(et).toLong, s"n_lead_users($et)")
+    }
+    assert(got.length == expPairs.size)
+  }
+
+  test("q38 salted join: identical rows to the plain inner join") {
+    val plain = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(Det.dec2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - Det.dec2(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+      .collect()
+    val salted = Relational.qSaltedJoin(spark, dir).collect()
+    assert(salted.map(_.toString).sameElements(plain.map(_.toString)))
+    assert(salted.length > 1)
+  }
+
+  test("t71 lang divergence: matches a straight-line JS computation, all pairs, bounded") {
+    // driver-side reference: same 256-bucket add-one-smoothed models,
+    // same per-bucket nano-nat quantization
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("text")))
+    def bucket(wd: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(wd.getBytes("UTF-8"))
+      ((d(0) & 0xff).toInt)
+    }
+    val counts = scala.collection.mutable.Map.empty[(String, Int), Long]
+    docs.foreach { case (lang, text) =>
+      text.split(' ').filter(_.nonEmpty).foreach { wd =>
+        val k = (lang, bucket(wd)); counts(k) = counts.getOrElse(k, 0L) + 1
+      }
+    }
+    val langs = docs.map(_._1).distinct.sorted
+    val tot = langs.map(l => l -> (0 until 256).map(b => counts.getOrElse((l, b), 0L)).sum).toMap
+    def js(a: String, b: String): Long =
+      (0 until 256).map { bk =>
+        val p = (counts.getOrElse((a, bk), 0L) + 1).toDouble / (tot(a) + 256).toDouble
+        val q = (counts.getOrElse((b, bk), 0L) + 1).toDouble / (tot(b) + 256).toDouble
+        val m = (p + q) / 2
+        math.floor((p * math.log(p / m) / 2 + q * math.log(q / m) / 2) * 1e9).toLong
+      }.sum
+    val got = CurationOps.qLangDivergence(spark, dir).collect()
+    assert(got.length == langs.combinations(2).size)
+    got.foreach { r =>
+      val (la, lb) = (r.getAs[String]("lang_a"), r.getAs[String]("lang_b"))
+      assert(la < lb)
+      val expected = js(la, lb)
+      assert(r.getAs[Long]("js_nano") == expected, s"js($la,$lb)")
+      // JS is bounded by ln 2 and languages genuinely differ here
+      val v = r.getAs[Double]("js")
+      assert(v > 0.0 && v <= math.log(2.0) + 1e-9)
+    }
+  }
+
+  test("t72 quantile threshold: ranks contiguous per source, keep = top 70% by score") {
+    val rows = TextOps.qQuantileThreshold(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val n = rs.length
+      assert(rs.forall(_.getAs[Long]("n_src") == n.toLong), s"n_src($src)")
+      val ranks = rs.map(_.getAs[Long]("src_rank")).sorted
+      assert(ranks.sameElements((1L to n.toLong)), s"ranks($src)")
+      // rank order must be score desc, doc_id asc
+      val byRank = rs.sortBy(_.getAs[Long]("src_rank"))
+      byRank.zip(byRank.tail).foreach { case (hi, lo) =>
+        val (sh, sl) = (hi.getAs[Double]("score"), lo.getAs[Double]("score"))
+        assert(sh > sl ||
+          (sh == sl && hi.getAs[Long]("doc_id") < lo.getAs[Long]("doc_id")))
+      }
+      // keep ⇔ rank within the top 70% (integer rule)
+      rs.foreach { r =>
+        assert(r.getAs[Boolean]("keep") ==
+          (r.getAs[Long]("src_rank") * 10 <= n.toLong * 7))
+      }
+      val kept = rs.count(_.getAs[Boolean]("keep"))
+      assert(kept == (n * 7) / 10, s"kept($src)")
+    }
+  }
+}
