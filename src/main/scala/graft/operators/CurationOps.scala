@@ -735,16 +735,37 @@ object CurationOps {
         .agg(count(lit(1)).as("cnt"))
     }
 
+  /** The trained bigram model as a flat 256²-entry array of micro-nat
+    * log-probs, collected ONCE per (session, dir) — the t58 lesson
+    * applied one model order up: the per-run aggregate→join→broadcast
+    * chain (3 extra jobs every execution, 1.4 s median at sf0.1) turns
+    * into an array LITERAL riding into the one scoring pass over the
+    * persisted pair relation. Arithmetic mirrors the former in-plan
+    * expressions op-for-op (same IEEE doubles, same `Math.log` Spark's
+    * Log calls), so scores — and the gate hash — are unchanged.
+    * Entries for unobserved pairs stay 0 and are never read: scoring
+    * only looks up pairs that occur in the corpus.
+    */
+  private def bigramModel(s: SparkSession, dir: String): Array[Long] =
+    SessionMemo.memo("curation:bigram-model", s, dir) {
+      val rows = docBigrams(s, dir)
+        .groupBy(col("bb")).agg(sum(col("cnt")).as("c12"))
+        .collect()
+        .map(r => (r.getAs[Int]("bb"), r.getAs[Long]("c12")))
+      val c1 = new Array[Long](DsirBuckets)
+      rows.foreach { case (bb, c12) => c1(bb / DsirBuckets) += c12 }
+      val lp = new Array[Long](DsirBuckets * DsirBuckets)
+      rows.foreach { case (bb, c12) =>
+        lp(bb) = math.floor(
+          math.log((c12 + 1).toDouble / (c1(bb / DsirBuckets) + 256.0)) * 1e6).toLong
+      }
+      lp
+    }
+
   def qBigramSurprise(s: SparkSession, dir: String): DataFrame = {
-    val pairs = docBigrams(s, dir)
-    val m0 = pairs.groupBy(col("bb")).agg(sum(col("cnt")).as("c12"))
-    val ctx = m0.groupBy(expr("bb div 256").as("b1"))
-      .agg(sum(col("c12")).as("c1"))
-    val model = m0.join(ctx, expr("bb div 256") === col("b1"))
-      .select(col("bb"),
-        floor(log((col("c12") + 1).cast("double") / (col("c1") + lit(256.0))) * 1e6)
-          .cast("long").as("lp"))
-    pairs.join(broadcast(model), Seq("bb"))
+    val lp = bigramModel(s, dir)
+    docBigrams(s, dir)
+      .withColumn("lp", element_at(lit(lp), col("bb") + 1))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_bigrams"),
         (-sum(col("cnt") * col("lp"))).as("bi_surprise_micro"))
