@@ -365,6 +365,49 @@ object Analytics {
     GROUP BY a.event_type
     ORDER BY a.event_type"""
 
+  /** Hourly anomaly detection (q39) — the monitoring query every event
+    * pipeline runs: per event type, flag hours whose event count sits
+    * more than 2 population standard deviations from that type's
+    * hourly mean. The entire test is INTEGER arithmetic: with n hours,
+    * S = Σx and Q = Σx², "|x − μ| > 2σ" is algebraically
+    * `(n·x − S)² > 4·(n·Q − S²)` — exact bigints end to end, no float
+    * mean/variance whose last ulp could flip a borderline hour between
+    * engines.
+    *
+    * Scale shape: one scan → (type, hour) partial-agg'd count (shuffle
+    * carries #groups, not #events), a #types-row stats aggregate
+    * broadcast back, and a per-row integer predicate. The flagged-hour
+    * output is bounded by the grid, never the event count.
+    */
+  def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sq"))
+    val dev = col("n") * col("x") - col("sx")
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .filter(dev * dev > lit(4L) * (col("n") * col("sq") - col("sx") * col("sx")))
+      .select(col("event_type"), col("h"), col("x"),
+        (dev > 0).as("spike"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val qAnomalyOracle: String = """
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sq
+      FROM hourly GROUP BY 1)
+    SELECT event_type, h, x, (n * x - sx) > 0 AS spike
+    FROM hourly JOIN stats USING (event_type)
+    WHERE (n * x - sx) * (n * x - sx) > 4 * (n * sq - sx * sx)
+    ORDER BY event_type, h"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("q25_pivot", qPivot, Some(qPivotOracle)),
     GateQuery("q26_window_analytics", qWindowAnalytics, Some(qWindowAnalyticsOracle)),
@@ -376,5 +419,6 @@ object Analytics {
     GateQuery("q31_topk_aggregate", qTopkAggregate, Some(qTopkAggregateOracle)),
     GateQuery("q36_gap_fill", qGapFill, Some(qGapFillOracle)),
     GateQuery("q37_range_join", qProximityJoin, Some(qProximityJoinOracle)),
+    GateQuery("q39_anomaly", qAnomaly, Some(qAnomalyOracle)),
   )
 }

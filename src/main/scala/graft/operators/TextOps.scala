@@ -337,31 +337,42 @@ object TextOps {
     * only candidate pairs — this is the standard web-scale dedup layout
     * (no all-pairs join anywhere).
     */
-  def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // Signatures are per-document minima, so compute them IN-ROW with
-    // array_min over the shingle array — the naive layout's
-    // explode → groupBy(doc_id) shuffle of every shingle disappears.
-    // array_min on strings is the same lexicographic MIN the oracle's
-    // MIN(md5 hex) aggregate takes.
-    val sigd = memoPersist("minhash-sig", s, dir) {
+  // Signatures are per-document minima, so compute them IN-ROW with
+  // array_min over the shingle array — the naive layout's
+  // explode → groupBy(doc_id) shuffle of every shingle disappears.
+  // array_min on strings is the same lexicographic MIN the oracle's
+  // MIN(md5 hex) aggregate takes.
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    memoPersist("minhash-sig", s, dir) {
       (1 to 8).foldLeft(docShingles(s, dir).filter(col("n") > 0)) {
         case (df, i) => df.withColumn(s"h$i",
           array_min(transform(col("shs"), x => md5(concat(lit(s"$i:"), x)))))
       }
     }
-    val bands = sigd.select(col("doc_id"), explode(map(
+
+  /** LSH candidate pairs (doc_a < doc_b) from the 4-band × 2-row
+    * layout — the only wide exchange is the band join, which shuffles
+    * 4 small rows per doc. Shared by t28 (verification) and t73
+    * (sketch-error evaluation).
+    */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashSigs(s, dir).select(col("doc_id"), explode(map(
       lit(1), concat(col("h1"), col("h2")),
       lit(2), concat(col("h3"), col("h4")),
       lit(3), concat(col("h5"), col("h6")),
       lit(4), concat(col("h7"), col("h8"))))
       .as(Seq("band_id", "band_sig")))
-    // band join shuffles 4 small rows per doc — the only wide exchange
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_sig") === col("y.band_sig") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sigd = minhashSigs(s, dir)
+    val cand = lshCandidates(s, dir)
     // verification: intersect the per-doc shingle ARRAYS of candidate
     // pairs — same |∩| as the shingle-equality join, two joins fewer
     val ds = sigd.select(col("doc_id"), col("shs"), col("n"))
@@ -405,6 +416,82 @@ object TextOps {
     JOIN sz sb ON doc_b = sb.doc_id
     WHERE inter / (sa.n + sb.n - inter) >= 0.5
     ORDER BY doc_a, doc_b"""
+  }
+
+  // ---- MinHash sketch-error evaluation (t73) ----
+
+  /** Sketch-quality report for the t28 MinHash layout — v43's
+    * evaluation discipline applied to the dedup sketch: for every LSH
+    * candidate pair, the signature-estimated Jaccard (fraction of the
+    * 8 minhashes agreeing) against the exact shingle Jaccard, with the
+    * absolute error. This is the table you read before trusting a
+    * signature-only dedup pass (skipping exact verification at 100 TB)
+    * or tuning k/bands: estimator bias and the false-positive tail are
+    * visible per pair, not asserted.
+    *
+    * Scale shape: everything rides the memoized signature relation and
+    * the shared band-join candidate generation — no extra corpus pass;
+    * the report is candidate-pairs-sized. Determinism: n_agree is an
+    * integer, est = n_agree/8 is IEEE-exact (eighths), and the exact
+    * Jaccard is the same single long/long division t28 emits.
+    */
+  def qMinhashError(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigs(s, dir)
+    val agree = (1 to 8).map(i =>
+      when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)).reduce(_ + _)
+    lshCandidates(s, dir)
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("n_agree", agree)
+      .withColumn("inter",
+        size(array_intersect(col("a.shs"), col("b.shs"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter") / (col("a.n") + col("b.n") - col("inter")))
+      .withColumn("jacc_est", col("n_agree") / lit(8.0))
+      .withColumn("abs_err", abs(col("jacc_est") - col("jaccard")))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"), col("jacc_est"),
+        col("jaccard"), col("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qMinhashErrorOracle: String = {
+    val hs = (1 to 8).map(i => s"MIN(MD5('$i:' || s)) AS h$i").mkString(", ")
+    val agreeSql = (1 to 8)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+    WITH sh AS ($shinglesSql),
+    sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 1 AS band_id, h1 || h2 AS band_sig FROM sig
+      UNION ALL SELECT doc_id, 2, h3 || h4 FROM sig
+      UNION ALL SELECT doc_id, 3, h5 || h6 FROM sig
+      UNION ALL SELECT doc_id, 4, h7 || h8 FROM sig),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+       AND x.doc_id < y.doc_id),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM cand
+      JOIN sh a ON doc_a = a.doc_id
+      JOIN sh b ON doc_b = b.doc_id AND a.s = b.s
+      GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b,
+           $agreeSql AS n_agree,
+           ($agreeSql) / 8.0 AS jacc_est,
+           COALESCE(inter, 0) / (za.n + zb.n - COALESCE(inter, 0)) AS jaccard,
+           ABS(($agreeSql) / 8.0 -
+               COALESCE(inter, 0) / (za.n + zb.n - COALESCE(inter, 0))) AS abs_err
+    FROM cand c
+    JOIN sig sa ON c.doc_a = sa.doc_id
+    JOIN sig sb ON c.doc_b = sb.doc_id
+    JOIN sz za ON c.doc_a = za.doc_id
+    JOIN sz zb ON c.doc_b = zb.doc_id
+    LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    ORDER BY c.doc_a, c.doc_b"""
   }
 
   /** Near-dup cluster assignment — the dedup endgame: connected
@@ -969,6 +1056,7 @@ object TextOps {
     GateQuery("t38_jaccard_dfcap", qJaccardDfCap, Some(qJaccardDfCapOracle)),
     GateQuery("t60_containment", qContainment, Some(qContainmentOracle)),
     GateQuery("t28_minhash_lsh", qMinhashLsh, Some(qMinhashLshOracle)),
+    GateQuery("t73_minhash_error", qMinhashError, Some(qMinhashErrorOracle)),
     GateQuery("t40_dedup_clusters", qDedupClusters, Some(qDedupClustersOracle)),
     GateQuery("t52_dedup_survivors", qDedupSurvivors, Some(qDedupSurvivorsOracle)),
     GateQuery("t54_novelty", qNovelty, Some(qNoveltyOracle)),

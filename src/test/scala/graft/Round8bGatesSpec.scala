@@ -107,6 +107,47 @@ class Round8bGatesSpec extends AnyFunSuite {
     }
   }
 
+  test("t73 minhash error: estimator bounded, candidates cover every verified t28 pair") {
+    val rows = TextOps.qMinhashError(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // a candidate pair shares at least one full band: both of that
+      // band's hashes agree (fixed-width md5 hex, so the concat
+      // band_sig equality cannot be a boundary collision)
+      val agree = r.getAs[Int]("n_agree")
+      assert(agree >= 2 && agree <= 8)
+      assert(r.getAs[Double]("jacc_est") == agree / 8.0)
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Double]("abs_err") == math.abs(agree / 8.0 - j))
+    }
+    // the verified t28 pairs are exactly the candidates with J >= 0.5
+    val verified = TextOps.qMinhashLsh(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val highJ = rows.filter(_.getAs[Double]("jaccard") >= 0.5)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(highJ == verified)
+  }
+
+  test("q39 anomaly: matches a straight-line integer z-test on the real corpus") {
+    val hours = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("h")))
+    val counts = hours.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = counts.keys.toSeq.flatMap { case (et, h) =>
+      val xs = counts.collect { case ((t, _), c) if t == et => c }.toSeq
+      val n = xs.length.toLong; val sx = xs.sum; val sq = xs.map(x => x * x).sum
+      val x = counts((et, h)); val dev = n * x - sx
+      if (dev * dev > 4L * (n * sq - sx * sx)) Some(((et, h), x, dev > 0)) else None
+    }.toSet
+    val got = Analytics.qAnomaly(spark, dir).collect()
+      .map(r => ((r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("h")),
+        r.getAs[Long]("x"), r.getAs[Boolean]("spike"))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("t72 quantile threshold: ranks contiguous per source, keep = top 70% by score") {
     val rows = TextOps.qQuantileThreshold(spark, dir).collect()
     assert(rows.nonEmpty)
