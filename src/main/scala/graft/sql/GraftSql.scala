@@ -82,6 +82,10 @@ object GraftSql {
     "t52_dedup_survivors", "t51_bpe_train", "t59_bpe_encode",
     "t50_lexical_topk", "t58_dsir_weights", "t61_unigram_surprise",
     "t62_source_dashboard",
+    // t69 trains the 256²-entry bigram model at plan build (collected
+    // once per session/dir, inlined as an array literal — the t58
+    // pattern one model order up)
+    "t69_bigram_surprise",
     // t67 collects its query-idf statistics from the corpus at plan
     // build (same retrieval model artifact as t50)
     "t67_chunk_retrieval")
