@@ -297,6 +297,35 @@ object BpeTrainer {
       materialize = df => SessionMemo.persist("bpe:doc-words", s, dir)(df),
       materializeVocab = df => SessionMemo.persist("bpe:vocab-enc", s, dir)(df))
 
+  /** Tokenizer fertility by language (t74) — the multilingual-fairness
+    * report every tokenizer evaluation publishes: per language,
+    * BPE tokens per word ("fertility") and characters per token under
+    * the trained merges. A tokenizer trained on a mixed corpus
+    * systematically over-fragments under-represented languages — the
+    * same document costs more sequence positions — and this table is
+    * how that bias is measured before the budget/mixing stages (t53,
+    * t64, t70) trust token counts across languages.
+    *
+    * Scale shape: pure composition — t59's memoized per-doc encode
+    * stats (the heavy per-word UDF loop runs once per session on the
+    * distinct VOCABULARY, never per doc) joined to the 2-column
+    * doc→lang projection, then a langs-sized aggregate. All counts are
+    * exact bigints; the two ratios are single IEEE divisions of exact
+    * integers, identical in both engines.
+    */
+  def qTokenizerFertility(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame =
+    qBpeEncode(s, dir, nMerges)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        sum(col("n_chars_tokenized")).as("n_chars"))
+      .withColumn("fertility", col("n_bpe_tokens").cast("double") / col("n_words"))
+      .withColumn("chars_per_token", col("n_chars").cast("double") / col("n_bpe_tokens"))
+      .orderBy(col("lang"))
+
   // ---- VALUES-literal oracles (r7 VERDICT #5, the MediaGate pattern) ----
   //
   // DuckDB cannot express the iterative BPE loop, so the oracle is a
@@ -391,5 +420,48 @@ object BpeTrainer {
           FROM (VALUES ${rows.mkString(",\n")})
             t(doc_id, n_words, n_bpe_tokens, n_chars_tokenized)
           ORDER BY doc_id"""
+    }
+
+  /** t74's oracle: the same straight-line training + per-word encode as
+    * [[encodeOracle]], aggregated per language driver-side; only the
+    * exact integer counts ship in the VALUES literal — the two ratio
+    * columns are computed IN SQL from them, so no double ever rides as
+    * a literal (the "quoted doubles" hazard never arises).
+    */
+  def fertilityOracle(nMerges: Int = 10): Option[String] =
+    withOracleContext(s"fertility:$nMerges") { (s, dir) =>
+      val docs = collectedDocs(s, dir)
+      val langOf = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val ranks = trainLocal(pureWordCounts(docs), nMerges)
+        .map(m => (m.left, m.right) -> m.rank).toMap
+      val encLen = scala.collection.mutable.HashMap.empty[String, Long]
+      def len(w: String): Long =
+        encLen.getOrElseUpdate(w, encodeWord(w, ranks).length.toLong)
+      // per-lang exact sums over the docs the gate's join keeps (all of
+      // them: wordless docs contribute nothing but still count as docs
+      // only if they survive the encode join — they don't, same as t59)
+      val agg = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Long, Long, Long, Long)]
+      docs.filter(_._2.nonEmpty).foreach { case (id, ws) =>
+        val l = langOf(id)
+        val (d, w, t, c) = agg.getOrElse(l, (0L, 0L, 0L, 0L))
+        agg(l) = (d + 1, w + ws.length.toLong,
+          t + ws.iterator.map(len).sum, c + ws.iterator.map(_.length.toLong).sum)
+      }
+      val rows = agg.toSeq.sortBy(_._1).map { case (l, (d, w, t, c)) =>
+        s"(${sqlStr(l)}, $d, $w, $t, $c)"
+      }
+      require(rows.nonEmpty, "empty corpus")
+      s"""SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+            CAST(n_words AS BIGINT) AS n_words,
+            CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+            CAST(n_chars AS BIGINT) AS n_chars,
+            CAST(CAST(n_bpe_tokens AS BIGINT) AS DOUBLE) / CAST(n_words AS BIGINT) AS fertility,
+            CAST(CAST(n_chars AS BIGINT) AS DOUBLE) / CAST(n_bpe_tokens AS BIGINT) AS chars_per_token
+          FROM (VALUES ${rows.mkString(",\n")})
+            t(lang, n_docs, n_words, n_bpe_tokens, n_chars)
+          ORDER BY lang"""
     }
 }

@@ -1036,5 +1036,9 @@ object CurationOps {
     // BpeTrainer.encodeOracle), pinned by BpeTrainerSpec elsewhere
     GateQuery("t59_bpe_encode", (s, d) => BpeTrainer.qBpeEncode(s, d),
       BpeTrainer.encodeOracle()),
+    // per-language fertility under the trained tokenizer — same
+    // VALUES-literal oracle regime as t51/t59 (Verify context only)
+    GateQuery("t74_tokenizer_fertility", (s, d) => BpeTrainer.qTokenizerFertility(s, d),
+      BpeTrainer.fertilityOracle()),
   )
 }

@@ -80,6 +80,8 @@ object GraftSql {
   val EagerArtifactViews: Set[String] = Set(
     "t46_bloom_decontaminate", "t40_dedup_clusters",
     "t52_dedup_survivors", "t51_bpe_train", "t59_bpe_encode",
+    // t74 composes t59's trained tokenizer — same BPE loop at plan build
+    "t74_tokenizer_fertility",
     "t50_lexical_topk", "t58_dsir_weights", "t61_unigram_surprise",
     "t62_source_dashboard",
     // t69 trains the 256²-entry bigram model at plan build (collected

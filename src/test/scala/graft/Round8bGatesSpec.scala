@@ -148,6 +148,22 @@ class Round8bGatesSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("t74 fertility: per-lang rows, bounds hold, ratios derive exactly from the counts") {
+    val rows = graft.operators.BpeTrainer.qTokenizerFertility(spark, dir).collect()
+    val langs = Tables.documents(spark, dir)
+      .select(col("lang")).distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getAs[String]("lang")).toSet == langs)
+    rows.foreach { r =>
+      val (w, t, c) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"),
+        r.getAs[Long]("n_chars"))
+      // BPE never merges across words, so every word is >= 1 token;
+      // every token is >= 1 char
+      assert(t >= w && c >= t && r.getAs[Long]("n_docs") > 0)
+      assert(r.getAs[Double]("fertility") == t.toDouble / w)
+      assert(r.getAs[Double]("chars_per_token") == c.toDouble / t)
+    }
+  }
+
   test("t72 quantile threshold: ranks contiguous per source, keep = top 70% by score") {
     val rows = TextOps.qQuantileThreshold(spark, dir).collect()
     assert(rows.nonEmpty)
