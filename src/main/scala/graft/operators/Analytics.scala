@@ -408,6 +408,58 @@ object Analytics {
     WHERE (n * x - sx) * (n * x - sx) > 4 * (n * sq - sx * sx)
     ORDER BY event_type, h"""
 
+  /** Funnel conversion (q40) — the sequential-pattern query every
+    * product-analytics stack runs: per day, how many users signed up
+    * and how many of those signups CONVERTED (a purchase by the same
+    * user within 1 hour of the signup event).
+    *
+    * Scale shape: signups⋈purchases is a plain `user_id` equi-join —
+    * candidates are bounded per user by that user's own activity, so
+    * no binning is needed (the q37 trick applies only when the join
+    * has no selective equality leg); a pathological power-user key
+    * routes through [[Scale.saltedJoin]]. The per-signup conversion
+    * flag reduces BEFORE the daily rollup, so the second aggregate is
+    * signups-sized. All counts are exact integers.
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val w = 3600L * 1000000 // 1-hour conversion window, µs
+    val ev = Tables.events(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("sid"),
+        unix_micros(col("ts")).as("tsu"), to_date(col("ts")).as("day"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tp"))
+    signups.join(purchases, Seq("user_id"), "left")
+      .withColumn("hit",
+        col("tp").isNotNull && col("tp") > col("tsu") &&
+        col("tp") - col("tsu") <= w)
+      .groupBy(col("day"), col("sid"))
+      .agg(max(when(col("hit"), 1).otherwise(0)).as("converted"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(col("converted")).as("n_converted"))
+      .orderBy(col("day"))
+  }
+
+  val qFunnelOracle: String = """
+    WITH su AS (
+      SELECT user_id, event_id AS sid,
+             EPOCH_US(CAST(ts AS TIMESTAMP)) AS tsu, CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'signup'),
+    pu AS (
+      SELECT user_id, EPOCH_US(CAST(ts AS TIMESTAMP)) AS tp
+      FROM events WHERE event_type = 'purchase'),
+    conv AS (
+      SELECT day, sid,
+             MAX(CASE WHEN tp IS NOT NULL AND tp > tsu
+                       AND tp - tsu <= 3600000000 THEN 1 ELSE 0 END) AS converted
+      FROM su LEFT JOIN pu USING (user_id)
+      GROUP BY 1, 2)
+    SELECT day, COUNT(*) AS n_signups, CAST(SUM(converted) AS BIGINT) AS n_converted
+    FROM conv
+    GROUP BY day
+    ORDER BY day"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("q25_pivot", qPivot, Some(qPivotOracle)),
     GateQuery("q26_window_analytics", qWindowAnalytics, Some(qWindowAnalyticsOracle)),
@@ -420,5 +472,6 @@ object Analytics {
     GateQuery("q36_gap_fill", qGapFill, Some(qGapFillOracle)),
     GateQuery("q37_range_join", qProximityJoin, Some(qProximityJoinOracle)),
     GateQuery("q39_anomaly", qAnomaly, Some(qAnomalyOracle)),
+    GateQuery("q40_funnel", qFunnel, Some(qFunnelOracle)),
   )
 }

@@ -148,6 +148,30 @@ class Round8bGatesSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q40 funnel: matches a straight-line conversion count on the real corpus") {
+    val evs = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), to_date(col("ts")).as("day"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("us"),
+        r.getAs[java.sql.Date]("day").toString))
+    val purchases = evs.filter(_._1 == "purchase")
+    val expected = evs.filter(_._1 == "signup")
+      .map { case (_, u, _, tsu, day) =>
+        val hit = purchases.exists { case (_, pu, _, tp, _) =>
+          pu == u && tp > tsu && tp - tsu <= 3600L * 1000000 }
+        (day, hit)
+      }
+      .groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.count(_._2).toLong)).toMap
+    val got = Analytics.qFunnel(spark, dir).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n_signups"), r.getAs[Long]("n_converted"))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._2).sum > 0, "no conversions found - window too tight")
+  }
+
   test("t74 fertility: per-lang rows, bounds hold, ratios derive exactly from the counts") {
     val rows = graft.operators.BpeTrainer.qTokenizerFertility(spark, dir).collect()
     val langs = Tables.documents(spark, dir)
