@@ -379,15 +379,25 @@ object Analytics {
     * broadcast back, and a per-row integer predicate. The flagged-hour
     * output is bounded by the grid, never the event count.
     */
-  def qAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(s, dir)
+  /** Per-(type, hour) event counts — the scored series. */
+  private def hourlyCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("x"))
-    val stats = hourly.groupBy(col("event_type"))
+
+  /** The per-type baseline (n hours, Σx, Σx²) the z-test needs — a
+    * #types-row artifact; the streaming detector
+    * ([[graft.streaming.AnomalyDetect]]) scores a live stream against
+    * exactly this frame trained on a historical corpus.
+    */
+  def hourlyStats(s: SparkSession, dir: String): DataFrame =
+    hourlyCounts(s, dir).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sq"))
+
+  def qAnomaly(s: SparkSession, dir: String): DataFrame = {
     val dev = col("n") * col("x") - col("sx")
-    hourly.join(broadcast(stats), Seq("event_type"))
+    hourlyCounts(s, dir).join(broadcast(hourlyStats(s, dir)), Seq("event_type"))
       .filter(dev * dev > lit(4L) * (col("n") * col("sq") - col("sx") * col("sx")))
       .select(col("event_type"), col("h"), col("x"),
         (dev > 0).as("spike"))
