@@ -98,6 +98,100 @@ object MediaGate {
         ORDER BY media_id"""
   }
 
+  // -- Perceptual-hash near-dup gate (m45) ------------------------------
+
+  private val HashBlocks = 16
+  private val HammingTau = 3
+  private val HashBands = 4 // 4 bands x 4 bits; tau < bands => banding is lossless
+
+  /** Dedup corpus: the 24 media rows plus 8 perturbed copies (one byte
+    * nudged by +1 in a different block each) — the re-encode-noise
+    * stand-in that makes NEAR duplicates, not just exact ones — and
+    * 2 exact byte-for-byte copies.
+    */
+  private def dedupCorpusRows: Seq[(Long, String, Array[Byte])] = {
+    val base = corpusRows
+    val near = (0 until 8).map { i =>
+      val (id, mime, bytes) = base(i * 3 % base.length)
+      val copy = bytes.clone()
+      val pos = (i * 131) % copy.length
+      copy(pos) = (copy(pos) + 1).toByte
+      (100L + id, mime, copy)
+    }
+    val exact = Seq(24, 25).zip(Seq(base(1), base(4))).map {
+      case (nid, (_, mime, bytes)) => (200L + nid, mime, bytes)
+    }
+    base ++ near ++ exact
+  }
+
+  private def dedupMedia(s: SparkSession): DataFrame = {
+    import s.implicits._
+    dedupCorpusRows.map { case (id, mime, b) => (id, mime, b) }
+      .toDF("media_id", "mime", "content")
+      .repartition(4, col("media_id"))
+  }
+
+  private def hashOf(bytes: Array[Byte]): Long = {
+    val sums = new Array[Long](HashBlocks)
+    val n = math.max(bytes.length, 1)
+    var i = 0
+    while (i < bytes.length) {
+      sums((i.toLong * HashBlocks / n).toInt) += (bytes(i) & 0xff); i += 1
+    }
+    val total = sums.sum
+    (0 until HashBlocks).foldLeft(0L) { (h, b) =>
+      if (sums(b) * HashBlocks >= total) h | (1L << b) else h
+    }
+  }
+
+  /** m45: perceptual near-dup pairs over the media corpus — the image
+    * dedup every multimodal pipeline runs before training: blockhash
+    * fingerprints ([[Multimodal.blockHash]], decode stubbed, hashing
+    * real), candidates from a BANDED equi-join (4 bands × 4 bits;
+    * Hamming ≤ 3 < 4 bands means a true pair always shares one intact
+    * band — the banding is provably lossless, and the all-pairs
+    * driver-side oracle is the proof), verified with exact
+    * `bit_count(xor)`. At scale this is the t28 layout over binary
+    * payloads: O(1) fingerprint per item, shuffle on (band, bits),
+    * candidate-bounded verification.
+    */
+  def qMediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.blockHash(dedupMedia(s), HashBlocks)
+    val bands = hashes.select(col("media_id"), col("phash"),
+      explode(expr(s"transform(sequence(0, ${HashBands - 1}), " +
+        s"b -> struct(b AS band, (phash div cast(pow(16, b) as bigint)) % 16 AS bits))"))
+        .as("bb"))
+      .select(col("media_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= HammingTau)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** VALUES oracle: straight-line hashes + the full all-pairs loop
+    * (bounded corpus) — every pair with Hamming ≤ τ, no banding, so
+    * gate equality proves the banded join loses nothing.
+    */
+  def qMediaDedupOracle: String = {
+    val rows = dedupCorpusRows.map { case (id, _, b) => (id, hashOf(b)) }
+    val pairs = for {
+      (ia, ha) <- rows; (ib, hb) <- rows
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= HammingTau
+    } yield s"($ia, $ib, ${java.lang.Long.bitCount(ha ^ hb)})"
+    require(pairs.nonEmpty, "no near-dup pairs in the seeded corpus")
+    s"""SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+          CAST(hamming AS INTEGER) AS hamming
+        FROM (VALUES ${pairs.mkString(",\n")}) t(id_a, id_b, hamming)
+        ORDER BY id_a, id_b"""
+  }
+
   // -- PDF layout gate (m43) --------------------------------------------
 
   /** Region dictionary in the notebook's bounding_boxes shape
@@ -226,5 +320,6 @@ object MediaGate {
     GateQuery("m42_media_pipeline", qMediaPipeline, Some(qMediaPipelineOracle)),
     GateQuery("m43_pdf_layout", qPdfLayout, Some(qPdfLayoutOracle)),
     GateQuery("m44_pdf_tables", qPdfTables, Some(qPdfTablesOracle)),
+    GateQuery("m45_media_dedup", qMediaDedup, Some(qMediaDedupOracle)),
   )
 }

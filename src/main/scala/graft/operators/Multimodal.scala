@@ -86,6 +86,44 @@ object Multimodal {
       .toDF("media_id", "width", "height")
   }
 
+  /** Perceptual block-hash over the payload — the blockhash family of
+    * image fingerprints computed over the byte stream as the stub
+    * stand-in for decoded pixel blocks (a real deployment decodes
+    * first; the hashing, banding and join machinery below it is what
+    * this engine owns): split the payload into `blocks` equal runs,
+    * bit_i = "block i's unsigned byte sum is at or above the
+    * per-block average" — compared as `blockSum·blocks ≥ totalSum`,
+    * pure integers, no division. Visually-near payloads (small
+    * re-encode perturbations) flip few block relations → small
+    * Hamming distance; unrelated payloads land ~blocks/2 apart.
+    * Same partition-mapped record-streamed shape as
+    * [[extractFeatures]].
+    */
+  def blockHash(media: DataFrame, blocks: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val sums = new Array[Long](blocks)
+        val n = math.max(bytes.length, 1)
+        var i = 0
+        while (i < bytes.length) {
+          sums((i.toLong * blocks / n).toInt) += (bytes(i) & 0xff)
+          i += 1
+        }
+        val total = sums.sum
+        var hash = 0L
+        var b = 0
+        while (b < blocks) {
+          if (sums(b) * blocks >= total) hash |= (1L << b)
+          b += 1
+        }
+        (id, hash)
+      })
+      .toDF("media_id", "phash")
+  }
+
   /** Frame sampling for video-shaped payloads: emit every k-th chunk of
     * the payload as a pseudo-frame (stub chunking; real impl swaps the
     * chunker for a codec). Demonstrates the 1→N generator shape

@@ -172,6 +172,21 @@ class Round8bGatesSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum > 0, "no conversions found - window too tight")
   }
 
+  test("m45 media dedup: exact copies at hamming 0, planted near-copies found") {
+    val pairs = graft.operators.MediaGate.qMediaDedup(spark, dir).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Int]("hamming"))).toMap
+    // byte-for-byte copies: ids 224/225 duplicate originals 1/4
+    assert(pairs.get((1L, 224L)).contains(0))
+    assert(pairs.get((4L, 225L)).contains(0))
+    // the 8 single-byte-nudged copies (ids 100+orig): a +1 nudge moves
+    // one block sum by one, so most planted pairs stay within tau
+    val planted = (0 until 8).map(i => (i * 3 % 24).toLong)
+      .count(o => pairs.contains((o, 100L + o)))
+    assert(planted >= 6, s"only $planted/8 planted near-dups found")
+    pairs.values.foreach(h => assert(h >= 0 && h <= 3))
+  }
+
   test("t74 fertility: per-lang rows, bounds hold, ratios derive exactly from the counts") {
     val rows = graft.operators.BpeTrainer.qTokenizerFertility(spark, dir).collect()
     val langs = Tables.documents(spark, dir)
