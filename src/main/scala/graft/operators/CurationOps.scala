@@ -933,6 +933,59 @@ object CurationOps {
     GROUP BY tb.doc_id
     ORDER BY tb.doc_id"""
 
+  // ---- Quality-weighted sampling (t75) ----
+
+  /** Keep rates per t31 quality band — the quality-weighted subsample
+    * shape corpus ablations run (keep most of the good band, thin the
+    * noise tail) as the soft alternative to t72's hard per-source
+    * cutoff.
+    */
+  private val QualityRates = Map("good" -> 0.9, "fair" -> 0.5, "low" -> 0.1)
+
+  /** Quality-weighted sampling: survival probability set by the t31
+    * quality band, decided by the same deterministic md5-bucket rule as
+    * t42 (no RNG — reproducible across runs, partitionings and
+    * engines). Pure composition: t31's banded score frame feeds
+    * [[withSampleFlag]] with band-keyed rates, so the sampling weights
+    * cannot desync from the quality operator they cite; per-row
+    * decision, nothing widens at 100 TB.
+    */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    withSampleFlag(
+        TextOps.qQualityScore(s, dir).select(col("doc_id"), col("band")),
+        "doc_id", "band", QualityRates, "qw:")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        (sum(when(col("kept"), 1L).otherwise(0L)) / count(lit(1))).as("kept_ratio"),
+        min(when(col("kept"), col("doc_id"))).as("first_kept"))
+      .orderBy(col("band"))
+
+  /** Oracle: t31's oracle as a CTE (the t62 nesting pattern) + the
+    * same md5-bucket threshold; the CASE constants derive from the
+    * SAME rate map as the Spark side, so the two cannot drift.
+    */
+  val qWeightedSampleOracle: String = {
+    val cases = QualityRates.toSeq.sortBy(_._1).map { case (b, r) =>
+      s"WHEN '$b' THEN ${math.floor(r * 256).toInt}"
+    }.mkString(" ")
+    s"""
+    WITH qs AS (${TextOps.qQualityScoreOracle}),
+    k AS (
+      SELECT doc_id, band,
+             CAST(CONCAT('0x', SUBSTRING(MD5('qw:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+               < CASE band $cases END AS kept
+      FROM qs)
+    SELECT band, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE) AS kept_ratio,
+           MIN(CASE WHEN kept THEN doc_id END) AS first_kept
+    FROM k
+    GROUP BY band
+    ORDER BY band"""
+  }
+
   // ---- Sub-corpus distribution divergence (t71) ----
 
   /** Pairwise Jensen–Shannon divergence between the hashed-unigram
@@ -1031,6 +1084,7 @@ object CurationOps {
     GateQuery("t69_bigram_surprise", qBigramSurprise, Some(qBigramSurpriseOracle)),
     GateQuery("t62_source_dashboard", qSourceDashboard, Some(qSourceDashboardOracle)),
     GateQuery("t71_lang_divergence", qLangDivergence, Some(qLangDivergenceOracle)),
+    GateQuery("t75_weighted_sample", qWeightedSample, Some(qWeightedSampleOracle)),
     // inference-time BPE tokenization — iterative best-rank-first
     // encode; VALUES-literal oracle in the Verify context (see
     // BpeTrainer.encodeOracle), pinned by BpeTrainerSpec elsewhere

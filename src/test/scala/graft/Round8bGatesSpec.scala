@@ -172,6 +172,28 @@ class Round8bGatesSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum > 0, "no conversions found - window too tight")
   }
 
+  test("t75 weighted sample: matches a straight-line md5-bucket decision per band") {
+    val bands = TextOps.qQualityScore(spark, dir)
+      .select(col("doc_id"), col("band")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("band")))
+    val rates = Map("good" -> 0.9, "fair" -> 0.5, "low" -> 0.1)
+    def bucket(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"qw:$id".getBytes("UTF-8"))
+      d(0) & 0xff
+    }
+    val expected = bands.groupBy(_._2).map { case (b, rs) =>
+      val kept = rs.count { case (id, _) =>
+        bucket(id) < math.floor(rates(b) * 256).toInt }
+      b -> (rs.length.toLong, kept.toLong)
+    }
+    val got = CurationOps.qWeightedSample(spark, dir).collect()
+      .map(r => r.getAs[String]("band") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))).toMap
+    assert(got == expected)
+    got.foreach { case (_, (n, k)) => assert(k <= n) }
+  }
+
   test("m45 media dedup: exact copies at hamming 0, planted near-copies found") {
     val pairs = graft.operators.MediaGate.qMediaDedup(spark, dir).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
