@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Analytics, Relational, TextOps}
+
+/** Scale-critical PLAN properties of representative gates, asserted on
+  * the executed plan — the `.explain` audit the scale review does by
+  * hand, pinned so a regression (a lost pushdown, a dimension join
+  * degrading to sort-merge, a surprise cross product) is one red line
+  * at commit time instead of a 100 TB incident.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2 filter+project: predicate and column pruning reach the parquet scan") {
+    val p = df2Formatted(Relational.q2FilterProject(spark, dir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty,
+      s"no filters pushed:\n$p")
+  }
+
+  private def df2Formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q5 star join: every dimension joins as BroadcastHashJoin, never sort-merge") {
+    val p = plan(Relational.q5NationRevenue(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only permissible SortMergeJoin is the fact-fact orders join;
+    // dimension tables must never reach one at this size
+    assert(p.split("SortMergeJoin").length - 1 <= 1,
+      s"dimension join degraded to sort-merge:\n$p")
+  }
+
+  test("q1 aggregation: partial (map-side) aggregation precedes the exchange") {
+    val p = plan(Relational.q1PricingSummary(spark, dir))
+    val firstAgg = p.indexOf("HashAggregate")
+    val exch = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exch >= 0)
+    assert(p.indexOf("HashAggregate", exch) >= 0,
+      s"no partial aggregation below the exchange:\n$p")
+  }
+
+  test("q37 binned range join plans as an equi-join, not a nested-loop product") {
+    val p = plan(Analytics.qProximityJoin(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to nested-loop:\n$p")
+  }
+
+  test("t28 LSH verification carries no cross product anywhere") {
+    val p = plan(TextOps.qMinhashLsh(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q40 funnel joins on the user key, no nested loop") {
+    val p = plan(Analytics.qFunnel(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
