@@ -470,6 +470,44 @@ object Analytics {
     GROUP BY day
     ORDER BY day"""
 
+  /** Cohort retention (q41) — the product-analytics matrix: users
+    * grouped by first-seen day (their cohort), activity counted per
+    * whole week since that day; cell (cohort, week) = distinct users
+    * of the cohort active that week. Reading down a column shows
+    * retention decay — the other classic sequential-pattern query next
+    * to q40's funnel.
+    *
+    * Scale shape: the cohort frame is one user-keyed aggregate
+    * (#users-sized), joined back to events on user_id (fact-fact
+    * equi-join, candidates bounded per user), then a partial-agg'd
+    * rollup to the cohort×week grid — output is the grid, never the
+    * event count. The week index is pure integer arithmetic
+    * (`datediff div 7`, nonnegative so div = floor on both engines).
+    */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, Seq("user_id"))
+      .withColumn("week", expr("datediff(day, cohort_day) div 7"))
+      .groupBy(col("cohort_day"), col("week"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("cohort_day"), col("week"))
+  }
+
+  val qCohortRetentionOracle: String = """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    cohorts AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+    SELECT cohort_day, CAST((day - cohort_day) // 7 AS BIGINT) AS week,
+           COUNT(DISTINCT ev.user_id) AS active_users, COUNT(*) AS n_events
+    FROM ev JOIN cohorts USING (user_id)
+    GROUP BY cohort_day, week
+    ORDER BY cohort_day, week"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("q25_pivot", qPivot, Some(qPivotOracle)),
     GateQuery("q26_window_analytics", qWindowAnalytics, Some(qWindowAnalyticsOracle)),
@@ -483,5 +521,6 @@ object Analytics {
     GateQuery("q37_range_join", qProximityJoin, Some(qProximityJoinOracle)),
     GateQuery("q39_anomaly", qAnomaly, Some(qAnomalyOracle)),
     GateQuery("q40_funnel", qFunnel, Some(qFunnelOracle)),
+    GateQuery("q41_cohort_retention", qCohortRetention, Some(qCohortRetentionOracle)),
   )
 }

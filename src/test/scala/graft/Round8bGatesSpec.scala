@@ -172,6 +172,23 @@ class Round8bGatesSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum > 0, "no conversions found - window too tight")
   }
 
+  test("q41 cohort retention: week-0 covers every cohort user, weeks nonnegative") {
+    val rows = Analytics.qCohortRetention(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("week") >= 0L)
+      assert(r.getAs[Long]("active_users") >= 1L)
+      assert(r.getAs[Long]("n_events") >= r.getAs[Long]("active_users"))
+    }
+    // every user is active in their own cohort's week 0 by definition,
+    // so summing week-0 active_users over cohorts counts every user
+    val week0 = rows.filter(_.getAs[Long]("week") == 0L)
+      .map(_.getAs[Long]("active_users")).sum
+    val users = Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    assert(week0 == users)
+  }
+
   test("t75 weighted sample: matches a straight-line md5-bucket decision per band") {
     val bands = TextOps.qQualityScore(spark, dir)
       .select(col("doc_id"), col("band")).collect()
