@@ -192,6 +192,85 @@ object MediaGate {
         ORDER BY id_a, id_b"""
   }
 
+  // -- Audio segmentation gate (m46) ------------------------------------
+
+  private val AudioFrameBytes = 256
+
+  /** m46: VAD-shaped audio segmentation over the seeded corpus — the
+    * speech/music curation pass that turns a waveform into voiced
+    * segments: per-frame energies ([[Multimodal.frameEnergy]]; decode
+    * stubbed, framing/energy real and integer-exact), a frame is
+    * "voiced" when its energy is at-or-above the per-media average
+    * (`energy·n ≥ total` — no division), and consecutive voiced frames
+    * merge into segments via the gaps-and-islands window (the q28
+    * sessionize shape on frame indices). Per media: frame/voiced/
+    * segment counts and the longest segment.
+    *
+    * Scale shape: only (id, idx, energy) triples leave the decode
+    * task — frame bytes never ship; the windows are media-partitioned
+    * (bounded by one payload's frame count); output is #media rows.
+    */
+  def qAudioSegments(s: SparkSession, dir: String): DataFrame = {
+    val audio = media(s).filter(col("mime") === "audio/wav")
+    val fe = Multimodal.frameEnergy(audio, AudioFrameBytes)
+    val byMedia = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val voiced = fe
+      .withColumn("n_frames", count(lit(1)).over(byMedia))
+      .withColumn("total_e", sum(col("energy")).over(byMedia))
+      .filter(col("energy") * col("n_frames") >= col("total_e"))
+      .withColumn("boundary",
+        when(col("frame_idx") - lag(col("frame_idx"), 1).over(ord) === 1, 0L)
+          .otherwise(1L))
+      .withColumn("seg_id", sum(col("boundary")).over(
+        ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    voiced.groupBy(col("media_id"), col("n_frames"), col("seg_id"))
+      .agg(count(lit(1)).as("seg_len"))
+      .groupBy(col("media_id"), col("n_frames"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("seg_len")).as("n_voiced"),
+        max(col("seg_len")).as("longest_seg"))
+      .select(col("media_id"), col("n_frames"), col("n_voiced"),
+        col("n_segments"), col("longest_seg"))
+      .orderBy(col("media_id"))
+  }
+
+  /** VALUES oracle: straight-line framing, energy, threshold and
+    * segment scan over the same seeded payloads.
+    */
+  def qAudioSegmentsOracle: String = {
+    val rows = corpusRows.filter(_._2 == "audio/wav").map { case (id, _, bytes) =>
+      val nFrames = math.max(1, (bytes.length + AudioFrameBytes - 1) / AudioFrameBytes)
+      val energies = (0 until nFrames).map { i =>
+        bytes.slice(i * AudioFrameBytes,
+          math.min(bytes.length, (i + 1) * AudioFrameBytes))
+          .map(b => math.abs(b.toInt).toLong).sum
+      }
+      val total = energies.sum
+      val voicedIdx = energies.zipWithIndex
+        .collect { case (e, i) if e * nFrames >= total => i }
+      val segs = voicedIdx.foldLeft(List.empty[Int]) { (acc, i) =>
+        acc match {
+          case h :: t if voicedIdx.contains(i - 1) => (h + 1) :: t
+          case _ => 1 :: acc
+        }
+      }
+      s"($id, $nFrames, ${voicedIdx.size}, ${segs.size}, ${segs.max})"
+    }
+    require(rows.nonEmpty, "no audio rows in the seeded corpus")
+    s"""SELECT CAST(media_id AS BIGINT) AS media_id,
+          CAST(n_frames AS BIGINT) AS n_frames,
+          CAST(n_voiced AS BIGINT) AS n_voiced,
+          CAST(n_segments AS BIGINT) AS n_segments,
+          CAST(longest_seg AS BIGINT) AS longest_seg
+        FROM (VALUES ${rows.mkString(",\n")})
+          t(media_id, n_frames, n_voiced, n_segments, longest_seg)
+        ORDER BY media_id"""
+  }
+
   // -- PDF layout gate (m43) --------------------------------------------
 
   /** Region dictionary in the notebook's bounding_boxes shape
@@ -321,5 +400,6 @@ object MediaGate {
     GateQuery("m43_pdf_layout", qPdfLayout, Some(qPdfLayoutOracle)),
     GateQuery("m44_pdf_tables", qPdfTables, Some(qPdfTablesOracle)),
     GateQuery("m45_media_dedup", qMediaDedup, Some(qMediaDedupOracle)),
+    GateQuery("m46_audio_segments", qAudioSegments, Some(qAudioSegmentsOracle)),
   )
 }

@@ -124,6 +124,34 @@ object Multimodal {
       .toDF("media_id", "phash")
   }
 
+  /** Per-frame energy over the payload — the VAD-shaped statistic an
+    * audio-curation pass needs before segmentation: the payload splits
+    * into fixed-size frames and each frame reports the sum of absolute
+    * sample amplitudes (bytes as signed samples — the stub stand-in
+    * for decoded PCM; a real deployment decodes the codec first, the
+    * framing/energy/segmentation machinery downstream is what this
+    * engine owns). Integer energies end to end. Same 1→N generator
+    * shape as [[sampleFrames]], but only the (id, idx, energy) triple
+    * leaves the task — frame BYTES never ship.
+    */
+  def frameEnergy(media: DataFrame, frameBytes: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = math.max(1, (bytes.length + frameBytes - 1) / frameBytes)
+        (0 until nFrames).map { i =>
+          var e = 0L
+          var j = i * frameBytes
+          val end = math.min(bytes.length, j + frameBytes)
+          while (j < end) { e += math.abs(bytes(j).toInt); j += 1 }
+          (id, i, e)
+        }
+      }
+      .toDF("media_id", "frame_idx", "energy")
+  }
+
   /** Frame sampling for video-shaped payloads: emit every k-th chunk of
     * the payload as a pseudo-frame (stub chunking; real impl swaps the
     * chunker for a codec). Demonstrates the 1→N generator shape

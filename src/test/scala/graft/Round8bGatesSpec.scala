@@ -226,6 +226,20 @@ class Round8bGatesSpec extends AnyFunSuite {
     pairs.values.foreach(h => assert(h >= 0 && h <= 3))
   }
 
+  test("m46 audio segments: one row per audio payload, segment algebra holds") {
+    val rows = graft.operators.MediaGate.qAudioSegments(spark, dir).collect()
+    assert(rows.length == 8) // 24 seeded media, every third is audio/wav
+    rows.foreach { r =>
+      val (n, v, s, l) = (r.getAs[Long]("n_frames"), r.getAs[Long]("n_voiced"),
+        r.getAs[Long]("n_segments"), r.getAs[Long]("longest_seg"))
+      // at least one frame is at-or-above the average, so >= 1 segment
+      assert(v >= 1L && s >= 1L)
+      // s segments of >= 1 frame each partition the v voiced frames
+      assert(v <= n && s <= v && l <= v)
+      assert(l >= (v + s - 1) / s, "longest segment below the mean length")
+    }
+  }
+
   test("t74 fertility: per-lang rows, bounds hold, ratios derive exactly from the counts") {
     val rows = graft.operators.BpeTrainer.qTokenizerFertility(spark, dir).collect()
     val langs = Tables.documents(spark, dir)
