@@ -226,6 +226,28 @@ class Round8bGatesSpec extends AnyFunSuite {
     pairs.values.foreach(h => assert(h >= 0 && h <= 3))
   }
 
+  test("v44 binary ANN: 5 ranked rows per query, recall@5 >= 0.5 vs brute force") {
+    import graft.operators.VectorOps
+    val bq = VectorOps.qAnnBinary(spark, dir).collect()
+    val bf = VectorOps.qAnnBruteForce(spark, dir).collect()
+    val byQ = bq.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == bf.map(_.getAs[Long]("query_id")).distinct.length)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5))
+      val cos = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      cos.zip(cos.tail).foreach { case (a, b) => assert(a >= b) }
+    }
+    var hits = 0; var tot = 0
+    bf.groupBy(_.getAs[Long]("query_id")).foreach { case (q, ex) =>
+      val exact = ex.map(_.getAs[Long]("neighbor_id")).toSet
+      val approx = byQ(q).map(_.getAs[Long]("neighbor_id")).toSet
+      hits += exact.intersect(approx).size; tot += exact.size
+    }
+    // 1 bit/dim on 64 dims with a 50-candidate rescoring pool measures
+    // 0.68 on this corpus; 0.5 is the regression floor
+    assert(hits.toDouble / tot >= 0.5, s"recall ${hits.toDouble / tot}")
+  }
+
   test("m46 audio segments: one row per audio payload, segment algebra holds") {
     val rows = graft.operators.MediaGate.qAudioSegments(spark, dir).collect()
     assert(rows.length == 8) // 24 seeded media, every third is audio/wav
