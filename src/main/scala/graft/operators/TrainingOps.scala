@@ -820,6 +820,72 @@ object TrainingOps {
     GROUP BY tr.doc_id
     ORDER BY tr.doc_id"""
 
+  /** Spans shared by more than this many documents are boilerplate, not
+    * contamination — and at scale, unbounded posting lists on a hot
+    * span are exactly the t38 quadratic; the cap is the same guard.
+    */
+  private val AttribDfCap = 100
+
+  /** Contamination ATTRIBUTION (t76) — the report t68's boolean screen
+    * leads to: which eval documents collide with which train documents,
+    * and on how many distinct token windows. This is the artifact a
+    * release review actually reads (is the collision one quoted
+    * benchmark item, or wholesale leakage?) — per (eval_doc,
+    * train_doc) pair, the count of distinct shared length-[[SpanL]]
+    * windows.
+    *
+    * Scale shape: both sides deduplicate (doc, hash) in-window before
+    * the probe join (a span repeated inside one doc must not multiply
+    * the pair count), and span hashes occurring in more than
+    * [[AttribDfCap]] documents are excluded as boilerplate — the t38
+    * df-cap discipline that bounds per-hash join fanout, so the pair
+    * stage is Σ|posting|² over capped lists, never corpus-quadratic.
+    * Reads the memoized t65/t68 span relation: zero extra corpus
+    * passes.
+    */
+  def qContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val tagged = spanRelation(s, dir)
+      .withColumn("split", splitCol(col("doc_id")))
+      .select(col("doc_id"), col("split"), col("h")).distinct()
+    val capped = tagged.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= AttribDfCap)
+      .select(col("h"))
+    val screened = tagged.join(capped, Seq("h"))
+    val ev = screened.filter(col("split") === "eval")
+      .select(col("h"), col("doc_id").as("eval_doc"))
+    val tr = screened.filter(col("split") === "train")
+      .select(col("h"), col("doc_id").as("train_doc"))
+    ev.join(tr, Seq("h"))
+      .groupBy(col("eval_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("eval_doc"), col("train_doc"))
+  }
+
+  val qContaminationReportOracle: String = s"""
+    WITH f AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '') AS words
+      FROM documents),
+    g AS (SELECT doc_id, words, LEN(words) AS n FROM f WHERE LEN(words) >= $SpanL),
+    sp AS (
+      SELECT DISTINCT doc_id, MD5(ARRAY_TO_STRING(words[i:i + $SpanL - 1], ' ')) AS h
+      FROM (SELECT doc_id, words, UNNEST(RANGE(1, n - $SpanL + 2)) AS i FROM g)),
+    sw AS (
+      SELECT doc_id, h,
+             CASE WHEN b < 13 THEN 'test' WHEN b < 39 THEN 'eval' ELSE 'train' END AS split
+      FROM (SELECT *, CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) AS b
+            FROM sp)),
+    capped AS (
+      SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM sw GROUP BY h)
+      WHERE df <= $AttribDfCap),
+    sc AS (SELECT sw.* FROM sw JOIN capped USING (h))
+    SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sc e JOIN sc t ON e.h = t.h
+    WHERE e.split = 'eval' AND t.split = 'train'
+    GROUP BY eval_doc, train_doc
+    ORDER BY eval_doc, train_doc"""
+
   /** Chunk-level boilerplate dedup (t63): CCNet-style paragraph-hash
     * dedup with t57's windows as the unit — a chunk whose hash appears
     * in MORE THAN ONE document is boilerplate (shared headers, quoted
@@ -876,5 +942,6 @@ object TrainingOps {
     GateQuery("t65_repeated_spans", qRepeatedSpans, Some(qRepeatedSpansOracle)),
     GateQuery("t67_chunk_retrieval", qChunkRetrieval, Some(qChunkRetrievalOracle)),
     GateQuery("t68_span_decontaminate", qSpanDecontaminate, Some(qSpanDecontaminateOracle)),
+    GateQuery("t76_contamination_report", qContaminationReport, Some(qContaminationReportOracle)),
   )
 }

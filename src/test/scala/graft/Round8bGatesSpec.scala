@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Analytics, CurationOps, Relational, TextOps}
+import graft.operators.{Analytics, CurationOps, Relational, TextOps, TrainingOps}
 
 /** Behavioral contracts of the round-8 late additions beyond their
   * DuckDB hash gates: the binned temporal-proximity join (q37), the
@@ -224,6 +224,19 @@ class Round8bGatesSpec extends AnyFunSuite {
       .count(o => pairs.contains((o, 100L + o)))
     assert(planted >= 6, s"only $planted/8 planted near-dups found")
     pairs.values.foreach(h => assert(h >= 0 && h <= 3))
+  }
+
+  test("t76 attribution: every attributed train doc is t68-contaminated and vice versa") {
+    val report = TrainingOps.qContaminationReport(spark, dir).collect()
+    val screened = TrainingOps.qSpanDecontaminate(spark, dir).collect()
+      .filter(_.getAs[Boolean]("contaminated"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val attributed = report.map(_.getAs[Long]("train_doc")).toSet
+    // the attribution's train docs are exactly the screen's flags
+    // (same spans, same split; the df-cap binds only boilerplate,
+    // absent in this corpus)
+    assert(attributed == screened, s"attributed=$attributed screened=$screened")
+    report.foreach(r => assert(r.getAs[Long]("n_shared") >= 1L))
   }
 
   test("v44 binary ANN: 5 ranked rows per query, recall@5 >= 0.5 vs brute force") {
