@@ -508,6 +508,42 @@ object Analytics {
     GROUP BY cohort_day, week
     ORDER BY cohort_day, week"""
 
+  /** Rolling time-range aggregate (q42) — the RANGE-frame window the
+    * rest of the pack doesn't exercise: per event, that user's spend
+    * and event count over the TRAILING 24 HOURS of event time (range
+    * frame on the timestamp, not a row count — gaps and bursts change
+    * the frame size, which is the point: "rolling 24h spend" is the
+    * fraud/limits primitive).
+    *
+    * Scale shape: one user-partitioned range window — per-user sorted
+    * scan with a sliding two-pointer frame, shuffle keyed by user;
+    * money folds in decimal ([[graft.Det]]) so the rolling sum is
+    * order-exact. The frame bound is integer µs arithmetic on both
+    * engines.
+    */
+  def qRollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val day = 24L * 3600 * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-day, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("spend_24h", sum(dec2(col("value"))).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("n_24h"), col("spend_24h"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val qRollingWindowOracle: String = """
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           COUNT(*) OVER w AS n_24h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("q25_pivot", qPivot, Some(qPivotOracle)),
     GateQuery("q26_window_analytics", qWindowAnalytics, Some(qWindowAnalyticsOracle)),
@@ -522,5 +558,6 @@ object Analytics {
     GateQuery("q39_anomaly", qAnomaly, Some(qAnomalyOracle)),
     GateQuery("q40_funnel", qFunnel, Some(qFunnelOracle)),
     GateQuery("q41_cohort_retention", qCohortRetention, Some(qCohortRetentionOracle)),
+    GateQuery("q42_rolling_window", qRollingWindow, Some(qRollingWindowOracle)),
   )
 }

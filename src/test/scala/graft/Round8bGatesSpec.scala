@@ -226,6 +226,24 @@ class Round8bGatesSpec extends AnyFunSuite {
     pairs.values.foreach(h => assert(h >= 0 && h <= 3))
   }
 
+  test("q42 rolling window: trailing-24h frame matches a straight-line two-pointer scan") {
+    val evs = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("us"), r.getAs[Double]("value")))
+    val day = 24L * 3600 * 1000000
+    val expected = evs.map { case (id, u, t, _) =>
+      val frame = evs.filter { case (_, u2, t2, _) => u2 == u && t2 >= t - day && t2 <= t }
+      val cents = frame.map(e => math.round(e._4 * 100)).sum
+      id -> (frame.length.toLong, cents / 100.0)
+    }.toMap
+    val got = Analytics.qRollingWindow(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_24h"), r.getAs[Double]("spend_24h"))).toMap
+    assert(got == expected)
+  }
+
   test("t76 attribution: every attributed train doc is t68-contaminated and vice versa") {
     val report = TrainingOps.qContaminationReport(spark, dir).collect()
     val screened = TrainingOps.qSpanDecontaminate(spark, dir).collect()
