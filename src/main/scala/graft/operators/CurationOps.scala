@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -933,6 +933,112 @@ object CurationOps {
     GROUP BY tb.doc_id
     ORDER BY tb.doc_id"""
 
+  // ---- Language-ID confusion matrix (t77) ----
+
+  private val LidLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Per-lang 256-bucket log-prob models (micro-nats, add-one
+    * smoothed), collected once per (session, dir) — the t58/t69
+    * bounded-artifact pattern: ≤ langs×256 values ride into the
+    * scoring pass as array literals.
+    */
+  private def lidModel(s: SparkSession, dir: String): Map[String, Array[Long]] =
+    SessionMemo.memo("curation:lid-model", s, dir) {
+      val counts = docBuckets(s, dir)
+        .groupBy(col("lang"), col("b")).agg(sum(col("cnt")).as("c"))
+        .collect()
+        .map(r => ((r.getAs[String]("lang"), r.getAs[Int]("b")), r.getAs[Long]("c")))
+        .toMap
+      LidLangs.map { l =>
+        val tot = (0 until DsirBuckets).map(b => counts.getOrElse((l, b), 0L)).sum
+        l -> Array.tabulate(DsirBuckets) { b =>
+          val c = counts.getOrElse((l, b), 0L)
+          math.floor(math.log((c + 1).toDouble /
+            (tot + DsirBuckets).toDouble) * 1e6).toLong
+        }
+      }.toMap
+    }
+
+  /** Language identification evaluated as a CONFUSION MATRIX — the
+    * fastText/CLD evaluation artifact: a nearest-model hashed-unigram
+    * classifier (per-lang add-one bucket models, predict the argmax
+    * log-likelihood; ties break to the lexicographically first
+    * language via an ordered ≥-chain, mirrored in the oracle) scored
+    * against the corpus's ground-truth `lang`, reported per
+    * (actual, predicted) cell. The diagonal is the classifier's
+    * accuracy; the off-diagonal cells say WHICH languages it confuses
+    * — the table a curation team reads before trusting lang filters.
+    *
+    * Scale shape: rides the memoized [[docBuckets]] relation (zero
+    * extra corpus passes); the langs×256 model is an array-literal
+    * broadcast; scoring is one doc-granular aggregate with exact
+    * bigint micro-nat sums — no float can flip an argmax between
+    * engines.
+    *
+    * On this synthetic corpus the matrix shows the classic
+    * majority-language bias (most mass drifts to `en`, the largest
+    * class, because the languages share a vocabulary core the biggest
+    * sample models best) — which is precisely the failure mode this
+    * evaluation artifact exists to surface before a lang filter is
+    * trusted.
+    */
+  def qLangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val m = lidModel(s, dir)
+    val scores = LidLangs.map(l =>
+      sum(element_at(lit(m(l)), col("b") + 1) * col("cnt")).as(s"s_$l"))
+    val scored = docBuckets(s, dir)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(scores.head, scores.tail: _*)
+    val pred = LidLangs.init.foldRight(lit(LidLangs.last): Column) { (l, rest) =>
+      val beats = LidLangs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(beats, l).otherwise(rest)
+    }
+    scored.withColumn("lang_pred", pred)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  val qLangidConfusionOracle: String = {
+    val scoreCols = LidLangs.map(l =>
+      s"SUM(CASE WHEN g.lang = '$l' THEN c.cnt * g.lq ELSE CAST(0 AS BIGINT) END) AS s_$l")
+      .mkString(",\n             ")
+    val predCase = LidLangs.init.map { l =>
+      val beats = LidLangs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $beats THEN '$l'"
+    }.mkString("\n             ")
+    s"""
+    WITH tb AS (
+      SELECT doc_id, lang,
+             CAST(CONCAT('0x', SUBSTRING(MD5(w), 1, 2)) AS INT) AS b
+      FROM (SELECT doc_id, lang, UNNEST($wordsSql) AS w FROM documents)),
+    cnts AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM tb GROUP BY 1, 2, 3),
+    lc AS (SELECT lang, b, CAST(SUM(cnt) AS BIGINT) AS c FROM cnts GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM lc GROUP BY 1),
+    grid AS (
+      SELECT t.lang, CAST(r.range AS INT) AS b,
+             CAST(FLOOR(LN(CAST(COALESCE(lc.c, 0) + 1 AS DOUBLE) /
+                           CAST(t.tot + 256 AS DOUBLE)) * 1000000.0) AS BIGINT) AS lq
+      FROM tot t CROSS JOIN RANGE(256) r
+      LEFT JOIN lc ON lc.lang = t.lang AND lc.b = r.range),
+    ds AS (
+      SELECT c.doc_id, c.lang,
+             $scoreCols
+      FROM cnts c JOIN grid g ON g.b = c.b
+      GROUP BY c.doc_id, c.lang),
+    pred AS (
+      SELECT doc_id, lang,
+             CASE $predCase
+                  ELSE '${LidLangs.last}' END AS lang_pred
+      FROM ds)
+    SELECT lang, lang_pred, COUNT(*) AS n, MIN(doc_id) AS first_doc
+    FROM pred
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred"""
+  }
+
   // ---- Quality-weighted sampling (t75) ----
 
   /** Keep rates per t31 quality band — the quality-weighted subsample
@@ -1085,6 +1191,7 @@ object CurationOps {
     GateQuery("t62_source_dashboard", qSourceDashboard, Some(qSourceDashboardOracle)),
     GateQuery("t71_lang_divergence", qLangDivergence, Some(qLangDivergenceOracle)),
     GateQuery("t75_weighted_sample", qWeightedSample, Some(qWeightedSampleOracle)),
+    GateQuery("t77_langid_confusion", qLangidConfusion, Some(qLangidConfusionOracle)),
     // inference-time BPE tokenization — iterative best-rank-first
     // encode; VALUES-literal oracle in the Verify context (see
     // BpeTrainer.encodeOracle), pinned by BpeTrainerSpec elsewhere

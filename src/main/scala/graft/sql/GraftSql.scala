@@ -88,6 +88,9 @@ object GraftSql {
     // once per session/dir, inlined as an array literal — the t58
     // pattern one model order up)
     "t69_bigram_surprise",
+    // t77 trains the per-lang bucket models at plan build (same
+    // bounded-artifact collect)
+    "t77_langid_confusion",
     // t67 collects its query-idf statistics from the corpus at plan
     // build (same retrieval model artifact as t50)
     "t67_chunk_retrieval")

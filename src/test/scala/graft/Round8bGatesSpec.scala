@@ -226,6 +226,21 @@ class Round8bGatesSpec extends AnyFunSuite {
     pairs.values.foreach(h => assert(h >= 0 && h <= 3))
   }
 
+  test("t77 langid confusion: cells partition the corpus, en column diagonal-dominant") {
+    val cells = CurationOps.qLangidConfusion(spark, dir).collect()
+    val totalDocs = Tables.documents(spark, dir)
+      .filter(expr("size(filter(split(text, ' '), w -> w != '')) > 0")).count()
+    assert(cells.map(_.getAs[Long]("n")).sum == totalDocs)
+    val byCell = cells.map(r => (r.getAs[String]("lang"),
+      r.getAs[String]("lang_pred")) -> r.getAs[Long]("n")).toMap
+    // the biggest class must at least recognize itself better than it
+    // mislabels any single other class
+    val enDiag = byCell.getOrElse(("en", "en"), 0L)
+    byCell.collect { case ((l, "en"), n) if l != "en" => n }
+      .foreach(n => assert(enDiag >= n, s"en diagonal $enDiag below off-cell $n"))
+    assert(enDiag > 0L)
+  }
+
   test("q42 rolling window: trailing-24h frame matches a straight-line two-pointer scan") {
     val evs = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
