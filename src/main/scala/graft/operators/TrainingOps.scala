@@ -820,6 +820,65 @@ object TrainingOps {
     GROUP BY tr.doc_id
     ORDER BY tr.doc_id"""
 
+  /** Leakage-free (cluster-aware) splitting (t78) — the fix for the
+    * subtle eval-inflation bug the plain per-doc hash split (t33)
+    * carries: two NEAR-DUPLICATE documents can land in train and eval,
+    * and the model is then evaluated on (a paraphrase of) its own
+    * training data. The cure is to split by the near-dup CLUSTER: every
+    * member inherits its cluster representative's hash bucket, so a
+    * whole duplicate family moves between splits as one unit. Reports,
+    * per document: the naive and the cluster split, and whether the
+    * naive split was `leaky` (its cluster straddles splits).
+    *
+    * Scale shape: the cluster labels are t40's memoized
+    * connected-components artifact (left join, singleton docs are
+    * their own representative); leak detection is one cluster-keyed
+    * distinct-count — all shuffles are label-sized. The split rule is
+    * the SAME md5 bucket as t33, applied to the representative id, so
+    * cluster-split train/eval proportions stay calibrated.
+    */
+  def qClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val labels = TextOps.qDedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val rep = Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split_doc", splitCol(col("doc_id")))
+      .withColumn("split_cluster", splitCol(col("cluster_rep")))
+    val leak = rep.groupBy(col("cluster_rep"))
+      .agg(countDistinct(col("split_doc")).as("nsplits"))
+    rep.join(leak, Seq("cluster_rep"))
+      .withColumn("leaky", col("nsplits") > 1)
+      .select(col("doc_id"), col("cluster_rep"), col("split_doc"),
+        col("split_cluster"), col("leaky"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qClusterSplitOracle: String = s"""
+    WITH lab AS (
+      SELECT doc_id, cluster_id FROM (${TextOps.qDedupClustersOracle})),
+    rep AS (
+      SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_rep
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN lab ON d.doc_id = lab.doc_id),
+    sp AS (
+      SELECT doc_id, cluster_rep,
+             CASE WHEN bd < 13 THEN 'test' WHEN bd < 39 THEN 'eval'
+                  ELSE 'train' END AS split_doc,
+             CASE WHEN bc < 13 THEN 'test' WHEN bc < 39 THEN 'eval'
+                  ELSE 'train' END AS split_cluster
+      FROM (SELECT doc_id, cluster_rep,
+                   CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) AS bd,
+                   CAST(CONCAT('0x', SUBSTRING(MD5(CAST(cluster_rep AS VARCHAR)), 1, 2)) AS INT) AS bc
+            FROM rep)),
+    lk AS (
+      SELECT cluster_rep, COUNT(DISTINCT split_doc) AS nsplits
+      FROM sp GROUP BY cluster_rep)
+    SELECT sp.doc_id, sp.cluster_rep, sp.split_doc, sp.split_cluster,
+           lk.nsplits > 1 AS leaky
+    FROM sp JOIN lk USING (cluster_rep)
+    ORDER BY sp.doc_id"""
+
   /** Spans shared by more than this many documents are boilerplate, not
     * contamination — and at scale, unbounded posting lists on a hot
     * span are exactly the t38 quadratic; the cap is the same guard.
@@ -943,5 +1002,6 @@ object TrainingOps {
     GateQuery("t67_chunk_retrieval", qChunkRetrieval, Some(qChunkRetrievalOracle)),
     GateQuery("t68_span_decontaminate", qSpanDecontaminate, Some(qSpanDecontaminateOracle)),
     GateQuery("t76_contamination_report", qContaminationReport, Some(qContaminationReportOracle)),
+    GateQuery("t78_cluster_split", qClusterSplit, Some(qClusterSplitOracle)),
   )
 }

@@ -91,6 +91,8 @@ object GraftSql {
     // t77 trains the per-lang bucket models at plan build (same
     // bounded-artifact collect)
     "t77_langid_confusion",
+    // t78 runs t40's connected-components fixed point at plan build
+    "t78_cluster_split",
     // t67 collects its query-idf statistics from the corpus at plan
     // build (same retrieval model artifact as t50)
     "t67_chunk_retrieval")

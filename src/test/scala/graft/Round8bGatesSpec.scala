@@ -226,6 +226,27 @@ class Round8bGatesSpec extends AnyFunSuite {
     pairs.values.foreach(h => assert(h >= 0 && h <= 3))
   }
 
+  test("t78 cluster split: one row per doc, cluster members share a split, leak flags exact") {
+    val rows = TrainingOps.qClusterSplit(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.length == nDocs)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_rep"))
+    byCluster.foreach { case (_, rs) =>
+      // the WHOLE family inherits the representative's split
+      assert(rs.map(_.getAs[String]("split_cluster")).distinct.length == 1)
+      // leaky <=> the naive per-doc splits disagree inside the family
+      val naive = rs.map(_.getAs[String]("split_doc")).distinct.length
+      rs.foreach(r => assert(r.getAs[Boolean]("leaky") == (naive > 1)))
+    }
+    // the corpus plants near-dup families large enough that some
+    // naive split IS leaky - the operator must catch at least one
+    assert(rows.exists(_.getAs[Boolean]("leaky")))
+    // and fix it: no leaky family under the cluster split
+    byCluster.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[String]("split_cluster")).toSet.size == 1)
+    }
+  }
+
   test("t77 langid confusion: cells partition the corpus, en column diagonal-dominant") {
     val cells = CurationOps.qLangidConfusion(spark, dir).collect()
     val totalDocs = Tables.documents(spark, dir)
