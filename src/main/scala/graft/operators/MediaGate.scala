@@ -271,6 +271,74 @@ object MediaGate {
         ORDER BY media_id"""
   }
 
+  // -- Video scene-change gate (m47) ------------------------------------
+
+  /** m47: scene-change detection over the video payloads — the
+    * frame-differencing pass video curation runs to sample one
+    * keyframe per scene instead of N near-identical frames: per-frame
+    * energies ([[Multimodal.frameEnergy]] again — decode stubbed,
+    * framing real), a scene CUT where the absolute energy delta
+    * exceeds twice the per-video mean absolute delta
+    * (`|Δe|·(n−1) ≥ 2·Σ|Δe|` — integer, division-free), scenes =
+    * cuts + 1. Per video: frame count, scene count, longest scene.
+    *
+    * Scale shape: identical to m46 — energies leave the decode task as
+    * triples, the lag/threshold windows are video-partitioned, output
+    * is #videos rows.
+    */
+  def qSceneChanges(s: SparkSession, dir: String): DataFrame = {
+    val video = media(s).filter(col("mime") === "video/mp4")
+    val fe = Multimodal.frameEnergy(video, AudioFrameBytes)
+    val W = org.apache.spark.sql.expressions.Window
+    val byV = W.partitionBy(col("media_id"))
+    val ord = W.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val withDelta = fe
+      .withColumn("d", abs(col("energy") - lag(col("energy"), 1).over(ord)))
+      .withColumn("n", count(lit(1)).over(byV))
+      .withColumn("td", sum(col("d")).over(byV))
+    val cuts = withDelta
+      .withColumn("cut",
+        when(col("d").isNotNull &&
+          col("d") * (col("n") - 1) >= lit(2L) * col("td"), 1L).otherwise(0L))
+      .withColumn("scene_id", sum(col("cut")).over(
+        ord.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    cuts.groupBy(col("media_id"), col("n"), col("scene_id"))
+      .agg(count(lit(1)).as("scene_len"))
+      .groupBy(col("media_id"), col("n"))
+      .agg(count(lit(1)).as("n_scenes"), max(col("scene_len")).as("longest_scene"))
+      .select(col("media_id"), col("n").as("n_frames"), col("n_scenes"),
+        col("longest_scene"))
+      .orderBy(col("media_id"))
+  }
+
+  def qSceneChangesOracle: String = {
+    val rows = corpusRows.filter(_._2 == "video/mp4").map { case (id, _, bytes) =>
+      val nFrames = math.max(1, (bytes.length + AudioFrameBytes - 1) / AudioFrameBytes)
+      val energies = (0 until nFrames).map { i =>
+        bytes.slice(i * AudioFrameBytes,
+          math.min(bytes.length, (i + 1) * AudioFrameBytes))
+          .map(b => math.abs(b.toInt).toLong).sum
+      }
+      val deltas = energies.zip(energies.drop(1)).map { case (a, b) => math.abs(b - a) }
+      val td = deltas.sum
+      val cuts = deltas.count(d => d * (nFrames - 1) >= 2L * td)
+      // scene lengths: walk the cut positions
+      val cutIdx = deltas.zipWithIndex
+        .collect { case (d, i) if d * (nFrames - 1) >= 2L * td => i + 1 }
+      val bounds = 0 +: cutIdx :+ nFrames
+      val longest = bounds.zip(bounds.tail).map { case (a, b) => b - a }.max
+      s"($id, $nFrames, ${cuts + 1}, $longest)"
+    }
+    require(rows.nonEmpty, "no video rows in the seeded corpus")
+    s"""SELECT CAST(media_id AS BIGINT) AS media_id,
+          CAST(n_frames AS BIGINT) AS n_frames,
+          CAST(n_scenes AS BIGINT) AS n_scenes,
+          CAST(longest_scene AS BIGINT) AS longest_scene
+        FROM (VALUES ${rows.mkString(",\n")})
+          t(media_id, n_frames, n_scenes, longest_scene)
+        ORDER BY media_id"""
+  }
+
   // -- PDF layout gate (m43) --------------------------------------------
 
   /** Region dictionary in the notebook's bounding_boxes shape
@@ -401,5 +469,6 @@ object MediaGate {
     GateQuery("m44_pdf_tables", qPdfTables, Some(qPdfTablesOracle)),
     GateQuery("m45_media_dedup", qMediaDedup, Some(qMediaDedupOracle)),
     GateQuery("m46_audio_segments", qAudioSegments, Some(qAudioSegmentsOracle)),
+    GateQuery("m47_scene_changes", qSceneChanges, Some(qSceneChangesOracle)),
   )
 }

@@ -329,6 +329,18 @@ class Round8bGatesSpec extends AnyFunSuite {
     }
   }
 
+  test("m47 scene changes: one row per video, scene algebra holds") {
+    val rows = graft.operators.MediaGate.qSceneChanges(spark, dir).collect()
+    assert(rows.length == 8) // every third seeded media row is video/mp4
+    rows.foreach { r =>
+      val (n, s, l) = (r.getAs[Long]("n_frames"), r.getAs[Long]("n_scenes"),
+        r.getAs[Long]("longest_scene"))
+      // s scenes of >= 1 frame partition ALL n frames
+      assert(s >= 1L && l >= 1L && s <= n && l <= n)
+      assert(l >= (n + s - 1) / s, "longest scene below the mean length")
+    }
+  }
+
   test("t74 fertility: per-lang rows, bounds hold, ratios derive exactly from the counts") {
     val rows = graft.operators.BpeTrainer.qTokenizerFertility(spark, dir).collect()
     val langs = Tables.documents(spark, dir)
