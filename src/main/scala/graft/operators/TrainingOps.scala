@@ -903,9 +903,14 @@ object TrainingOps {
     * passes.
     */
   def qContaminationReport(s: SparkSession, dir: String): DataFrame = {
-    val tagged = spanRelation(s, dir)
-      .withColumn("split", splitCol(col("doc_id")))
-      .select(col("doc_id"), col("split"), col("h")).distinct()
+    // memoized: the distinct (doc, split, hash) relation feeds BOTH the
+    // df-cap build and the screened probe join — one shuffle-heavy
+    // distinct however many plan branches read it
+    val tagged = SessionMemo.persist("training:span-distinct", s, dir) {
+      spanRelation(s, dir)
+        .withColumn("split", splitCol(col("doc_id")))
+        .select(col("doc_id"), col("split"), col("h")).distinct()
+    }
     val capped = tagged.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= AttribDfCap)
