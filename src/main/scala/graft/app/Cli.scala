@@ -388,21 +388,25 @@ object GraftTransformLoad {
 }
 
 /** One-command corpus curation — `--in <tablesDir> --out <dir>
-  * [--budget N] [--span-decontaminate]`: the LLM-pipeline counterpart
+  * [--budget N] [--span-decontaminate] [--cluster-split]`: the
+  * LLM-pipeline counterpart
   * of the FIC drivers above. Runs the full corpus-production chain
   * ([[graft.operators.CurationOps.writeCuratedFull]]): exact-canonical
   * ∧ quality ∧ decontaminated ∧ near-dup-survivor filtering, optional
   * ~N whitespace tokens per source and optional t68 span-overlap
   * screening (drops train docs sharing any token window with the eval
-  * split), then the partitioned (split, source) parquet write +
-  * release manifest. Prints the manifest as the run summary.
+  * split), optional t78 leakage-free splitting (every near-dup family
+  * inherits its cluster representative's split, so duplicates never
+  * straddle train/eval), then the partitioned (split, source) parquet
+  * write + release manifest. Prints the manifest as the run summary.
   */
 object GraftCurate {
 
   def run(spark: SparkSession, in: String, out: String,
-      budget: Option[Long], spanDecontaminate: Boolean = false): DataFrame = {
+      budget: Option[Long], spanDecontaminate: Boolean = false,
+      clusterSplit: Boolean = false): DataFrame = {
     val manifest = graft.operators.CurationOps
-      .writeCuratedFull(spark, in, out, budget, spanDecontaminate)
+      .writeCuratedFull(spark, in, out, budget, spanDecontaminate, clusterSplit)
     manifest.collect().foreach { r =>
       println(s"curated ${r.getAs[String]("split")}/${r.getAs[String]("source")}: " +
         s"${r.getAs[Long]("n_docs")} docs, ${r.getAs[Long]("n_chars")} chars")
@@ -415,8 +419,9 @@ object GraftCurate {
     val out = Cli.arg(args, "--out").getOrElse(sys.error("--out required"))
     val budget = Cli.arg(args, "--budget").map(_.toLong)
     val spanDecon = args.contains("--span-decontaminate")
+    val clusterSplit = args.contains("--cluster-split")
     val spark = Cli.session("graft-curate")
-    run(spark, in, out, budget, spanDecon)
+    run(spark, in, out, budget, spanDecon, clusterSplit)
     spark.stop()
   }
 }

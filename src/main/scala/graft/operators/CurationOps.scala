@@ -500,10 +500,21 @@ object CurationOps {
     */
   def writeCuratedFull(s: SparkSession, dir: String, outPath: String,
       budget: Option[Long] = None,
-      spanDecontaminate: Boolean = false): DataFrame = {
+      spanDecontaminate: Boolean = false,
+      clusterSplit: Boolean = false): DataFrame = {
     val survivors = TextOps.qDedupSurvivors(s, dir)
       .select(col("survivor_id").as("doc_id"))
-    val deduped = curatedDocs(s, dir).join(survivors, Seq("doc_id"), "left_semi")
+    val deduped0 = curatedDocs(s, dir).join(survivors, Seq("doc_id"), "left_semi")
+    // opt-in t78 leakage-free splitting: replace the per-doc hash
+    // split with the near-dup cluster representative's split, so a
+    // duplicate family can never straddle train/eval in the written
+    // corpus (the per-doc column came from curatedDocs; overwrite it)
+    val deduped =
+      if (!clusterSplit) deduped0
+      else deduped0.drop("split").join(
+        TrainingOps.qClusterSplit(s, dir)
+          .select(col("doc_id"), col("split_cluster").as("split")),
+        Seq("doc_id"))
     // opt-in t68 screen on top of the chain's whole-text t35 screen:
     // drop train docs sharing ANY token window with the eval split
     // (t68 reports train docs only, so one anti-join suffices and

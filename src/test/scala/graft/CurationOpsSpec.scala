@@ -405,6 +405,26 @@ class CurationOpsSpec extends AnyFunSuite {
     SessionMemo.release(spark)
   }
 
+  test("full curation driver: --cluster-split writes t78's splits, same docs") {
+    val outPlain = java.nio.file.Files.createTempDirectory("curatep2").toString
+    val outCs = java.nio.file.Files.createTempDirectory("curatecs").toString
+    CurationOps.writeCuratedFull(spark, dir, outPlain, budget = None)
+    CurationOps.writeCuratedFull(spark, dir, outCs, budget = None,
+      clusterSplit = true)
+    val plain = spark.read.parquet(s"$outPlain/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cs = spark.read.parquet(s"$outCs/docs")
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the split mode changes WHERE docs land, never WHICH docs survive
+    assert(cs.keySet == plain)
+    // every written split is the doc's cluster split from t78
+    val expected = TrainingOps.qClusterSplit(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split_cluster")).toMap
+    cs.foreach { case (id, sp) => assert(sp == expected(id), s"doc $id") }
+    SessionMemo.release(spark)
+  }
+
   test("BPE pair counts: k merge candidates, descending, well-formed pairs") {
     val rows = CurationOps.qBpePairs(spark, dir).collect()
     assert(rows.length == 20)
