@@ -425,3 +425,42 @@ object GraftCurate {
     spark.stop()
   }
 }
+
+/** One-command event-stream analytics report — `--in <tablesDir> --out
+  * <dir>`: the monitoring counterpart of graft-curate, composing the
+  * oracle-gated analytics operators into one report directory:
+  * hourly anomalies (q39), daily funnel conversions (q40), cohort
+  * retention (q41), trailing-24h rolling spend (q42, summarized to its
+  * per-user maxima so the report stays user-sized) and the 5-minute
+  * proximity-pair counts (q37). Every frame written is the SAME shared
+  * builder its gate verifies, so the report cannot desync from the
+  * verified operators. Prints headline counts as the run summary.
+  */
+object GraftAnalyze {
+
+  def run(spark: SparkSession, in: String, out: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val sections = Seq(
+      "anomalies" -> graft.operators.Analytics.qAnomaly(spark, in),
+      "funnel" -> graft.operators.Analytics.qFunnel(spark, in),
+      "cohorts" -> graft.operators.Analytics.qCohortRetention(spark, in),
+      "rolling_peaks" -> graft.operators.Analytics.qRollingWindow(spark, in)
+        .groupBy(col("user_id"))
+        .agg(max(col("n_24h")).as("peak_events_24h"),
+          max(col("spend_24h")).as("peak_spend_24h"))
+        .orderBy(col("user_id")),
+      "proximity" -> graft.operators.Analytics.qProximityJoin(spark, in))
+    sections.foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+      println(s"analyze $name: ${spark.read.parquet(s"$out/$name").count()} rows")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val in = Cli.arg(args, "--in").getOrElse(sys.error("--in required"))
+    val out = Cli.arg(args, "--out").getOrElse(sys.error("--out required"))
+    val spark = Cli.session("graft-analyze")
+    run(spark, in, out)
+    spark.stop()
+  }
+}

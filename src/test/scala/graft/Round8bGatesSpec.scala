@@ -211,6 +211,22 @@ class Round8bGatesSpec extends AnyFunSuite {
     got.foreach { case (_, (n, k)) => assert(k <= n) }
   }
 
+  test("graft-analyze CLI: report sections land on disk and match the gate builders") {
+    val out = java.nio.file.Files.createTempDirectory("analyze").toString
+    graft.app.GraftAnalyze.run(spark, dir, out)
+    val expect = Map(
+      "anomalies" -> Analytics.qAnomaly(spark, dir).count(),
+      "funnel" -> Analytics.qFunnel(spark, dir).count(),
+      "cohorts" -> Analytics.qCohortRetention(spark, dir).count(),
+      "proximity" -> Analytics.qProximityJoin(spark, dir).count())
+    expect.foreach { case (name, n) =>
+      assert(spark.read.parquet(s"$out/$name").count() == n, name)
+    }
+    // rolling peaks: one row per user present in events
+    val users = Tables.events(spark, dir).select(col("user_id")).distinct().count()
+    assert(spark.read.parquet(s"$out/rolling_peaks").count() == users)
+  }
+
   test("m45 media dedup: exact copies at hamming 0, planted near-copies found") {
     val pairs = graft.operators.MediaGate.qMediaDedup(spark, dir).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
