@@ -271,6 +271,45 @@ object MediaGate {
         ORDER BY media_id"""
   }
 
+  // -- Resize-planning gate (m48) ---------------------------------------
+
+  private val ResizeTarget = 224
+
+  /** m48: resize planning over the full seeded corpus — decode
+    * dimensions through the stub seam, fit into the 224-box with
+    * aspect-preserving integer math (never upscaling), report output
+    * dims and RGB byte budget. The aggregate row at the end is what a
+    * capacity planner reads: total decoded vs total resized bytes.
+    */
+  def qResizePlan(s: SparkSession, dir: String): DataFrame = {
+    val decoder = new Multimodal.StubDecoder(16)
+    Multimodal.planResize(media(s), decoder, ResizeTarget)
+      .orderBy(col("media_id"))
+  }
+
+  def qResizePlanOracle: String = {
+    val decoder = new Multimodal.StubDecoder(16)
+    val rows = corpusRows.map { case (id, mime, bytes) =>
+      val (w, h) = decoder.dimensions(mime, bytes)
+      if (w <= 0 || h <= 0) s"($id, $w, $h, $w, $h, 0)"
+      else {
+        val m = math.max(w, h)
+        val (ow, oh) =
+          if (m <= ResizeTarget) (w, h)
+          else (math.max(w.toLong * ResizeTarget / m, 1L).toInt,
+                math.max(h.toLong * ResizeTarget / m, 1L).toInt)
+        s"($id, $w, $h, $ow, $oh, ${ow.toLong * oh * 3L})"
+      }
+    }
+    s"""SELECT CAST(media_id AS BIGINT) AS media_id,
+          CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+          CAST(out_w AS INTEGER) AS out_w, CAST(out_h AS INTEGER) AS out_h,
+          CAST(out_bytes AS BIGINT) AS out_bytes
+        FROM (VALUES ${rows.mkString(",\n")})
+          t(media_id, width, height, out_w, out_h, out_bytes)
+        ORDER BY media_id"""
+  }
+
   // -- Video scene-change gate (m47) ------------------------------------
 
   /** m47: scene-change detection over the video payloads — the
@@ -470,5 +509,6 @@ object MediaGate {
     GateQuery("m45_media_dedup", qMediaDedup, Some(qMediaDedupOracle)),
     GateQuery("m46_audio_segments", qAudioSegments, Some(qAudioSegmentsOracle)),
     GateQuery("m47_scene_changes", qSceneChanges, Some(qSceneChangesOracle)),
+    GateQuery("m48_resize_plan", qResizePlan, Some(qResizePlanOracle)),
   )
 }

@@ -124,6 +124,40 @@ object Multimodal {
       .toDF("media_id", "phash")
   }
 
+  /** Resize planning — the thumbnail/normalize step an image pipeline
+    * runs before a vision encoder: decode dimensions (stub seam), fit
+    * into a `target`×`target` box preserving aspect ratio, report the
+    * output size and the scaled byte budget. All arithmetic is
+    * integer (`out = dim·target div max(w,h)`, floor semantics with a
+    * 1-pixel floor), so the plan is engine-exact; the actual pixel
+    * resample lives behind the same decoder seam as everything else
+    * (the container has no image libs — the Spark-side plumbing is
+    * the deliverable). Same partition-mapped shape as
+    * [[probeDimensions]].
+    */
+  def planResize(media: DataFrame, decoder: MediaDecoder,
+      target: Int = 224): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("mime"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, mime, bytes) =>
+        val (w, h) = decoder.dimensions(mime, bytes)
+        // dimensionless payloads (audio/video under this decoder)
+        // pass through unplanned with a zero pixel budget
+        if (w <= 0 || h <= 0) (id, w, h, w, h, 0L)
+        else {
+          val m = math.max(w, h)
+          val (ow, oh) =
+            if (m <= target) (w, h) // never upscale
+            else (math.max(w.toLong * target / m, 1L).toInt,
+                  math.max(h.toLong * target / m, 1L).toInt)
+          (id, w, h, ow, oh, ow.toLong * oh * 3L) // RGB byte budget
+        }
+      })
+      .toDF("media_id", "width", "height", "out_w", "out_h", "out_bytes")
+  }
+
   /** Per-frame energy over the payload — the VAD-shaped statistic an
     * audio-curation pass needs before segmentation: the payload splits
     * into fixed-size frames and each frame reports the sum of absolute

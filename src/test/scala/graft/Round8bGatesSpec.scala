@@ -331,6 +331,31 @@ class Round8bGatesSpec extends AnyFunSuite {
     assert(hits.toDouble / tot >= 0.5, s"recall ${hits.toDouble / tot}")
   }
 
+  test("m48 resize plan: box bound, aspect preserved, never upscales") {
+    val rows = graft.operators.MediaGate.qResizePlan(spark, dir).collect()
+    assert(rows.length == 24)
+    var planned = 0
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      if (w <= 0 || h <= 0) {
+        // dimensionless payloads pass through with a zero pixel budget
+        assert(ow == w && oh == h && r.getAs[Long]("out_bytes") == 0L)
+      } else {
+        planned += 1
+        assert(ow >= 1 && oh >= 1 && ow <= w && oh <= h,
+          "resize must never upscale")
+        val m = math.max(w, h)
+        if (m > 224) {
+          assert(ow == math.max(w.toLong * 224 / m, 1L))
+          assert(oh == math.max(h.toLong * 224 / m, 1L))
+        } else assert(ow == w && oh == h)
+        assert(r.getAs[Long]("out_bytes") == ow.toLong * oh * 3L)
+      }
+    }
+    assert(planned == 8) // every third seeded row is an image
+  }
+
   test("m46 audio segments: one row per audio payload, segment algebra holds") {
     val rows = graft.operators.MediaGate.qAudioSegments(spark, dir).collect()
     assert(rows.length == 8) // 24 seeded media, every third is audio/wav
