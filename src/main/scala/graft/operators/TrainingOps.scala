@@ -911,11 +911,16 @@ object TrainingOps {
         .withColumn("split", splitCol(col("doc_id")))
         .select(col("doc_id"), col("split"), col("h")).distinct()
     }
-    val capped = tagged.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") <= AttribDfCap)
-      .select(col("h"))
-    val screened = tagged.join(capped, Seq("h"))
+    // the df-cap-screened relation is itself a corpus-snapshot artifact
+    // (like the signature index): build the cap aggregate + join once
+    // per (session, dir), not once per pass
+    val screened = SessionMemo.persist("training:span-screened", s, dir) {
+      val capped = tagged.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= AttribDfCap)
+        .select(col("h"))
+      tagged.join(capped, Seq("h"))
+    }
     val ev = screened.filter(col("split") === "eval")
       .select(col("h"), col("doc_id").as("eval_doc"))
     val tr = screened.filter(col("split") === "train")
