@@ -1110,7 +1110,12 @@ object VectorOps {
       .orderBy(col("label"), col("assigned_label"))
   }
 
-  val qClusterAssignOracle: String = """
+  /** Shared oracle prefix: label-mean centroids + per-(vector,
+    * centroid) cosine + the rank window — ONE Scala string read by the
+    * v39 and v45 oracles, so the two can never train different
+    * centroid models (the v40/v41 discipline).
+    */
+  private val clusterScoreCtes: String = """
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     dims AS (
       SELECT label, i AS dim, x
@@ -1130,13 +1135,65 @@ object VectorOps {
       FROM e CROSS JOIN cent),
     asg AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cl) AS rn
-      FROM scored)
+      FROM scored)"""
+
+  val qClusterAssignOracle: String = clusterScoreCtes + """
     SELECT label, cl AS assigned_label, COUNT(*) AS n,
            CAST(SUM(CAST(FLOOR(csim * 1e12) AS BIGINT)) AS DOUBLE)
              / COUNT(*) / 1e12 AS mean_sim12
     FROM asg WHERE rn = 1
     GROUP BY label, cl
     ORDER BY label, assigned_label"""
+
+  /** Cluster-quality report (v45) — the silhouette-lite table a
+    * clustering deployment reads before trusting its partitions: per
+    * assigned cluster, COHESION (mean cosine of members to their own
+    * centroid) and MARGIN (mean gap between the best and second-best
+    * centroid cosine — low margin = vectors sitting on a boundary,
+    * the cells SemDeDup/IVF probing degrade on). Completes the vector
+    * pack's evaluation trio: recall (v43), sketch error (t73),
+    * cluster quality (v45).
+    *
+    * Scale shape: the same memoized centroid broadcast + one window
+    * as the v39 assignment; per-vector statistics reduce to #clusters
+    * rows. Fixed-point (floor micro-12) sums keep both means exact
+    * bigint arithmetic until one trailing division.
+    */
+  def qClusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cent = ivfCentroids(s, dir)
+    val scored = e.crossJoin(broadcast(
+        cent.select(col("label").as("cl"), col("cv"), col("ncv"))))
+      .withColumn("csim", dot("v", "cv") / (col("nv") * col("ncv")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cl"))
+    val ranked = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    val best = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cl").as("assigned"), col("csim").as("c1"))
+    val second = ranked.filter(col("rn") === 2)
+      .select(col("vec_id"), col("csim").as("c2"))
+    best.join(second, Seq("vec_id"))
+      .groupBy(col("assigned"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("c1") * lit(1e12)).cast("long")).cast("double") /
+          count(lit(1)) / lit(1e12)).as("mean_cohesion"),
+        (sum(floor((col("c1") - col("c2")) * lit(1e12)).cast("long")).cast("double") /
+          count(lit(1)) / lit(1e12)).as("mean_margin"))
+      .orderBy(col("assigned"))
+  }
+
+  val qClusterQualityOracle: String = clusterScoreCtes + """,
+    best AS (SELECT vec_id, cl AS assigned, csim AS c1 FROM asg WHERE rn = 1),
+    second AS (SELECT vec_id, csim AS c2 FROM asg WHERE rn = 2)
+    SELECT assigned, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(c1 * 1e12) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1e12 AS mean_cohesion,
+           CAST(SUM(CAST(FLOOR((c1 - c2) * 1e12) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1e12 AS mean_margin
+    FROM best JOIN second USING (vec_id)
+    GROUP BY assigned
+    ORDER BY assigned"""
 
   /** ANN evaluation harness: recall@k of every approximate method
     * against the exact brute-force ranking — the report a deployment
@@ -1316,6 +1373,7 @@ object VectorOps {
     GateQuery("v37_ann_ivf", qAnnIvf, Some(qAnnIvfOracle)),
     GateQuery("v38_ann_quantized", qAnnQuantized, Some(qAnnQuantizedOracle)),
     GateQuery("v39_cluster_assign", qClusterAssign, Some(qClusterAssignOracle)),
+    GateQuery("v45_cluster_quality", qClusterQuality, Some(qClusterQualityOracle)),
     GateQuery("v40_ann_ivf_sq8", qAnnIvfSq8, Some(qAnnIvfSq8Oracle)),
     GateQuery("v41_ann_ivf_pq", qAnnIvfPq, Some(qAnnIvfPqOracle)),
     GateQuery("v42_semdedup", qSemDedup, Some(qSemDedupOracle)),

@@ -296,6 +296,24 @@ class Round8bGatesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("v45 cluster quality: one row per cluster, cohesion/margin bounded, margin >= 0") {
+    import graft.operators.VectorOps
+    val rows = VectorOps.qClusterQuality(spark, dir).collect()
+    val nLabels = Tables.embeddings(spark, dir)
+      .select(col("label")).distinct().count()
+    // every label centroid attracts at least its own members here
+    assert(rows.length.toLong == nLabels)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.embeddings(spark, dir).count())
+    rows.foreach { r =>
+      val (coh, mar) = (r.getAs[Double]("mean_cohesion"), r.getAs[Double]("mean_margin"))
+      assert(coh >= -1.0 && coh <= 1.0)
+      // best-minus-second is nonnegative by construction (floor can
+      // shave at most 1e-12 per member off the mean)
+      assert(mar >= -1e-9, s"margin $mar")
+    }
+  }
+
   test("t76 attribution: every attributed train doc is t68-contaminated and vice versa") {
     val report = TrainingOps.qContaminationReport(spark, dir).collect()
     val screened = TrainingOps.qSpanDecontaminate(spark, dir).collect()
