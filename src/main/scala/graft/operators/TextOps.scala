@@ -494,6 +494,35 @@ object TextOps {
     ORDER BY c.doc_a, c.doc_b"""
   }
 
+  /** Threshold-sensitivity sweep (t80) — the tuning table read before
+    * committing to a dedup threshold: over the LSH candidate set, how
+    * many pairs survive at Jaccard ≥ 0.5 / 0.7 / 0.9. A corpus whose
+    * pair count collapses between 0.5 and 0.7 is template-heavy
+    * (near-identical but not verbatim); one that doesn't is dominated
+    * by true copies — the shape of this row decides how aggressive
+    * the production threshold can be. Pure aggregation over t73's
+    * per-pair frame (shared candidates, shared exact Jaccard): zero
+    * extra corpus passes, conditional integer counts.
+    */
+  def qThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qMinhashError(s, dir)
+    def atLeast(t: Double) =
+      sum(when(col("jaccard") >= t, 1L).otherwise(0L))
+    pairs.agg(
+      count(lit(1)).as("n_candidates"),
+      atLeast(0.5).as("n_j50"),
+      atLeast(0.7).as("n_j70"),
+      atLeast(0.9).as("n_j90"))
+  }
+
+  val qThresholdSweepOracle: String = s"""
+    WITH me AS ($qMinhashErrorOracle)
+    SELECT COUNT(*) AS n_candidates,
+           CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_j50,
+           CAST(SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_j70,
+           CAST(SUM(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_j90
+    FROM me"""
+
   /** Near-dup cluster assignment — the dedup endgame: connected
     * components over the MinHash+LSH pair graph, each member labeled
     * with its component's minimum doc_id and the canonical copy
@@ -1057,6 +1086,7 @@ object TextOps {
     GateQuery("t60_containment", qContainment, Some(qContainmentOracle)),
     GateQuery("t28_minhash_lsh", qMinhashLsh, Some(qMinhashLshOracle)),
     GateQuery("t73_minhash_error", qMinhashError, Some(qMinhashErrorOracle)),
+    GateQuery("t80_threshold_sweep", qThresholdSweep, Some(qThresholdSweepOracle)),
     GateQuery("t40_dedup_clusters", qDedupClusters, Some(qDedupClustersOracle)),
     GateQuery("t52_dedup_survivors", qDedupSurvivors, Some(qDedupSurvivorsOracle)),
     GateQuery("t54_novelty", qNovelty, Some(qNoveltyOracle)),

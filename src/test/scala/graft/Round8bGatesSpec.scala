@@ -327,6 +327,16 @@ class Round8bGatesSpec extends AnyFunSuite {
     report.foreach(r => assert(r.getAs[Long]("n_shared") >= 1L))
   }
 
+  test("t80 threshold sweep: monotone counts, consistent with t73 and t28") {
+    val row = TextOps.qThresholdSweep(spark, dir).head()
+    val (nc, n50, n70, n90) = (row.getAs[Long]("n_candidates"),
+      row.getAs[Long]("n_j50"), row.getAs[Long]("n_j70"), row.getAs[Long]("n_j90"))
+    assert(nc >= n50 && n50 >= n70 && n70 >= n90 && n90 >= 0L)
+    // the 0.5 band is exactly t28's verified pair count
+    assert(n50 == TextOps.qMinhashLsh(spark, dir).count())
+    assert(nc == TextOps.qMinhashError(spark, dir).count())
+  }
+
   test("v44 binary ANN: 5 ranked rows per query, recall@5 >= 0.5 vs brute force") {
     import graft.operators.VectorOps
     val bq = VectorOps.qAnnBinary(spark, dir).collect()
