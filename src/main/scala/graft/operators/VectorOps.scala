@@ -1183,6 +1183,33 @@ object VectorOps {
       .orderBy(col("assigned"))
   }
 
+  /** Centroid-overlap matrix (v46) — the companion to v45's margin:
+    * pairwise cosine between cluster centroids (upper triangle). Two
+    * centroids above ~0.9 are candidates for MERGING (their members
+    * interleave, IVF probes straddle them, SemDeDup under-dedups
+    * across the boundary); the matrix is the artifact a re-clustering
+    * decision reads. #clusters² rows regardless of corpus size — the
+    * centroids are the already-memoized broadcast model; quantized
+    * fixed-point cosines (v39's micro-12 pattern).
+    */
+  def qCentroidOverlap(s: SparkSession, dir: String): DataFrame = {
+    val cent = ivfCentroids(s, dir)
+      .select(col("label"), col("cv"), col("ncv"))
+    cent.as("a").crossJoin(broadcast(cent.as("b")))
+      .filter(col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        (floor((dot("a.cv", "b.cv") / (col("a.ncv") * col("b.ncv"))) * lit(1e12))
+          .cast("long")).as("ccos_micro12"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val qCentroidOverlapOracle: String = clusterScoreCtes + """
+    SELECT a.cl AS label_a, b.cl AS label_b,
+           CAST(FLOOR((LIST_DOT_PRODUCT(a.cv, b.cv) /
+             (SQRT(LIST_DOT_PRODUCT(a.cv, a.cv)) * SQRT(LIST_DOT_PRODUCT(b.cv, b.cv)))) * 1e12) AS BIGINT) AS ccos_micro12
+    FROM cent a JOIN cent b ON a.cl < b.cl
+    ORDER BY label_a, label_b"""
+
   val qClusterQualityOracle: String = clusterScoreCtes + """,
     best AS (SELECT vec_id, cl AS assigned, csim AS c1 FROM asg WHERE rn = 1),
     second AS (SELECT vec_id, csim AS c2 FROM asg WHERE rn = 2)
@@ -1374,6 +1401,7 @@ object VectorOps {
     GateQuery("v38_ann_quantized", qAnnQuantized, Some(qAnnQuantizedOracle)),
     GateQuery("v39_cluster_assign", qClusterAssign, Some(qClusterAssignOracle)),
     GateQuery("v45_cluster_quality", qClusterQuality, Some(qClusterQualityOracle)),
+    GateQuery("v46_centroid_overlap", qCentroidOverlap, Some(qCentroidOverlapOracle)),
     GateQuery("v40_ann_ivf_sq8", qAnnIvfSq8, Some(qAnnIvfSq8Oracle)),
     GateQuery("v41_ann_ivf_pq", qAnnIvfPq, Some(qAnnIvfPqOracle)),
     GateQuery("v42_semdedup", qSemDedup, Some(qSemDedupOracle)),

@@ -314,6 +314,18 @@ class Round8bGatesSpec extends AnyFunSuite {
     }
   }
 
+  test("v46 centroid overlap: full upper triangle, cosines bounded") {
+    import graft.operators.VectorOps
+    val rows = VectorOps.qCentroidOverlap(spark, dir).collect()
+    val k = Tables.embeddings(spark, dir).select(col("label")).distinct().count()
+    assert(rows.length.toLong == k * (k - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("label_a") < r.getAs[Int]("label_b"))
+      val c = r.getAs[Long]("ccos_micro12")
+      assert(c >= -1000000000000L && c <= 1000000000000L)
+    }
+  }
+
   test("t76 attribution: every attributed train doc is t68-contaminated and vice versa") {
     val report = TrainingOps.qContaminationReport(spark, dir).collect()
     val screened = TrainingOps.qSpanDecontaminate(spark, dir).collect()
