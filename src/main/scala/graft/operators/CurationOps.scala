@@ -515,19 +515,27 @@ object CurationOps {
         TrainingOps.qClusterSplit(s, dir)
           .select(col("doc_id"), col("split_cluster").as("split")),
         Seq("doc_id"))
-    // opt-in t68 screen on top of the chain's whole-text t35 screen:
-    // drop train docs sharing ANY token window with the eval split
-    // (t68 reports train docs only, so one anti-join suffices and
-    // eval/test rows pass through untouched)
+    // opt-in t68-style screen on top of the chain's whole-text t35
+    // screen: drop train docs sharing ANY token window with the eval
+    // split. The screen runs against the split assignment ACTUALLY
+    // BEING WRITTEN (naive or cluster) — screening the naive split
+    // while writing cluster splits would let a written-train doc share
+    // spans with written-eval docs undetected. The screen reports
+    // train docs only, so one anti-join suffices and eval/test rows
+    // pass through untouched.
     val base =
       if (!spanDecontaminate) deduped
       else deduped.join(
-        TrainingOps.qSpanDecontaminate(s, dir)
-          .filter(col("contaminated")).select(col("doc_id")),
+        TrainingOps.spanContaminatedTrainDocs(s, dir,
+          deduped.select(col("doc_id"), col("split"))),
         Seq("doc_id"), "left_anti")
     val selected = budget match {
+      // memo key carries the option flags: the materialized prefix-sum
+      // frame bakes in the doc set AND the split column, so two calls
+      // differing in either flag must not share it
       case Some(b) => TrainingOps.tokenBudgeted(base, b,
-          materialize = df => SessionMemo.persist("curate:budget", s, dir)(df))
+          materialize = df => SessionMemo.persist(
+            s"curate:budget:$spanDecontaminate:$clusterSplit", s, dir)(df))
         .drop("n_tokens", "cum_tokens")
         .select(base.columns.toIndexedSeq.map(col): _*)
       case None => base
@@ -1027,7 +1035,16 @@ object CurationOps {
     cnts AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS cnt
              FROM tb GROUP BY 1, 2, 3),
     lc AS (SELECT lang, b, CAST(SUM(cnt) AS BIGINT) AS c FROM cnts GROUP BY 1, 2),
-    tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM lc GROUP BY 1),
+    -- anchor the model on the FIXED language list (the Spark side
+    -- trains all five models with add-one smoothing even for a
+    -- language absent from the corpus; a corpus-derived list would
+    -- give an absent language score 0, beating every real negative
+    -- log-likelihood)
+    tot AS (
+      SELECT l.lang, CAST(COALESCE(t.tot, 0) AS BIGINT) AS tot
+      FROM (VALUES ${LidLangs.map(l => s"('$l')").mkString(", ")}) l(lang)
+      LEFT JOIN (SELECT lang, SUM(c) AS tot FROM lc GROUP BY 1) t
+        ON t.lang = l.lang),
     grid AS (
       SELECT t.lang, CAST(r.range AS INT) AS b,
              CAST(FLOOR(LN(CAST(COALESCE(lc.c, 0) + 1 AS DOUBLE) /

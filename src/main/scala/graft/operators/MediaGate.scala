@@ -196,6 +196,20 @@ object MediaGate {
 
   private val AudioFrameBytes = 256
 
+  /** Straight-line per-frame energies — ONE copy of the framing/abs-sum
+    * arithmetic shared by the m46 and m47 oracles, mirroring
+    * [[Multimodal.frameEnergy]]; an edit here moves both oracles and
+    * the gate differentials catch any desync from the operator.
+    */
+  private def frameEnergies(bytes: Array[Byte]): IndexedSeq[Long] = {
+    val nFrames = math.max(1, (bytes.length + AudioFrameBytes - 1) / AudioFrameBytes)
+    (0 until nFrames).map { i =>
+      bytes.slice(i * AudioFrameBytes,
+        math.min(bytes.length, (i + 1) * AudioFrameBytes))
+        .map(b => math.abs(b.toInt).toLong).sum
+    }
+  }
+
   /** m46: VAD-shaped audio segmentation over the seeded corpus — the
     * speech/music curation pass that turns a waveform into voiced
     * segments: per-frame energies ([[Multimodal.frameEnergy]]; decode
@@ -243,12 +257,8 @@ object MediaGate {
     */
   def qAudioSegmentsOracle: String = {
     val rows = corpusRows.filter(_._2 == "audio/wav").map { case (id, _, bytes) =>
-      val nFrames = math.max(1, (bytes.length + AudioFrameBytes - 1) / AudioFrameBytes)
-      val energies = (0 until nFrames).map { i =>
-        bytes.slice(i * AudioFrameBytes,
-          math.min(bytes.length, (i + 1) * AudioFrameBytes))
-          .map(b => math.abs(b.toInt).toLong).sum
-      }
+      val energies = frameEnergies(bytes)
+      val nFrames = energies.length
       val total = energies.sum
       val voicedIdx = energies.zipWithIndex
         .collect { case (e, i) if e * nFrames >= total => i }
@@ -317,9 +327,11 @@ object MediaGate {
     * keyframe per scene instead of N near-identical frames: per-frame
     * energies ([[Multimodal.frameEnergy]] again — decode stubbed,
     * framing real), a scene CUT where the absolute energy delta
-    * exceeds twice the per-video mean absolute delta
-    * (`|Δe|·(n−1) ≥ 2·Σ|Δe|` — integer, division-free), scenes =
-    * cuts + 1. Per video: frame count, scene count, longest scene.
+    * STRICTLY exceeds twice the per-video mean absolute delta
+    * (`|Δe|·(n−1) > 2·Σ|Δe|` — integer, division-free; strict, so a
+    * perfectly static video with all-zero deltas is ONE scene, not
+    * n), scenes = cuts + 1. Per video: frame count, scene count,
+    * longest scene.
     *
     * Scale shape: identical to m46 — energies leave the decode task as
     * triples, the lag/threshold windows are video-partitioned, output
@@ -338,7 +350,7 @@ object MediaGate {
     val cuts = withDelta
       .withColumn("cut",
         when(col("d").isNotNull &&
-          col("d") * (col("n") - 1) >= lit(2L) * col("td"), 1L).otherwise(0L))
+          col("d") * (col("n") - 1) > lit(2L) * col("td"), 1L).otherwise(0L))
       .withColumn("scene_id", sum(col("cut")).over(
         ord.rowsBetween(W.unboundedPreceding, W.currentRow)))
     cuts.groupBy(col("media_id"), col("n"), col("scene_id"))
@@ -352,18 +364,14 @@ object MediaGate {
 
   def qSceneChangesOracle: String = {
     val rows = corpusRows.filter(_._2 == "video/mp4").map { case (id, _, bytes) =>
-      val nFrames = math.max(1, (bytes.length + AudioFrameBytes - 1) / AudioFrameBytes)
-      val energies = (0 until nFrames).map { i =>
-        bytes.slice(i * AudioFrameBytes,
-          math.min(bytes.length, (i + 1) * AudioFrameBytes))
-          .map(b => math.abs(b.toInt).toLong).sum
-      }
+      val energies = frameEnergies(bytes)
+      val nFrames = energies.length
       val deltas = energies.zip(energies.drop(1)).map { case (a, b) => math.abs(b - a) }
       val td = deltas.sum
-      val cuts = deltas.count(d => d * (nFrames - 1) >= 2L * td)
+      val cuts = deltas.count(d => d * (nFrames - 1) > 2L * td)
       // scene lengths: walk the cut positions
       val cutIdx = deltas.zipWithIndex
-        .collect { case (d, i) if d * (nFrames - 1) >= 2L * td => i + 1 }
+        .collect { case (d, i) if d * (nFrames - 1) > 2L * td => i + 1 }
       val bounds = 0 +: cutIdx :+ nFrames
       val longest = bounds.zip(bounds.tail).map { case (a, b) => b - a }.max
       s"($id, $nFrames, ${cuts + 1}, $longest)"

@@ -879,6 +879,25 @@ object TrainingOps {
     FROM sp JOIN lk USING (cluster_rep)
     ORDER BY sp.doc_id"""
 
+  /** Train docs sharing any token window with the eval side, SCREENED
+    * UNDER A CALLER-SUPPLIED SPLIT (`splits`: (doc_id, split)) — the
+    * generalization `writeCuratedFull` needs: when the corpus is
+    * written under t78's cluster splits, contamination must be
+    * screened against those splits, not the naive per-doc hash the
+    * t68 gate pins (screening one split while writing another lets a
+    * train doc of the WRITTEN assignment share spans with written
+    * eval docs undetected).
+    */
+  private[graft] def spanContaminatedTrainDocs(s: SparkSession, dir: String,
+      splits: DataFrame): DataFrame = {
+    val tagged = spanRelation(s, dir).join(splits, Seq("doc_id"))
+    val evalHashes = tagged.filter(col("split") === "eval")
+      .select(col("h")).distinct()
+    tagged.filter(col("split") === "train")
+      .join(evalHashes, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
   /** Spans shared by more than this many documents are boilerplate, not
     * contamination — and at scale, unbounded posting lists on a hot
     * span are exactly the t38 quadratic; the cap is the same guard.

@@ -1165,15 +1165,17 @@ object VectorOps {
     val scored = e.crossJoin(broadcast(
         cent.select(col("label").as("cl"), col("cv"), col("ncv"))))
       .withColumn("csim", dot("v", "cv") / (col("nv") * col("ncv")))
+    // ONE window yields both the winner and the runner-up (lead over
+    // the same ordering) — no rn<=2 self-join, no second copy of the
+    // cross-join branch in the plan
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cl"))
-    val ranked = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2)
-    val best = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("cl").as("assigned"), col("csim").as("c1"))
-    val second = ranked.filter(col("rn") === 2)
-      .select(col("vec_id"), col("csim").as("c2"))
-    best.join(second, Seq("vec_id"))
+    scored
+      .withColumn("c2", lead(col("csim"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cl").as("assigned"),
+        col("csim").as("c1"), col("c2"))
       .groupBy(col("assigned"))
       .agg(count(lit(1)).as("n"),
         (sum(floor(col("c1") * lit(1e12)).cast("long")).cast("double") /

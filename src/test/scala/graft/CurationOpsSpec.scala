@@ -383,17 +383,22 @@ class CurationOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val decon = spark.read.parquet(s"$outDecon/docs")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val flagged = TrainingOps.qSpanDecontaminate(spark, dir)
+    // the screen runs against the split assignment and MEMBERSHIP of
+    // the corpus being written (a train doc is contaminated iff it
+    // shares a window with an eval doc that is itself in the release),
+    // so the expected flag set derives from the plain run's own docs
+    val writtenSplits = spark.read.parquet(s"$outPlain/docs")
+      .select(col("doc_id"), col("split"))
+    val flagged = TrainingOps.spanContaminatedTrainDocs(spark, dir, writtenSplits)
+      .collect().map(_.getLong(0)).toSet
+    // the screened run is the plain run minus exactly the flagged docs
+    assert(decon == plain.diff(flagged),
+      "span screen removed a different set than the written-split flags")
+    // the whole-corpus t68 flags remain the superset sanity anchor
+    val t68Flags = TrainingOps.qSpanDecontaminate(spark, dir)
       .filter(col("contaminated")).select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    // the screened run is the plain run minus exactly the flagged docs.
-    // (On this corpus the near-dup survivor filter already removes every
-    // flagged doc — span-sharers are usually near-dups — so the sets can
-    // coincide; the screen is the residual net for the quote-inside-a-
-    // different-doc case, and the anti-join contract is what's pinned.)
-    assert(decon == plain.diff(flagged),
-      "span screen removed a different set than t68 flags")
-    assert(flagged.nonEmpty, "t68 found no contamination — corpus drifted")
+    assert(t68Flags.nonEmpty, "t68 found no contamination — corpus drifted")
     // eval/test rows are untouched by construction (t68 reports train only)
     val evalPlain = spark.read.parquet(s"$outPlain/docs")
       .filter(col("split") =!= "train").select("doc_id")

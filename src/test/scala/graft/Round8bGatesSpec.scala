@@ -222,9 +222,23 @@ class Round8bGatesSpec extends AnyFunSuite {
     expect.foreach { case (name, n) =>
       assert(spark.read.parquet(s"$out/$name").count() == n, name)
     }
-    // rolling peaks: one row per user present in events
-    val users = Tables.events(spark, dir).select(col("user_id")).distinct().count()
-    assert(spark.read.parquet(s"$out/rolling_peaks").count() == users)
+    // value-level check, not just cardinality: the anomalies section is
+    // byte-for-byte the gate builder's rows
+    val wantAnoms = Analytics.qAnomaly(spark, dir).collect().map(_.toString).sorted
+    val gotAnoms = spark.read.parquet(s"$out/anomalies")
+      .select(col("event_type"), col("h"), col("x"), col("spike"))
+      .collect().map(_.toString).sorted
+    assert(gotAnoms.sameElements(wantAnoms))
+    // rolling peaks: one row per user, values equal the windowed maxima
+    val wantPeaks = Analytics.qRollingWindow(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_24h")).as("peak_events_24h"),
+        max(col("spend_24h")).as("peak_spend_24h"))
+      .collect().map(_.toString).sorted
+    val gotPeaks = spark.read.parquet(s"$out/rolling_peaks")
+      .select(col("user_id"), col("peak_events_24h"), col("peak_spend_24h"))
+      .collect().map(_.toString).sorted
+    assert(gotPeaks.sameElements(wantPeaks))
   }
 
   test("m45 media dedup: exact copies at hamming 0, planted near-copies found") {
