@@ -172,10 +172,17 @@ object TrainingOps {
     * violates a cap).
     *
     * Scale shape: one scan → per-source partial-agg'd groupBy
-    * (≤ #sources rows); the window sort and the broadcast 1-row
-    * reduction run over the #sources frame — scan-shaped at any corpus
-    * size. Every quantity is exact bigint arithmetic end to end: the
-    * gate is engine-portable with zero float ops.
+    * (≤ #sources rows) → the ENTIRE waterfill folded into ONE row
+    * (`sort_array(collect_list(struct))` + in-row HOF folds, the
+    * qBpePairs pattern) and exploded back. No window anywhere in the
+    * plan — in particular no unpartitioned WindowExec, which is this
+    * repo's declared red line (r8 VERDICT #1: the previous version
+    * ranked the frame with `Window.orderBy`, emitting 26 "No Partition
+    * Defined" warnings; benign at ≤ #sources rows but it buried the
+    * invariant). The in-row prefix sums are O(#sources²) inside one
+    * row — #sources is a recipe-sized constant, never corpus-sized.
+    * Every quantity is exact bigint arithmetic end to end: the gate is
+    * engine-portable with zero float ops.
     */
   def qUnimaxMix(s: SparkSession, dir: String): DataFrame = {
     val perSource = Tables.documents(s, dir)
@@ -184,29 +191,44 @@ object TrainingOps {
       .groupBy(col("source"))
       .agg(sum(col("toks")).as("n_tokens"))
       .withColumn("cap", col("n_tokens") * lit(UniMaxEpochs))
-    val order = Window.orderBy(col("cap"), col("source"))
-    val ranked = perSource
-      .withColumn("i", row_number().over(order))
-      .withColumn("s_prev", coalesce(sum(col("cap")).over(
-        order.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val totals = ranked.agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tt"))
-    val flagged = ranked.crossJoin(broadcast(totals))
-      .withColumn("budget", expr("tt * 19 div 10"))
-      .withColumn("capped",
-        col("s_prev") + col("cap") * (col("n") - col("i") + 1) <= col("budget"))
-    val fill = flagged.agg(
-      coalesce(sum(when(col("capped"), col("cap"))), lit(0L)).as("sc"),
-      sum(when(col("capped"), lit(0L)).otherwise(lit(1L))).as("k"))
-    flagged.crossJoin(broadcast(fill))
-      .withColumn("rn_unc", row_number().over(
-        Window.partitionBy(col("capped")).orderBy(col("cap"), col("source"))))
-      .withColumn("alloc", when(col("capped"), col("cap")).otherwise(
-        expr("(budget - sc) div greatest(k, 1)") +
-          when(col("rn_unc") <= expr("(budget - sc) % greatest(k, 1)"), lit(1L))
-            .otherwise(lit(0L))))
+    // struct field order (cap, source, …) makes sort_array reproduce the
+    // waterfill's ORDER BY cap, source; (cap, source) is unique per row.
+    perSource
+      .agg(sort_array(collect_list(
+        struct(col("cap"), col("source"), col("n_tokens")))).as("xs"))
+      .withColumn("n", expr("bigint(size(xs))"))
+      .withColumn("budget",
+        expr("aggregate(xs, bigint(0), (a, x) -> a + x.n_tokens) * 19 div 10"))
+      // i = j+1 (1-based rank), s_prev = Σ cap over the strict prefix;
+      // capped iff even granting this and every larger source this
+      // source's own cap level stays within budget (monotone test).
+      .withColumn("flagged", expr(
+        """transform(xs, (x, j) -> named_struct(
+             'source', x.source, 'n_tokens', x.n_tokens, 'cap', x.cap,
+             'capped', aggregate(slice(xs, 1, j), bigint(0), (a, y) -> a + y.cap)
+                         + x.cap * (n - j) <= budget))"""))
+      .withColumn("sc", expr(
+        "aggregate(flagged, bigint(0), (a, x) -> a + if(x.capped, x.cap, bigint(0)))"))
+      .withColumn("k", expr(
+        "aggregate(flagged, bigint(0), (a, x) -> a + if(x.capped, bigint(0), bigint(1)))"))
+      // rn_unc = rank within the uncapped class (array is already in
+      // waterfill order): first (budget−sc) % k uncapped sources absorb
+      // the integer remainder — cap > level guarantees the +1 fits.
+      .withColumn("out", expr(
+        """transform(flagged, (x, j) -> named_struct(
+             'source', x.source, 'n_tokens', x.n_tokens, 'cap', x.cap,
+             'capped', x.capped,
+             'alloc', if(x.capped, x.cap,
+               (budget - sc) div greatest(k, bigint(1)) +
+                 if(aggregate(slice(flagged, 1, j + 1), bigint(0),
+                      (a, y) -> a + if(y.capped, bigint(0), bigint(1)))
+                    <= (budget - sc) % greatest(k, bigint(1)),
+                    bigint(1), bigint(0)))))"""))
+      .select(explode(col("out")).as("r"))
+      .select(col("r.source").as("source"), col("r.n_tokens").as("n_tokens"),
+        col("r.cap").as("cap"), col("r.capped").as("capped"),
+        col("r.alloc").as("alloc"))
       .withColumn("epochs_micro", expr("alloc * 1000000 div n_tokens"))
-      .select(col("source"), col("n_tokens"), col("cap"), col("capped"),
-        col("alloc"), col("epochs_micro"))
       .orderBy(col("source"))
   }
 

@@ -45,6 +45,28 @@ class AnalysisSmokeSpec extends AnyFunSuite {
     graft.operators.TextOps.releaseCache(spark)
   }
 
+  test("zero-global-window red line: no unpartitioned Window in any gate plan") {
+    // r8 VERDICT #1: an unpartitioned WindowExec funnels the whole frame
+    // through one reducer — the repo forbids it everywhere (bounded
+    // frames must fold in-row instead, the qBpePairs/qUnimaxMix
+    // pattern). This makes the invariant machine-checked: any gate whose
+    // analyzed plan carries a Window with an empty partitionSpec fails
+    // here, instead of hiding as a "No Partition Defined" log warning.
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, build) =>
+        build(spark, dir).queryExecution.analyzed.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty =>
+            s"$name: global window over [${w.windowExpressions.map(_.name).mkString(", ")}]"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"\nunpartitioned Window nodes (red line):\n  ${offenders.mkString("\n  ")}")
+    graft.operators.TextOps.releaseCache(spark)
+  }
+
   test("entry flagship query analyzes and the SQL surface initializes") {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.entry(spark).queryExecution.analyzed
