@@ -331,12 +331,14 @@ object BpeTrainer {
   // DuckDB cannot express the iterative BPE loop, so the oracle is a
   // straight-line driver-side evaluation of the SAME corpus, pinned as a
   // VALUES literal: collect (doc_id, text) once, split words and count
-  // frequencies in plain Scala (no Spark relational ops), train with the
-  // in-memory reference loop, encode each distinct word once. The
-  // differential therefore exercises exactly the distributed plumbing the
-  // gates add — the corpus-sized wordCounts aggregate, the regime
-  // dispatch, the explode/groupBy/join/sum encode pipeline — against a
-  // zero-Spark reference, the way m42's oracle replays the stub decoder.
+  // frequencies in plain Scala (no Spark relational ops), train and
+  // encode with [[BpeReference]] — a from-the-definition reimplementation
+  // sharing ZERO code with this object's trainLocal/encodeWord (r8
+  // VERDICT #2 closed the earlier circularity where the oracle called
+  // the gate's own loop). The differential therefore exercises BOTH the
+  // distributed plumbing — the corpus-sized wordCounts aggregate, the
+  // regime dispatch, the explode/groupBy/join/sum encode pipeline — AND
+  // the merge-loop logic itself, against an independent reference.
   //
   // Unlike MediaGate's seeded corpus, documents is SF-dependent, so the
   // literal is only valid for the sf directory it was generated from:
@@ -389,9 +391,9 @@ object BpeTrainer {
 
   def trainOracle(nMerges: Int = 10): Option[String] =
     withOracleContext(s"train:$nMerges") { (s, dir) =>
-      val merges = trainLocal(pureWordCounts(collectedDocs(s, dir)), nMerges)
-      val rows = merges.map(m =>
-        s"(${m.rank}, ${sqlStr(m.left)}, ${sqlStr(m.right)}, ${m.count})")
+      val merges = BpeReference.train(pureWordCounts(collectedDocs(s, dir)), nMerges)
+      val rows = merges.map { case (rank, l, r, c) =>
+        s"($rank, ${sqlStr(l)}, ${sqlStr(r)}, $c)" }
       require(rows.nonEmpty, "empty corpus")
       s"""SELECT CAST("rank" AS INTEGER) AS "rank", "left", "right",
             CAST("count" AS BIGINT) AS "count"
@@ -402,11 +404,11 @@ object BpeTrainer {
   def encodeOracle(nMerges: Int = 10): Option[String] =
     withOracleContext(s"encode:$nMerges") { (s, dir) =>
       val docs = collectedDocs(s, dir)
-      val ranks = trainLocal(pureWordCounts(docs), nMerges)
-        .map(m => (m.left, m.right) -> m.rank).toMap
+      val ranks = BpeReference.train(pureWordCounts(docs), nMerges)
+        .map { case (rank, l, r, _) => (l, r) -> rank }.toMap
       val encLen = scala.collection.mutable.HashMap.empty[String, Long]
       def len(w: String): Long =
-        encLen.getOrElseUpdate(w, encodeWord(w, ranks).length.toLong)
+        encLen.getOrElseUpdate(w, BpeReference.encode(w, ranks).length.toLong)
       // docs with no words never survive the gate's explode — drop here too
       val rows = docs.filter(_._2.nonEmpty).map { case (id, ws) =>
         s"($id, ${ws.length.toLong}, ${ws.iterator.map(len).sum}, " +
@@ -434,11 +436,11 @@ object BpeTrainer {
       val langOf = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang")).collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
-      val ranks = trainLocal(pureWordCounts(docs), nMerges)
-        .map(m => (m.left, m.right) -> m.rank).toMap
+      val ranks = BpeReference.train(pureWordCounts(docs), nMerges)
+        .map { case (rank, l, r, _) => (l, r) -> rank }.toMap
       val encLen = scala.collection.mutable.HashMap.empty[String, Long]
       def len(w: String): Long =
-        encLen.getOrElseUpdate(w, encodeWord(w, ranks).length.toLong)
+        encLen.getOrElseUpdate(w, BpeReference.encode(w, ranks).length.toLong)
       // per-lang exact sums over the docs the gate's join keeps (all of
       // them: wordless docs contribute nothing but still count as docs
       // only if they survive the encode join — they don't, same as t59)
