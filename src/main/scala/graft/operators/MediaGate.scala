@@ -100,9 +100,28 @@ object MediaGate {
 
   // -- Perceptual-hash near-dup gate (m45) ------------------------------
 
-  private val HashBlocks = 16
-  private val HammingTau = 3
-  private val HashBands = 4 // 4 bands x 4 bits; tau < bands => banding is lossless
+  // Production-width fingerprint (r8 VERDICT #3): 64-bit hash, 8 bands
+  // × 8 bits. The old 16-bit/4-band config had only 16 values per band
+  // key — every band-bucket held ~N/16 items, degenerating the banded
+  // self-join toward N²/16 and saturating with hash collisions far
+  // below 10⁶ images. 256 values per band plus the hot-bucket cap
+  // below bound the join at any corpus size; τ = 7 < 8 bands keeps the
+  // banding provably lossless (a true pair always shares one intact
+  // band), which the all-pairs oracle re-proves at the new width.
+  private val HashBlocks = 64
+  private val HammingTau = 7
+  private val HashBands = 8
+  private val BandBits = 64 / HashBands
+
+  /** Max rows per (band, bits) bucket in the banded self-join — the
+    * VectorOps.LshCap discipline: a degenerate corpus region (constant
+    * payloads, re-encoded solid-color images) would otherwise
+    * reintroduce the quadratic stage; cap membership and drop that
+    * bucket's candidates instead. The gate corpus (34 rows) never
+    * reaches the cap, so m45's oracle equality is unaffected;
+    * MediaDedupCapSpec pins the degenerate case.
+    */
+  private[graft] val MediaLshCap = 50
 
   /** Dedup corpus: the 24 media rows plus 8 perturbed copies (one byte
     * nudged by +1 in a different block each) — the re-encode-noise
@@ -147,23 +166,38 @@ object MediaGate {
   /** m45: perceptual near-dup pairs over the media corpus — the image
     * dedup every multimodal pipeline runs before training: blockhash
     * fingerprints ([[Multimodal.blockHash]], decode stubbed, hashing
-    * real), candidates from a BANDED equi-join (4 bands × 4 bits;
-    * Hamming ≤ 3 < 4 bands means a true pair always shares one intact
+    * real), candidates from a BANDED equi-join (8 bands × 8 bits;
+    * Hamming ≤ 7 < 8 bands means a true pair always shares one intact
     * band — the banding is provably lossless, and the all-pairs
     * driver-side oracle is the proof), verified with exact
     * `bit_count(xor)`. At scale this is the t28 layout over binary
     * payloads: O(1) fingerprint per item, shuffle on (band, bits),
-    * candidate-bounded verification.
+    * candidate-bounded verification with the [[MediaLshCap]] hot-bucket
+    * guard.
     */
-  def qMediaDedup(s: SparkSession, dir: String): DataFrame = {
-    val hashes = Multimodal.blockHash(dedupMedia(s), HashBlocks)
+  def qMediaDedup(s: SparkSession, dir: String): DataFrame =
+    nearDupPairs(dedupMedia(s))
+
+  /** The banded near-dup join over any (media_id, content) frame — the
+    * reusable operator behind m45, exposed so degenerate corpora can be
+    * pinned in specs. Band keys are unsigned shift/mask slices
+    * (`shiftrightunsigned`) so bit 63 of the hash cannot corrupt the
+    * bucket id through signed division.
+    */
+  def nearDupPairs(mediaDf: DataFrame): DataFrame = {
+    val hashes = Multimodal.blockHash(mediaDf, HashBlocks)
     val bands = hashes.select(col("media_id"), col("phash"),
       explode(expr(s"transform(sequence(0, ${HashBands - 1}), " +
-        s"b -> struct(b AS band, (phash div cast(pow(16, b) as bigint)) % 16 AS bits))"))
+        s"b -> struct(b AS band, " +
+        s"shiftrightunsigned(phash, b * $BandBits) & ${(1L << BandBits) - 1} AS bits))"))
         .as("bb"))
       .select(col("media_id"), col("phash"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
-    bands.as("x").join(bands.as("y"),
+    val bucketN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bits"))
+    val capped = bands.withColumn("bn", count(lit(1)).over(bucketN))
+      .filter(col("bn") <= MediaLshCap).drop("bn")
+    capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
         col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),

@@ -99,7 +99,7 @@ object Multimodal {
     * Same partition-mapped record-streamed shape as
     * [[extractFeatures]].
     */
-  def blockHash(media: DataFrame, blocks: Int = 16): DataFrame = {
+  def blockHash(media: DataFrame, blocks: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("content"))
