@@ -606,7 +606,7 @@ object CurationOps {
     * an array LITERAL indexed by bucket id: the whole query becomes one
     * stage over the persisted bucket relation. The arithmetic mirrors
     * the former in-plan expressions op-for-op — same IEEE-754 doubles,
-    * same `java.lang.Math.log` Spark's Log expression calls — so
+    * same `StrictMath.log` Spark's Log expression calls — so
     * scores are bit-identical and the gate hashes are unchanged.
     */
   private def dsirModel(s: SparkSession, dir: String): (Array[Long], Array[Long]) =
@@ -623,12 +623,12 @@ object CurationOps {
       val tr = cr.sum.toDouble
       val tt = ct.sum.toDouble
       val lrq = Array.tabulate(DsirBuckets) { b =>
-        math.floor(math.log(
+        math.floor(StrictMath.log(
           ((ct(b) + 1).toDouble * (tr + DsirBuckets.toDouble)) /
           ((cr(b) + 1).toDouble * (tt + DsirBuckets.toDouble))) * 1e6).toLong
       }
       val lq = Array.tabulate(DsirBuckets) { b =>
-        math.floor(math.log(
+        math.floor(StrictMath.log(
           (cr(b) + 1).toDouble / (tr + DsirBuckets.toDouble)) * 1e6).toLong
       }
       (lrq, lq)
@@ -760,8 +760,8 @@ object CurationOps {
     * chain (3 extra jobs every execution, 1.4 s median at sf0.1) turns
     * into an array LITERAL riding into the one scoring pass over the
     * persisted pair relation. Arithmetic mirrors the former in-plan
-    * expressions op-for-op (same IEEE doubles, same `Math.log` Spark's
-    * Log calls), so scores — and the gate hash — are unchanged.
+    * expressions op-for-op (same IEEE doubles, same `StrictMath.log`
+    * Spark's Log expression calls), so scores — and the gate hash — are unchanged.
     * Entries for unobserved pairs stay 0 and are never read: scoring
     * only looks up pairs that occur in the corpus.
     */
@@ -776,7 +776,7 @@ object CurationOps {
       val lp = new Array[Long](DsirBuckets * DsirBuckets)
       rows.foreach { case (bb, c12) =>
         lp(bb) = math.floor(
-          math.log((c12 + 1).toDouble / (c1(bb / DsirBuckets) + 256.0)) * 1e6).toLong
+          StrictMath.log((c12 + 1).toDouble / (c1(bb / DsirBuckets) + 256.0)) * 1e6).toLong
       }
       lp
     }
@@ -972,7 +972,7 @@ object CurationOps {
         val tot = (0 until DsirBuckets).map(b => counts.getOrElse((l, b), 0L)).sum
         l -> Array.tabulate(DsirBuckets) { b =>
           val c = counts.getOrElse((l, b), 0L)
-          math.floor(math.log((c + 1).toDouble /
+          math.floor(StrictMath.log((c + 1).toDouble /
             (tot + DsirBuckets).toDouble) * 1e6).toLong
         }
       }.toMap
@@ -1075,6 +1075,11 @@ object CurationOps {
     * cutoff.
     */
   private val QualityRates = Map("good" -> 0.9, "fair" -> 0.5, "low" -> 0.1)
+  // a band qQualityScore emits but this map misses would make
+  // element_at(map(...)) yield null and silently drop the band's docs
+  // on BOTH engines — fail at init instead (r8 ADVICE)
+  require(QualityRates.keySet == TextOps.QualityBands.toSet,
+    s"QualityRates ${QualityRates.keySet} must cover the band domain ${TextOps.QualityBands}")
 
   /** Quality-weighted sampling: survival probability set by the t31
     * quality band, decided by the same deterministic md5-bucket rule as

@@ -828,6 +828,14 @@ object TextOps {
   /** The curation chain's survival threshold (the 'fair' band floor). */
   private[graft] val QualityFloor = 0.6
 
+  /** The COMPLETE band domain [[qQualityScore]] can emit. Consumers
+    * that key per-band parameters (t75's sampling rates) assert
+    * coverage against this list, so adding a band here without
+    * updating them fails fast instead of silently dropping the new
+    * band's docs through a null map lookup (r8 ADVICE).
+    */
+  private[graft] val QualityBands: Seq[String] = Seq("good", "fair", "low")
+
   /** Quality scoring: length/diversity/stopword-ratio features and a
     * weighted score — the training-data quality-filter shape. All
     * ratios are int/int divisions evaluated in identical order on both

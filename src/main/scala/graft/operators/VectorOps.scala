@@ -1220,7 +1220,7 @@ object VectorOps {
              / COUNT(*) / 1e12 AS mean_cohesion,
            CAST(SUM(CAST(FLOOR((c1 - c2) * 1e12) AS BIGINT)) AS DOUBLE)
              / COUNT(*) / 1e12 AS mean_margin
-    FROM best JOIN second USING (vec_id)
+    FROM best LEFT JOIN second USING (vec_id)
     GROUP BY assigned
     ORDER BY assigned"""
 

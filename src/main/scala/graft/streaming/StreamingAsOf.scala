@@ -85,7 +85,7 @@ object StreamingAsOf {
     (out, Buf(pending, keep))
   }
 
-  private def update(key: String, it: Iterator[Tick],
+  private[graft] def update(key: String, it: Iterator[Tick],
       state: GroupState[Buf]): Iterator[Matched] = {
     val wm = state.getCurrentWatermarkMs
     val prior = state.getOption.getOrElse(Buf(Nil, Nil))
@@ -100,11 +100,18 @@ object StreamingAsOf {
     if (next.probes.isEmpty && next.builds.isEmpty) state.remove()
     else {
       state.update(next)
-      // fire when the watermark passes the oldest pending probe (or
-      // next batch if it already has); Spark requires a timestamp
-      // strictly above the current watermark
-      if (next.probes.nonEmpty)
-        state.setTimeoutTimestamp(math.max(next.probes.map(_._2).min, wm + 1))
+      // fire when the watermark passes the oldest pending probe OR the
+      // oldest still-young build (so a key left with only build rows is
+      // trimmed to its single standing candidate by watermark advance
+      // alone — without this, a quiet key retained every build forever
+      // and "state bounded by the watermark delay" held only for keys
+      // that kept ticking). Once only the standing at-or-below-wm row
+      // remains, no timeout is registered: O(1) state, nothing to trim.
+      // Spark requires a timestamp strictly above the current watermark.
+      val probeFire = next.probes.map(_._2).minOption
+      val buildFire = next.builds.map(_._1).filter(_ > wm).minOption
+      (probeFire.toSeq ++ buildFire.toSeq).minOption
+        .foreach(t => state.setTimeoutTimestamp(math.max(t, wm + 1)))
     }
     out.iterator
   }

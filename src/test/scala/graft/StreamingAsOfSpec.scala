@@ -113,4 +113,44 @@ class StreamingAsOfSpec extends AnyFunSuite {
       assert(got(101L).isEmpty, s"no preceding build must be null: $got")
     } finally query.stop()
   }
+
+  test("build-only keys are trimmed by watermark advance alone") {
+    // r8 ADVICE: a key that received only build rows used to register no
+    // timeout, so its build history survived until (unless) another tick
+    // arrived. Drive the transition function directly with TestGroupState:
+    // watermark advance must trim a quiet key to its single standing
+    // candidate, after which no further timeout is registered (O(1) state).
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def run(prior: Option[StreamingAsOf.Buf], ticks: Seq[StreamingAsOf.Tick],
+        wm: Long, timedOut: Boolean) = {
+      val st = TestGroupState.create[StreamingAsOf.Buf](
+        optionalState = prior.map(Optional.of[StreamingAsOf.Buf])
+          .getOrElse(Optional.empty[StreamingAsOf.Buf]),
+        timeoutConf = GroupStateTimeout.EventTimeTimeout,
+        batchProcessingTimeMs = 1L,
+        eventTimeWatermarkMs = Optional.of(java.lang.Long.valueOf(wm)),
+        hasTimedOut = timedOut)
+      StreamingAsOf.update("k", ticks.iterator, st).toSeq
+      st
+    }
+    val b = (sec: Long, id: Long) => StreamingAsOf.Tick("k", ts(sec), 1, id, id * 1.0)
+    // batch 1: three builds arrive, no probes, wm = 0
+    val s1 = run(None, Seq(b(100, 1), b(200, 2), b(300, 3)), ts(0).getTime, timedOut = false)
+    assert(s1.get.builds.size === 3)
+    assert(s1.getTimeoutTimestampMs.isPresent,
+      "build-only state must register an eviction timeout")
+    assert(s1.getTimeoutTimestampMs.get === ts(100).getTime)
+    // timeout fires with wm past the first two builds: trimmed to the
+    // standing candidate (t=200) + the still-young build (t=300)
+    val s2 = run(Some(s1.get), Nil, ts(250).getTime, timedOut = true)
+    assert(s2.get.builds.map(_._2).sorted === Seq(2L, 3L))
+    assert(s2.getTimeoutTimestampMs.isPresent &&
+      s2.getTimeoutTimestampMs.get === ts(300).getTime)
+    // wm past everything: one standing row, and NO timeout re-registered
+    val s3 = run(Some(s2.get), Nil, ts(400).getTime, timedOut = true)
+    assert(s3.get.builds.map(_._2) === Seq(3L))
+    assert(!s3.getTimeoutTimestampMs.isPresent,
+      "fully-trimmed state must not keep firing timeouts")
+  }
 }
