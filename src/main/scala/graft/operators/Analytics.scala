@@ -550,10 +550,15 @@ object Analytics {
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
       .rangeBetween(-day, 0)
     Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+      // pre-project the decimal cast so BOTH window expressions share
+      // one spec and collapse into a SINGLE Window node (one sort, one
+      // per-user sliding frame) — a projection between them used to
+      // split the plan into two Window nodes over the same sort
+      .select(col("event_id"), col("user_id"), col("ts"),
+        dec2(col("value")).as("vald"),
         unix_micros(col("ts")).as("us"))
       .withColumn("n_24h", count(lit(1)).over(w))
-      .withColumn("spend_24h", sum(dec2(col("value"))).over(w).cast("double"))
+      .withColumn("spend_24h", sum(col("vald")).over(w).cast("double"))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("n_24h"), col("spend_24h"))
       .orderBy(col("user_id"), col("ts"), col("event_id"))

@@ -72,4 +72,39 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(Analytics.qFunnel(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q42 rolling window: exactly one Window node, partitioned by user") {
+    val p = plan(Analytics.qRollingWindow(spark, dir))
+    assert(p.split("\\bWindow\\b").length - 1 == 1,
+      s"expected exactly one Window node:\n$p")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"window must be partitioned by user_id:\n$p")
+  }
+
+  test("q41 cohort retention: user-keyed equi-join, no nested loop") {
+    val p = plan(Analytics.qCohortRetention(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Join [^\n]*user_id#".r.findFirstIn(p).isDefined ||
+      "HashJoin [^\n]*user_id#".r.findFirstIn(p).isDefined,
+      s"cohort join must be keyed on user_id:\n$p")
+  }
+
+  test("t76 contamination report: span join is equi on h, no cross product") {
+    val p = plan(graft.operators.TrainingOps.qContaminationReport(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Join[^\n]*\\[h#".r.findFirstIn(p).isDefined,
+      s"span screen must equi-join on the span hash h:\n$p")
+  }
+
+  test("t78 cluster split reads the memoized components artifact") {
+    val p = plan(graft.operators.TrainingOps.qClusterSplit(spark, dir))
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"components must come from the persisted artifact, not recomputation:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("m45 media dedup: banded equi-join only, never a cross product") {
+    val p = plan(graft.operators.MediaGate.qMediaDedup(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
