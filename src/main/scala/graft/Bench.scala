@@ -46,8 +46,9 @@ object Bench {
   private def timeSuite(spark: SparkSession,
       queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
       sfDir: String, passes: Int,
-      errors: scala.collection.mutable.LinkedHashSet[String]): Array[Vector[Double]] = {
-    queries.foreach { case (_, fn) =>
+      errors: scala.collection.mutable.LinkedHashSet[String],
+      warm: Boolean = true): Array[Vector[Double]] = {
+    if (warm) queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val samples = Array.fill(queries.size)(Vector.newBuilder[Double])
@@ -130,6 +131,34 @@ object Bench {
       } else None
     }
 
+    // Optional UPWARD scale point (r8 VERDICT #4): a locally generated
+    // ~sf1 corpus (tools/scale_up.py, 10× sf0.1 with shifted keys)
+    // turns "the plans are shaped for 100 TB" into a measurement at a
+    // second, larger 10× step. Ratio = min(sf1) / min(sf0.1); linear-
+    // or-better stays ≲ 10–15, a quadratic stage reads far above.
+    // Runs without the extra warmup pass (the JVM is hot from the base
+    // suite; min-of-passes absorbs first-pass plan builds).
+    val scaleUp = {
+      val bigDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_UP_DIR", "target/sf1")
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_UP", "1") != "0" &&
+          sfDir.endsWith("sf0.1") && new java.io.File(bigDir).isDirectory) {
+        graft.operators.TextOps.releaseCache(spark)
+        val big = timeSuite(spark, queries, bigDir, ScalingPasses, errors,
+          warm = false)
+        val bigMins = big.map(_.min)
+        val ratios = queries.indices.map { i =>
+          queries(i)._1 -> (bigMins(i) / math.max(mins(i), 1e-9))
+        }
+        val flagged = ratios.filter(_._2 > 15.0).map(_._1)
+        val r = jsonMap(ratios.map { case (k, v) =>
+          k -> (math.round(v * 100.0) / 100.0).toString })
+        val f = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val bm = jsonMap(queries.indices.map(i => queries(i)._1 -> r4(bigMins(i))))
+        Some(s"""{"big_sf":"$bigDir","data_ratio":10.0,""" +
+          s""""queries_min_big":$bm,"time_ratio":$r,"superlinear":$f}""")
+      } else None
+    }
+
     // stdout: contract fields only, sized so BOTH emitted copies (bare +
     // sentinel-prefixed, see below) fit together inside the driver's
     // 2,000-char log tail alongside sbt's trailing "[success] …" line.
@@ -164,7 +193,8 @@ object Bench {
     val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
       s""""queries":$qs,"queries_min":$qmins,"query_names":$names,""" +
       s""""errors":$errJson,"sf":"$sfDir"""" +
-      scaling.map(s => s""","scaling":$s""").getOrElse("") + "}"
+      scaling.map(s => s""","scaling":$s""").getOrElse("") +
+      scaleUp.map(s => s""","scale_up":$s""").getOrElse("") + "}"
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     graft.operators.TextOps.releaseCache(spark)

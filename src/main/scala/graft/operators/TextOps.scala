@@ -247,18 +247,32 @@ object TextOps {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
 
-  def qJaccardDfCap(s: SparkSession, dir: String): DataFrame = {
-    val sizes = cappedSizes(s, dir)
-    val pairs = cappedPairInter(s, dir)
-    pairs
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+  /** (doc_a, doc_b, inter, na, nb): the fully-scored candidate-pair
+    * relation shared by t38 (Jaccard) and t60 (containment), memoized
+    * per (session, dir) — r8 VERDICT #7: the two gates used to each
+    * re-run the pair expansion + two size joins (~10 stages apiece,
+    * scheduling-floor-dominated at small SF); now the second gate is a
+    * single in-row division + filter over this persisted frame. The
+    * relation is candidate-bounded (≤ C(DfCap,2) pairs per surviving
+    * shingle), so persisting it is index-sized, never corpus².
+    */
+  private def cappedPairStats(s: SparkSession, dir: String): DataFrame =
+    memoPersist("jaccard-pairstats", s, dir) {
+      val sizes = cappedSizes(s, dir)
+      cappedPairInter(s, dir)
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          col("sa.n").as("na"), col("sb.n").as("nb"))
+    }
+
+  def qJaccardDfCap(s: SparkSession, dir: String): DataFrame =
+    cappedPairStats(s, dir)
       .withColumn("jaccard",
-        col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
+        col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   val qJaccardDfCapOracle: String = s"""
     WITH sh AS ($shinglesSql),
@@ -294,18 +308,14 @@ object TextOps {
     * expansion, same DfCap² bound — one extra statistic, zero extra
     * corpus passes.
     */
-  def qContainment(s: SparkSession, dir: String): DataFrame = {
-    val sizes = cappedSizes(s, dir)
-    cappedPairInter(s, dir)
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("cont_a", col("inter") / col("sa.n"))
-      .withColumn("cont_b", col("inter") / col("sb.n"))
+  def qContainment(s: SparkSession, dir: String): DataFrame =
+    cappedPairStats(s, dir)
+      .withColumn("cont_a", col("inter") / col("na"))
+      .withColumn("cont_b", col("inter") / col("nb"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= ContainmentTau)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         col("cont_a"), col("cont_b"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   val qContainmentOracle: String = s"""
     WITH sh AS ($shinglesSql),
