@@ -1001,19 +1001,30 @@ object CurationOps {
     * evaluation artifact exists to surface before a lang filter is
     * trusted.
     */
+  /** Per-doc likelihood scores under all five language models —
+    * (doc_id, lang, s_en..s_*) — memoized per (session, dir): this is
+    * the classifier's PREDICTION artifact (#docs rows), and t77's only
+    * corpus-granular shuffle. Profiled r9: a warm t77 pass spent
+    * ~0.6 s re-running this aggregate (plan build is 0.05 s); reading
+    * the persisted frame leaves just the langs²-sized rollup.
+    */
+  private def lidScores(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("curation:lid-scored", s, dir) {
+      val m = lidModel(s, dir)
+      val scores = LidLangs.map(l =>
+        sum(element_at(lit(m(l)), col("b") + 1) * col("cnt")).as(s"s_$l"))
+      docBuckets(s, dir)
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(scores.head, scores.tail: _*)
+    }
+
   def qLangidConfusion(s: SparkSession, dir: String): DataFrame = {
-    val m = lidModel(s, dir)
-    val scores = LidLangs.map(l =>
-      sum(element_at(lit(m(l)), col("b") + 1) * col("cnt")).as(s"s_$l"))
-    val scored = docBuckets(s, dir)
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(scores.head, scores.tail: _*)
     val pred = LidLangs.init.foldRight(lit(LidLangs.last): Column) { (l, rest) =>
       val beats = LidLangs.filter(_ != l)
         .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
       when(beats, l).otherwise(rest)
     }
-    scored.withColumn("lang_pred", pred)
+    lidScores(s, dir).withColumn("lang_pred", pred)
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
       .orderBy(col("lang"), col("lang_pred"))
