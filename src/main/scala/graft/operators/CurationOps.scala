@@ -1213,11 +1213,81 @@ object CurationOps {
     GROUP BY lang_a, lang_b
     ORDER BY lang_a, lang_b"""
 
+  // ---- Count-min-sketch heavy hitters (t81) ---------------------------
+
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+  private val CmsTopK = 20
+
+  /** Count-min-sketch heavy-hitters evaluation (t81) — the sketch
+    * family's frequent-items member beside q30 (HLL distinct), q35
+    * (approx percentile) and t73 (MinHash error): a [[CmsDepth]]×
+    * [[CmsWidth]] CMS over the corpus word stream (Cormode & Muthu
+    * 2005), evaluated t73-style by reporting, for the exact top-
+    * [[CmsTopK]] words, the true count, the sketch estimate
+    * (min over rows of the hashed cell) and the overestimate — which
+    * the CMS one-sided error guarantee keeps ≥ 0, a property the gate
+    * output exhibits directly.
+    *
+    * CMS was chosen over space-saving/Misra-Gries deliberately: its
+    * counters are pure SUMS over (row, hash-cell) — order-independent
+    * and mergeable — so the sketch is bit-identical across engines,
+    * partitionings and runs, which is what makes a sketch gate
+    * oracle-checkable at all (a space-saving summary depends on
+    * stream order and cannot hash-match a different engine).
+    *
+    * Scale shape: counters build from the vocabulary-sized tf relation
+    * (equal to building from the raw stream, since cells are additive),
+    * which rides the memoized [[occurrences]] index; the sketch is
+    * depth×width rows no matter the corpus size; the top-k probe joins
+    * a broadcast 256-row counter table. All counts exact bigints.
+    */
+  def qCmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val tf = occurrences(s, dir).groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    val bucketSql = (d: String, w: String) =>
+      s"cast(conv(substring(md5(concat(cast($d as string), ':', $w)), 1, 4), 16, 10) as bigint) % $CmsWidth"
+    val cells = tf
+      .select(col("tf"), explode(expr(
+        s"transform(sequence(0, ${CmsDepth - 1}), d -> named_struct(" +
+          s"'d', d, 'b', ${bucketSql("d", "w")}))")).as("db"))
+      .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+      .agg(sum(col("tf")).as("c"))
+    val top = tf.orderBy(col("tf").desc, col("w")).limit(CmsTopK)
+    top
+      .select(col("w"), col("tf"),
+        explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("d"))
+      .withColumn("b", expr(bucketSql("d", "w")))
+      .join(broadcast(cells), Seq("d", "b"))
+      .groupBy(col("w"), col("tf"))
+      .agg(min(col("c")).as("est_tf"))
+      .withColumn("overestimate", col("est_tf") - col("tf"))
+      .select(col("w"), col("tf"), col("est_tf"), col("overestimate"))
+      .orderBy(col("tf").desc, col("w"))
+  }
+
+  val qCmsHeavyHittersOracle: String = s"""
+    WITH occ AS (SELECT UNNEST($wordsSql) AS w FROM documents),
+    tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS tf FROM occ GROUP BY w),
+    cells AS (
+      SELECT d, CAST(CONCAT('0x', SUBSTRING(MD5(CAST(d AS VARCHAR) || ':' || w), 1, 4)) AS BIGINT) % $CmsWidth AS b,
+             CAST(SUM(tf) AS BIGINT) AS c
+      FROM tf CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS d)
+      GROUP BY 1, 2),
+    top AS (SELECT w, tf FROM tf ORDER BY tf DESC, w LIMIT $CmsTopK)
+    SELECT t.w, t.tf, CAST(MIN(c.c) AS BIGINT) AS est_tf,
+           CAST(MIN(c.c) - t.tf AS BIGINT) AS overestimate
+    FROM top t
+    JOIN cells c
+      ON c.b = CAST(CONCAT('0x', SUBSTRING(MD5(CAST(c.d AS VARCHAR) || ':' || t.w), 1, 4)) AS BIGINT) % $CmsWidth
+    GROUP BY t.w, t.tf
+    ORDER BY t.tf DESC, t.w"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("t42_stratified_sample", qStratifiedSample, Some(qStratifiedSampleOracle)),
     GateQuery("t43_term_stats", qTermStats, Some(qTermStatsOracle)),
     GateQuery("t44_uniform_sample", qUniformSample, Some(qUniformSampleOracle)),
     GateQuery("t45_top_terms", qTopTerms, Some(qTopTermsOracle)),
+    GateQuery("t81_cms_heavy_hitters", qCmsHeavyHitters, Some(qCmsHeavyHittersOracle)),
     GateQuery("t47_curate_manifest", qCurateManifest, Some(qCurateManifestOracle)),
     GateQuery("t48_bpe_pairs", qBpePairs, Some(qBpePairsOracle)),
     GateQuery("t50_lexical_topk", qLexicalTopk, Some(qLexicalTopkOracle)),
