@@ -101,6 +101,29 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS one-sided error: estimate >= true count for EVERY corpus word") {
+    // the count-min guarantee behind t81: hashing can only ADD mass to a
+    // cell, so min-over-rows never under-counts. Checked over the full
+    // vocabulary, not just the top-k the gate reports.
+    import org.apache.spark.sql.functions._
+    val top = graft.operators.CurationOps.qCmsHeavyHitters(spark, dir)
+    val rows = top.collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_tf") >= r.getAs[Long]("tf"),
+        s"undercount for ${r.getAs[String]("w")}")
+      assert(r.getAs[Long]("overestimate") ===
+        r.getAs[Long]("est_tf") - r.getAs[Long]("tf"))
+    }
+    // true top-k really is the exact top-k of the corpus tf table
+    val tf = Tables.documents(spark, dir)
+      .select(explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val wantTop = tf.sortBy { case (w, n) => (-n, w) }.take(20).toSeq
+    assert(rows.map(r => r.getAs[String]("w") -> r.getAs[Long]("tf")).toSeq === wantTop)
+  }
+
   test("SQ8 quantization stays in [0,255] and rerank recall matches brute force") {
     val q = VectorOps.quantized(spark, dir)
       .select(explode(col("qv")).as("c"))

@@ -253,6 +253,44 @@ class ScaleAndSinkSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("salting spreads a hot key that a plain shuffle funnels into one task") {
+    // the measured benefit behind q38's deliberate demonstration: on a
+    // corpus with ONE dominant key, the plain key-hash exchange lands
+    // every hot row in a single partition (the 100 TB straggler), while
+    // the (key, salt) exchange splits it. Row-distribution assertion,
+    // not timing, so it is deterministic; AQE is disabled for the
+    // measurement because it would coalesce these tiny test shuffles.
+    import spark.implicits._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // salting is the tool for when the build side is NOT broadcastable;
+    // force the shuffle-join regime the technique exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // enough partitions that 8 salt values don't clump into one bucket
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val hot = (1 to 40000).map(i => (1, i)) // one hot key...
+      val cold = (1 to 100).map(i => (1 + i % 7, i)) // ...7 cool ones
+      val left = (hot ++ cold).toDF("k", "v")
+      val right = (1 to 8).map(k => (k, s"dim$k")).toDF("k", "name")
+      def maxPartition(df: org.apache.spark.sql.DataFrame): Long =
+        df.withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+          .groupBy("pid").count()
+          .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      val plainMax = maxPartition(left.join(right, Seq("k")))
+      val saltedMax = maxPartition(Scale.saltedJoin(left, right, "k", saltFactor = 8))
+      assert(plainMax >= 40000L, s"hot key must funnel the plain join: $plainMax")
+      assert(saltedMax <= plainMax / 2,
+        s"salting must split the hot partition: salted=$saltedMax plain=$plainMax")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS bt_orders")
