@@ -140,8 +140,17 @@ object Bench {
     // suite; min-of-passes absorbs first-pass plan builds).
     val scaleUp = {
       val bigDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_UP_DIR", "target/sf1")
+      // staleness guard: target/sf1 derives from sf0.1 (tools/scale_up.py);
+      // if the driver regenerated the corpus after sf1 was built, the two
+      // dirs describe DIFFERENT data and the ratio would be meaningless —
+      // skip rather than mislead (regenerate with scale_up.py to restore)
+      val fresh = {
+        val src = new java.io.File(sfDir, "lineitem.parquet")
+        val dst = new java.io.File(bigDir, "lineitem.parquet")
+        src.isFile && dst.isFile && dst.lastModified() >= src.lastModified()
+      }
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_UP", "1") != "0" &&
-          sfDir.endsWith("sf0.1") && new java.io.File(bigDir).isDirectory) {
+          sfDir.endsWith("sf0.1") && fresh) {
         graft.operators.TextOps.releaseCache(spark)
         val big = timeSuite(spark, queries, bigDir, ScalingPasses, errors,
           warm = false)
