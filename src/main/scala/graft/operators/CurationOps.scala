@@ -141,9 +141,19 @@ object CurationOps {
           explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
     }
 
+  /** (w, tf) corpus term frequencies — vocabulary-sized, memoized per
+    * (session, dir); shared by t43's per-doc stats and t81's CMS build
+    * so the corpus-granular aggregate runs once per session, not once
+    * per gate execution.
+    */
+  private def termFreq(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("curation:tf", s, dir) {
+      occurrences(s, dir).groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    }
+
   def qTermStats(s: SparkSession, dir: String): DataFrame = {
     val occ = occurrences(s, dir).select(col("doc_id"), col("w"))
-    val tf = occ.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    val tf = termFreq(s, dir)
     occ.join(tf, "w")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
@@ -1243,7 +1253,7 @@ object CurationOps {
     * a broadcast 256-row counter table. All counts exact bigints.
     */
   def qCmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val tf = occurrences(s, dir).groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    val tf = termFreq(s, dir)
     val bucketSql = (d: String, w: String) =>
       s"cast(conv(substring(md5(concat(cast($d as string), ':', $w)), 1, 4), 16, 10) as bigint) % $CmsWidth"
     val cells = tf
