@@ -105,6 +105,24 @@ object Bench {
     val qmins = jsonMap(queries.indices.map(i => queries(i)._1 -> r4(mins(i))))
     val total = medians.sum
 
+    // Shared assembly for a second scale point: per-query time ratio,
+    // flags above 1.5× the data ratio (10× data → flag > 15), and the
+    // other dir's mins. Locale-independent 2-decimal rendering for the
+    // ratios: f"%.2f" would emit a decimal COMMA (invalid JSON) under
+    // comma-decimal locales.
+    def scalePoint(otherDir: String, otherMins: Array[Double],
+        dirKey: String, minsKey: String, dataRatio: Double,
+        ratioOf: Int => Double): String = {
+      val ratios = queries.indices.map(i => queries(i)._1 -> ratioOf(i))
+      val flagged = ratios.filter(_._2 > 1.5 * dataRatio).map(_._1)
+      val r = jsonMap(ratios.map { case (k, v) =>
+        k -> (math.round(v * 100.0) / 100.0).toString })
+      val f = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val om = jsonMap(queries.indices.map(i => queries(i)._1 -> r4(otherMins(i))))
+      s"""{"$dirKey":"$otherDir","data_ratio":$dataRatio,""" +
+        s""""$minsKey":$om,"time_ratio":$r,"superlinear":$f}"""
+    }
+
     // Optional second scale point: min-of-passes at the sibling small
     // SF, reported as ratio = min(base) / min(small) per query. With a
     // 10× data ratio, linear-or-better queries stay ≲ 10–15; a
@@ -116,38 +134,34 @@ object Bench {
         graft.operators.TextOps.releaseCache(spark)
         val small = timeSuite(spark, queries, smallDir, ScalingPasses, errors)
         val smallMins = small.map(_.min)
-        val ratios = queries.indices.map { i =>
-          queries(i)._1 -> (mins(i) / math.max(smallMins(i), 1e-9))
-        }
-        val flagged = ratios.filter(_._2 > 15.0).map(_._1)
-        // locale-independent 2-decimal rendering: f"%.2f" would emit a
-        // decimal COMMA (invalid JSON) under comma-decimal locales
-        val r = jsonMap(ratios.map { case (k, v) =>
-          k -> (math.round(v * 100.0) / 100.0).toString })
-        val f = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-        val sm = jsonMap(queries.indices.map(i => queries(i)._1 -> r4(smallMins(i))))
-        Some(s"""{"small_sf":"$smallDir","data_ratio":10.0,""" +
-          s""""queries_min_small":$sm,"time_ratio":$r,"superlinear":$f}""")
+        Some(scalePoint(smallDir, smallMins, "small_sf", "queries_min_small",
+          10.0, i => mins(i) / math.max(smallMins(i), 1e-9)))
       } else None
     }
 
     // Optional UPWARD scale point (r8 VERDICT #4): a locally generated
     // ~sf1 corpus (tools/scale_up.py, 10× sf0.1 with shifted keys)
     // turns "the plans are shaped for 100 TB" into a measurement at a
-    // second, larger 10× step. Ratio = min(sf1) / min(sf0.1); linear-
-    // or-better stays ≲ 10–15, a quadratic stage reads far above.
-    // Runs without the extra warmup pass (the JVM is hot from the base
-    // suite; min-of-passes absorbs first-pass plan builds).
+    // second, larger 10× step. Ratio = min(big) / min(base); the flag
+    // threshold scales with the configured data ratio. Runs without
+    // the extra warmup pass (the JVM is hot from the base suite;
+    // min-of-passes absorbs first-pass plan builds).
     val scaleUp = {
       val bigDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_UP_DIR", "target/sf1")
+      val upRatio = sys.env.getOrElse("SPARK_GRAFT_SCALE_UP_RATIO", "10.0").toDouble
       // staleness guard: target/sf1 derives from sf0.1 (tools/scale_up.py);
-      // if the driver regenerated the corpus after sf1 was built, the two
-      // dirs describe DIFFERENT data and the ratio would be meaningless —
-      // skip rather than mislead (regenerate with scale_up.py to restore)
+      // if the corpus was regenerated after sf1 was built — or scale_up.py
+      // died mid-write — the two dirs describe DIFFERENT data and the
+      // ratio would be meaningless. Every source table must have a
+      // same-named file in the big dir at least as new as it.
       val fresh = {
-        val src = new java.io.File(sfDir, "lineitem.parquet")
-        val dst = new java.io.File(bigDir, "lineitem.parquet")
-        src.isFile && dst.isFile && dst.lastModified() >= src.lastModified()
+        val srcFiles = Option(new java.io.File(sfDir).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.endsWith(".parquet"))
+        srcFiles.nonEmpty && srcFiles.forall { sf =>
+          val df = new java.io.File(bigDir, sf.getName)
+          df.isFile && df.lastModified() >= sf.lastModified()
+        }
       }
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_UP", "1") != "0" &&
           sfDir.endsWith("sf0.1") && fresh) {
@@ -155,16 +169,8 @@ object Bench {
         val big = timeSuite(spark, queries, bigDir, ScalingPasses, errors,
           warm = false)
         val bigMins = big.map(_.min)
-        val ratios = queries.indices.map { i =>
-          queries(i)._1 -> (bigMins(i) / math.max(mins(i), 1e-9))
-        }
-        val flagged = ratios.filter(_._2 > 15.0).map(_._1)
-        val r = jsonMap(ratios.map { case (k, v) =>
-          k -> (math.round(v * 100.0) / 100.0).toString })
-        val f = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-        val bm = jsonMap(queries.indices.map(i => queries(i)._1 -> r4(bigMins(i))))
-        Some(s"""{"big_sf":"$bigDir","data_ratio":10.0,""" +
-          s""""queries_min_big":$bm,"time_ratio":$r,"superlinear":$f}""")
+        Some(scalePoint(bigDir, bigMins, "big_sf", "queries_min_big",
+          upRatio, i => bigMins(i) / math.max(mins(i), 1e-9)))
       } else None
     }
 

@@ -454,18 +454,24 @@ object Analytics {
 
   /** The capped candidate frame behind q40: signups (user_id, sid,
     * tsu, day) against purchases (user_id, tp), window (tsu, tsu+w].
-    * A purchase in the window lies in bucket h0 = tsu div w (where
-    * "in window" ⟺ tp > tsu, since the bucket ends by tsu+w) or in
-    * bucket h0+1 (where tp > tsu holds automatically and "in window"
-    * ⟺ tp ≤ tsu+w) — so per bucket the min/max purchase time decides
-    * existence exactly, and the join carries ≤ 2 rows per signup.
+    * A purchase in the window lies in bucket h0 = floor(tsu / w)
+    * (where "in window" ⟺ tp > tsu, since the bucket ends by tsu+w)
+    * or in bucket h0+1 (where tp > tsu holds automatically and "in
+    * window" ⟺ tp ≤ tsu+w) — so per bucket the min/max purchase time
+    * decides existence exactly, and the join carries ≤ 2 rows per
+    * signup. Bucketing must be FLOOR division — `x div w` truncates
+    * toward zero, which for negative (pre-1970) timestamps makes
+    * bucket 0 double-width and breaks the two-bucket lemma — so the
+    * exact-integer `(x − pmod(x, w)) div w` form is used (pmod ≥ 0,
+    * so the numerator is the exact floor multiple; a double floor()
+    * would lose precision above 2⁵³ µs).
     */
   private[graft] def funnelCandidates(signups: DataFrame,
       purchases: DataFrame, w: Long): DataFrame = {
-    val pb = purchases.withColumn("jb", expr(s"tp div $w"))
+    val pb = purchases.withColumn("jb", expr(s"(tp - pmod(tp, $w)) div $w"))
       .groupBy(col("user_id"), col("jb"))
       .agg(min(col("tp")).as("min_tp"), max(col("tp")).as("max_tp"))
-    signups.withColumn("hb", expr(s"tsu div $w"))
+    signups.withColumn("hb", expr(s"(tsu - pmod(tsu, $w)) div $w"))
       .select(col("user_id"), col("sid"), col("tsu"), col("day"),
         col("hb"), explode(array(col("hb"), col("hb") + 1)).as("jb"))
       .join(pb, Seq("user_id", "jb"), "left")

@@ -30,13 +30,20 @@ object BpeReference {
   /** Greedy left-to-right application of one merge: consume (l, r) at
     * the earliest position, emit l++r, continue AFTER the pair — the
     * non-overlapping forward scan of the published algorithm.
+    * Tail-recursive with an accumulator: a pathological space-free
+    * token (minified blob) must not overflow the stack in the oracle
+    * while the gate path's iterative loop handles it fine.
     */
-  def mergePair(syms: List[String], l: String, r: String): List[String] =
-    syms match {
-      case a :: b :: rest if a == l && b == r => (l + r) :: mergePair(rest, l, r)
-      case a :: rest => a :: mergePair(rest, l, r)
-      case Nil => Nil
-    }
+  def mergePair(syms: List[String], l: String, r: String): List[String] = {
+    @annotation.tailrec
+    def loop(rest: List[String], acc: List[String]): List[String] =
+      rest match {
+        case a :: b :: tail if a == l && b == r => loop(tail, (l + r) :: acc)
+        case a :: tail => loop(tail, a :: acc)
+        case Nil => acc.reverse
+      }
+    loop(syms, Nil)
+  }
 
   /** Learn `nMerges` merges from a (word, frequency) table. Returns
     * (rank, left, right, count) in training order, rank 1-based.

@@ -838,13 +838,25 @@ object TextOps {
   /** The curation chain's survival threshold (the 'fair' band floor). */
   private[graft] val QualityFloor = 0.6
 
+  /** Band thresholds, highest floor first; a score below every floor
+    * falls into [[QualityDefaultBand]]. This table is the SINGLE
+    * source for the gate's when-chain, the oracle's CASE and the band
+    * domain below — a new band added here reaches all three at once,
+    * so the t75 rate-coverage guard checks against what the emitter
+    * actually emits, not a third hand-maintained copy (r9 review).
+    */
+  private[graft] val QualityBandThresholds: Seq[(String, Double)] =
+    Seq("good" -> 0.8, "fair" -> QualityFloor)
+  private[graft] val QualityDefaultBand: String = "low"
+
   /** The COMPLETE band domain [[qQualityScore]] can emit. Consumers
     * that key per-band parameters (t75's sampling rates) assert
-    * coverage against this list, so adding a band here without
-    * updating them fails fast instead of silently dropping the new
-    * band's docs through a null map lookup (r8 ADVICE).
+    * coverage against this list, so adding a band without updating
+    * them fails fast instead of silently dropping the new band's docs
+    * through a null map lookup (r8 ADVICE).
     */
-  private[graft] val QualityBands: Seq[String] = Seq("good", "fair", "low")
+  private[graft] val QualityBands: Seq[String] =
+    QualityBandThresholds.map(_._1) :+ QualityDefaultBand
 
   /** Quality scoring: length/diversity/stopword-ratio features and a
     * weighted score — the training-data quality-filter shape. All
@@ -852,10 +864,12 @@ object TextOps {
     * engines.
     */
   def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val band = QualityBandThresholds
+      .foldRight(lit(QualityDefaultBand): org.apache.spark.sql.Column) {
+        case ((b, floor), rest) => when(col("score") >= floor, b).otherwise(rest)
+      }
     withQualityScore(Tables.documents(s, dir).withColumn("words", wordsCol))
-      .withColumn("band",
-        when(col("score") >= 0.8, "good")
-          .when(col("score") >= QualityFloor, "fair").otherwise("low"))
+      .withColumn("band", band)
       .select(col("doc_id"), col("n_words"), col("n_distinct"),
         col("n_stop"), col("score"), col("band"))
       .orderBy(col("doc_id"))
@@ -875,8 +889,9 @@ object TextOps {
              LEAST(n_words / 50.0, 1.0) * 0.2 AS score
       FROM g)
     SELECT doc_id, n_words, n_distinct, n_stop, score,
-           CASE WHEN score >= 0.8 THEN 'good'
-                WHEN score >= 0.6 THEN 'fair' ELSE 'low' END AS band
+           CASE ${QualityBandThresholds.map { case (b, f) =>
+             s"WHEN score >= $f THEN '$b'" }.mkString(" ")}
+                ELSE '$QualityDefaultBand' END AS band
     FROM h
     ORDER BY doc_id"""
 

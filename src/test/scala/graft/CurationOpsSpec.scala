@@ -103,25 +103,42 @@ class CurationOpsSpec extends AnyFunSuite {
 
   test("CMS one-sided error: estimate >= true count for EVERY corpus word") {
     // the count-min guarantee behind t81: hashing can only ADD mass to a
-    // cell, so min-over-rows never under-counts. Checked over the full
-    // vocabulary, not just the top-k the gate reports.
+    // cell, so min-over-rows never under-counts. The gate reports only
+    // the top-20, so the full-vocabulary guarantee is checked against a
+    // straight-line sketch rebuilt with the same md5 bucketing.
     import org.apache.spark.sql.functions._
-    val top = graft.operators.CurationOps.qCmsHeavyHitters(spark, dir)
-    val rows = top.collect()
+    val rows = graft.operators.CurationOps.qCmsHeavyHitters(spark, dir).collect()
     assert(rows.length === 20)
     rows.foreach { r =>
-      assert(r.getAs[Long]("est_tf") >= r.getAs[Long]("tf"),
-        s"undercount for ${r.getAs[String]("w")}")
       assert(r.getAs[Long]("overestimate") ===
         r.getAs[Long]("est_tf") - r.getAs[Long]("tf"))
     }
-    // true top-k really is the exact top-k of the corpus tf table
     val tf = Tables.documents(spark, dir)
       .select(explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("tf"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
+    // true top-k really is the exact top-k of the corpus tf table
     val wantTop = tf.sortBy { case (w, n) => (-n, w) }.take(20).toSeq
     assert(rows.map(r => r.getAs[String]("w") -> r.getAs[Long]("tf")).toSeq === wantTop)
+    // straight-line sketch: same hex-md5 buckets as the SQL expression
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(d: Int, w: String): Long =
+      java.lang.Long.parseLong(md5hex(s"$d:$w").substring(0, 4), 16) % 64
+    val cells = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
+    tf.foreach { case (w, n) =>
+      (0 until 4).foreach { d =>
+        val k = (d, bucket(d, w)); cells(k) = cells.getOrElse(k, 0L) + n
+      }
+    }
+    def est(w: String): Long = (0 until 4).map(d => cells((d, bucket(d, w)))).min
+    tf.foreach { case (w, n) => assert(est(w) >= n, s"CMS undercount for '$w'") }
+    // and the straight-line estimates agree with the gate's SQL hashing
+    rows.foreach { r =>
+      assert(est(r.getAs[String]("w")) === r.getAs[Long]("est_tf"),
+        s"bucket mismatch vs SQL for ${r.getAs[String]("w")}")
+    }
   }
 
   test("SQ8 quantization stays in [0,255] and rerank recall matches brute force") {

@@ -65,4 +65,19 @@ class FunnelFanoutSpec extends AnyFunSuite {
     assert(got(900L) === 0, "purchase at exactly tsu must not convert")
     assert(got(901L) === 1, "purchase at exactly tsu+w must convert")
   }
+
+  test("bucketing is floor division: pre-1970 timestamps keep the two-bucket lemma") {
+    // `x div w` truncates toward zero, making bucket 0 double-width for
+    // negative timestamps; a purchase OUTSIDE the window would share the
+    // truncation bucket and read as a false conversion
+    val signups = Seq((1L, 1L, -W / 2), (2L, 2L, -W / 2))
+    val purchases = Seq(
+      (1L, 3 * W / 4),  // outside (-W/2, W/2]: must NOT convert
+      (2L, W / 4))      // inside: must convert
+    val (su, pu) = frames(signups, purchases)
+    val got = Analytics.funnelCandidates(su, pu, W)
+      .groupBy(col("sid")).agg(max(when(col("hit"), 1).otherwise(0)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1))
+  }
 }

@@ -112,7 +112,13 @@ docs = con.sql(
 vocab = sorted({w for _, text, _, _ in docs for w in (text or "").split(" ") if w})
 vidx = {w: i for i, w in enumerate(vocab)}
 V = len(vocab)
-rot_off = V // FACTOR + 7  # coprime-ish offset; any nonzero shift works
+# the offset MUST be coprime with V: otherwise (k1-k2)*off ≡ 0 (mod V)
+# makes two replicas' rotations coincide, giving every document an
+# exact cross-replica twin and silently inflating the dedup gates'
+# candidate counts at sf1 — search up from V//FACTOR for a unit
+import math as _math
+rot_off = next(o for o in range(max(V // FACTOR + 7, 1), 2 * V + 8)
+               if _math.gcd(o % max(V, 1), V) == 1 and o % V != 0) if V > 1 else 1
 
 out = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
 for k in range(FACTOR):
