@@ -184,12 +184,20 @@ object TrainingOps {
     * Every quantity is exact bigint arithmetic end to end: the gate is
     * engine-portable with zero float ops.
     */
-  def qUnimaxMix(s: SparkSession, dir: String): DataFrame = {
-    val perSource = Tables.documents(s, dir)
+  def qUnimaxMix(s: SparkSession, dir: String): DataFrame =
+    unimaxAlloc(Tables.documents(s, dir)
       .select(col("source"),
         expr("size(filter(split(text, ' '), w -> w != ''))").cast("long").as("toks"))
       .groupBy(col("source"))
-      .agg(sum(col("toks")).as("n_tokens"))
+      .agg(sum(col("toks")).as("n_tokens")))
+
+  /** The closed-form waterfill over a (source, n_tokens) frame —
+    * factored out of the gate so specs can drive it with constructed
+    * source distributions (UnimaxPropertySpec differentials it against
+    * a straight-line Scala reference on randomized corpora).
+    */
+  private[graft] def unimaxAlloc(perSourceTokens: DataFrame): DataFrame = {
+    val perSource = perSourceTokens
       .withColumn("cap", col("n_tokens") * lit(UniMaxEpochs))
     // struct field order (cap, source, …) makes sort_array reproduce the
     // waterfill's ORDER BY cap, source; (cap, source) is unique per row.
