@@ -107,4 +107,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(graft.operators.MediaGate.qMediaDedup(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("t81 CMS probe joins the depth x width cells as a broadcast") {
+    val p = plan(graft.operators.CurationOps.qCmsHeavyHitters(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 256-row sketch table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q36 gap fill: exchanges are user-keyed, no nested loop") {
+    val p = plan(Analytics.qGapFill(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hashpartitioning(user_id"),
+      s"grid/fill must shuffle on the user key:\n$p")
+  }
 }
