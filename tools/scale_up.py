@@ -17,15 +17,20 @@ Replica construction (k = 0..9, k=0 is the identity):
 - timestamps are NOT shifted: replicas share the time range, i.e. the
   scaled corpus models 10x the traffic over the same period. Per-user
   spans (q36's grid) stay constant; per-hour groups get 10x denser.
-- documents: replica k applies a corpus-wide vocabulary ROTATION to
-  every word (word -> vocab[(idx + k*offset) % V]). Within a replica
-  the near-dup/shingle structure is exactly the base corpus's (the
-  map is 1:1), while across replicas texts share ~no shingles - so
-  dedup candidate pairs scale linearly at 10x instead of exploding
-  into 45 same-text pairs per doc, which would have made every
-  near-dup gate read falsely superlinear. Frequency multisets are
-  preserved exactly (freq of pi(w) in replica = freq of w in base).
-  n_chars is recomputed from the rewritten text.
+- documents: replica k suffixes every word with a separator char (one
+  provably absent from the base vocabulary) plus the replica id
+  (word -> word<sep>k). The map is 1:1 per replica, so within-replica
+  near-dup/shingle structure is exactly the base corpus's, while
+  cross-replica token sets are fully DISJOINT - so dedup candidate
+  pairs scale linearly at 10x instead of exploding into 45 same-text
+  pairs per doc. (An earlier vocabulary-ROTATION scheme kept replicas
+  exact-duplicate-free but left them sharing the same small token
+  SPACE, which inflated every shingle's document frequency ~10x and
+  made df-capped gates do 10x LESS pair work at sf1 - suffixing keeps
+  per-shingle df equal to the base corpus.) Frequency multisets are
+  preserved exactly (freq of w<sep>k in replica k = freq of w in
+  base); the global vocabulary grows 10x with the data, which is the
+  realistic shape. n_chars is recomputed from the rewritten text.
 - embeddings: replica k rolls each vector by k positions (norm
   preserved; rotations of high-dim vectors are near-orthogonal, so
   cross-replica cosine structure stays unclustered) and shifts vec_id.
@@ -105,31 +110,21 @@ replicate("lineitem", {"l_orderkey": KO, "l_partkey": KP, "l_suppkey": KS},
 replicate("events", {"event_id": KE, "user_id": KU},
           ["ts", "event_type", "value", "props"])
 
-# -- documents: vocabulary-rotation replicas ---------------------------
+# -- documents: suffixed-token replicas --------------------------------
 docs = con.sql(
     f"SELECT doc_id, text, lang, source FROM '{SRC}/documents.parquet' "
     "ORDER BY doc_id").fetchall()
-vocab = sorted({w for _, text, _, _ in docs for w in (text or "").split(" ") if w})
-vidx = {w: i for i, w in enumerate(vocab)}
-V = len(vocab)
-# the offset MUST be coprime with V: otherwise (k1-k2)*off ≡ 0 (mod V)
-# makes two replicas' rotations coincide, giving every document an
-# exact cross-replica twin and silently inflating the dedup gates'
-# candidate counts at sf1 — search up from V//FACTOR for a unit
-import math as _math
-rot_off = next(o for o in range(max(V // FACTOR + 7, 1), 2 * V + 8)
-               if _math.gcd(o % max(V, 1), V) == 1 and o % V != 0) if V > 1 else 1
+used_chars = {c for _, text, _, _ in docs for c in (text or "")}
+sep = next(c for c in "§¤¶¬^~|@" if c not in used_chars)
 
 out = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
 for k in range(FACTOR):
-    off = (k * rot_off) % V
     for doc_id, text, lang, source in docs:
         words = (text or "").split(" ")
         if k == 0:
             new_text = text or ""
         else:
-            new_text = " ".join(
-                vocab[(vidx[w] + off) % V] if w else w for w in words)
+            new_text = " ".join(f"{w}{sep}{k}" if w else w for w in words)
         out["doc_id"].append(doc_id + k * KD)
         out["text"].append(new_text)
         out["lang"].append(lang)
@@ -142,7 +137,7 @@ pq.write_table(pa.table({
     "source": pa.array(out["source"], pa.string()),
     "n_chars": pa.array(out["n_chars"], pa.int64()),
 }), f"{DST}/documents.parquet")
-print(f"documents: {len(out['doc_id'])} rows (vocab {V}, rot {rot_off})")
+print(f"documents: {len(out['doc_id'])} rows (sep {sep!r})")
 
 # -- embeddings: rolled-vector replicas --------------------------------
 embs = con.sql(
