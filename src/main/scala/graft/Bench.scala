@@ -82,6 +82,19 @@ object Bench {
 
   private def r4(v: Double): String = fixed(v, 4)
 
+  /** 1-minute system load average from /proc/loadavg (-1 when
+    * unreadable, e.g. non-Linux). Recorded before and after the run
+    * (r9 VERDICT #2): BENCH_r09 was taken on a loaded machine and
+    * overstated the suite ~18% with nothing in the artifact to show
+    * it — cross-round per-query deltas were unattributable. With the
+    * load fields a reader can tell a measurement from a contention
+    * artifact without access to the machine.
+    */
+  private def loadavg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .trim.split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -95,7 +108,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadBefore = loadavg()
+    // Optional subset filter (comma-separated gate names or unique id
+    // prefixes): the sf10 heavy-gate scale point (r9 VERDICT #5) runs
+    // ~10 gates against a 100× corpus — timing the other 110 there
+    // would cost minutes for no signal.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) =>
+        only.forall(o => o.contains(n) || o.contains(n.takeWhile(_ != '_'))) }
 
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val samples = timeSuite(spark, queries, sfDir, TimedPasses, errors)
@@ -187,15 +209,25 @@ object Bench {
     // copy left of the 1,900-char pair budget, so when the suite
     // outgrows 950-char maps (89 queries did, r8) the per-query detail
     // survives on the sentinel line instead of vanishing from both.
+    // Machine-state fields (r9 VERDICT #2): loadavg before/after and a
+    // steady-state verdict — `steady` means the machine was quiet when
+    // the run STARTED (1-min load under a quarter of the benched
+    // cores); a false here marks the totals as contention-inflated.
+    val loadAfter = loadavg()
+    val steady = loadBefore >= 0 &&
+      loadBefore <= math.max(2.0, cpus.toDouble / 4)
+    val loadJson = s""""loadavg":[${fixed(loadBefore, 2)},${fixed(loadAfter, 2)}],""" +
+      s""""steady":$steady,"passes":$TimedPasses"""
+
     val ids = queries.map(_._1.takeWhile(_ != '_'))
     val useIds = ids.distinct.size == ids.size
     val keys = if (useIds) ids else queries.map(_._1)
     val minimal =
-      s"""{"metric":"total","value":${fixed(total, 4)},"unit":"sec","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fixed(total, 4)},"unit":"sec",$loadJson,"sf":"$sfDir"}"""
     def sized(budget: Int): String = Iterator(4, 3, 2, 1).map { dec =>
       val q = jsonMap(queries.indices.map(i => keys(i) -> fixed(medians(i), dec)))
       s"""{"metric":"total","value":${fixed(total, dec)},"unit":"sec",""" +
-        s""""queries":$q,"sf":"$sfDir"}"""
+        s""""queries":$q,$loadJson,"sf":"$sfDir"}"""
     }.find(_.length <= budget).getOrElse(minimal)
     val compact = sized(950)
     val sentinel = sized(1900 - compact.length - "BENCHJSON ".length)
@@ -207,7 +239,7 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
       s""""queries":$qs,"queries_min":$qmins,"query_names":$names,""" +
-      s""""errors":$errJson,"sf":"$sfDir"""" +
+      s""""errors":$errJson,$loadJson,"sf":"$sfDir"""" +
       scaling.map(s => s""","scaling":$s""").getOrElse("") +
       scaleUp.map(s => s""","scale_up":$s""").getOrElse("") + "}"
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")

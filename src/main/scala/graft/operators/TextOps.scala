@@ -20,8 +20,8 @@ import graft.Tables
   *    md5, higher-order array functions); no UDFs, no driver loops.
   *
   * Hash parity with the DuckDB oracle: both sides hash with md5 (hex,
-  * lowercase) and take lexicographic MIN over hex strings, so MinHash
-  * signatures are engine-exact.
+  * lowercase), parse the same 40-bit halves, and mix with the same
+  * integer arithmetic, so MinHash signatures are engine-exact.
   */
 object TextOps {
 
@@ -338,39 +338,67 @@ object TextOps {
     ORDER BY doc_a, doc_b"""
 
   /** MinHash + LSH near-dup — the scale path. k=8 hash functions
-    * (seeded md5, lexicographic string min), 4 bands × 2 rows; docs
-    * sharing any band signature become candidates; candidates are
-    * verified with exact Jaccard ≥ 0.5.
+    * (one md5 per shingle, Kirsch–Mitzenmacher mixing), 4 bands × 2
+    * rows; docs sharing any band signature become candidates;
+    * candidates are verified with exact Jaccard ≥ 0.5.
     *
     * At 100 TB: signatures are O(1) per doc (8 hashes), the band join
     * shuffles only (band_id, signature) pairs, and verification touches
     * only candidate pairs — this is the standard web-scale dedup layout
     * (no all-pairs join anywhere).
     */
+  /** 2^40 — the minhash value domain. 40-bit halves keep every
+    * intermediate (`a + 8·b < 2^44`) inside BIGINT range on BOTH
+    * engines: DuckDB's checked arithmetic would abort on a 64-bit
+    * overflow that Java silently wraps, so the K-M mix must never
+    * leave the exactly-representable positive range.
+    */
+  private val SigMod = 1099511627776L
+
   // Signatures are per-document minima, so compute them IN-ROW with
   // array_min over the shingle array — the naive layout's
   // explode → groupBy(doc_id) shuffle of every shingle disappears.
-  // array_min on strings is the same lexicographic MIN the oracle's
-  // MIN(md5 hex) aggregate takes.
+  // Hash cost is ONE md5 per shingle (not 8): the digest's two 40-bit
+  // halves (a, b) expand to 8 hash functions via Kirsch–Mitzenmacher
+  // mixing h_i = (a + i·b) mod 2^40 (K&M 2006, "Less Hashing, Same
+  // Performance"), so the expensive digest pass happens once and the
+  // 8 per-function passes are integer arithmetic over the parsed
+  // halves. (r9 profile: the 8-md5 layout's signature build was 10.2 s
+  // of t28's sf1 cold chain — ~8× the remaining stages combined.)
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
     memoPersist("minhash-sig", s, dir) {
-      (1 to 8).foldLeft(docShingles(s, dir).filter(col("n") > 0)) {
-        case (df, i) => df.withColumn(s"h$i",
-          array_min(transform(col("shs"), x => md5(concat(lit(s"$i:"), x)))))
-      }
+      val base = docShingles(s, dir).filter(col("n") > 0)
+        .withColumn("hp", expr(
+          "transform(shs, x -> named_struct(" +
+            "'a', cast(conv(substring(md5(x), 1, 10), 16, 10) as bigint), " +
+            "'b', cast(conv(substring(md5(x), 11, 10), 16, 10) as bigint)))"))
+      (1 to 8).foldLeft(base) { case (df, i) =>
+        df.withColumn(s"h$i",
+          array_min(expr(s"transform(hp, p -> (p.a + $i * p.b) % $SigMod)")))
+      }.drop("hp")
     }
 
   /** LSH candidate pairs (doc_a < doc_b) from the 4-band × 2-row
     * layout — the only wide exchange is the band join, which shuffles
     * 4 small rows per doc. Shared by t28 (verification) and t73
-    * (sketch-error evaluation).
+    * (sketch-error evaluation); MEMOIZED because t28's verify plan
+    * reads it from two branches (the pair join and the involved-doc
+    * semi-filter) and would otherwise run the band self-join twice
+    * per execution.
     */
-  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    memoPersist("lsh-cands", s, dir) {
+      lshCandidatesBuild(s, dir)
+    }
+
+  private def lshCandidatesBuild(s: SparkSession, dir: String): DataFrame = {
+    // ':'-separated band keys: the minhashes are decimal-rendered longs
+    // now, and bare concat would alias ("12"+"3" = "1"+"23").
     val bands = minhashSigs(s, dir).select(col("doc_id"), explode(map(
-      lit(1), concat(col("h1"), col("h2")),
-      lit(2), concat(col("h3"), col("h4")),
-      lit(3), concat(col("h5"), col("h6")),
-      lit(4), concat(col("h7"), col("h8"))))
+      lit(1), concat_ws(":", col("h1"), col("h2")),
+      lit(2), concat_ws(":", col("h3"), col("h4")),
+      lit(3), concat_ws(":", col("h5"), col("h6")),
+      lit(4), concat_ws(":", col("h7"), col("h8"))))
       .as(Seq("band_id", "band_sig")))
     bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
@@ -380,12 +408,38 @@ object TextOps {
       .distinct()
   }
 
+  /** Profiler hooks (graft.operators.ProfileT28) — expose the private
+    * stages without widening their access for production callers. */
+  private[operators] def minhashSigsForProfile(s: SparkSession, dir: String): DataFrame =
+    minhashSigs(s, dir)
+  private[operators] def lshCandidatesForProfile(s: SparkSession, dir: String): DataFrame =
+    lshCandidates(s, dir)
+
+  /** Candidate-docs-only verify relation (doc_id, shs, n) — the
+    * signature frame semi-filtered to docs that appear in an LSH
+    * candidate pair (r9 VERDICT #1): the involved-doc list is
+    * candidate-bounded (≤ 2·|pairs|, broadcastable), so the exchange
+    * that lines shingle arrays up with pairs carries only candidates'
+    * arrays instead of every document's — at 100 TB the verify
+    * relation is sized by the near-dup population, not the corpus.
+    * Memoized: t28 reads it twice per execution (both pair sides) and
+    * t73 reads it twice more.
+    */
+  private def lshVerifyDocs(s: SparkSession, dir: String): DataFrame =
+    memoPersist("lsh-verify-ds", s, dir) {
+      val cand = lshCandidates(s, dir)
+      val involved = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      minhashSigs(s, dir)
+        .join(broadcast(involved), Seq("doc_id"), "left_semi")
+    }
+
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigd = minhashSigs(s, dir)
     val cand = lshCandidates(s, dir)
     // verification: intersect the per-doc shingle ARRAYS of candidate
-    // pairs — same |∩| as the shingle-equality join, two joins fewer
-    val ds = sigd.select(col("doc_id"), col("shs"), col("n"))
+    // pairs — same |∩| as the shingle-equality join, two joins fewer;
+    // both sides read the memoized candidate-bounded verify relation
+    val ds = lshVerifyDocs(s, dir).select(col("doc_id"), col("shs"), col("n"))
     cand
       .join(ds.as("a"), col("doc_a") === col("a.doc_id"))
       .join(ds.as("b"), col("doc_b") === col("b.doc_id"))
@@ -398,16 +452,27 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Shared oracle fragments for the K-M signature layout: one md5 per
+    * shingle, 40-bit halves, h_i = (a + i·b) mod 2^40 — engine-exact
+    * vs Spark because every value stays a positive BIGINT. */
+  private val sigHalvesSql: String = """
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(MD5(s), 1, 10) AS BIGINT) AS a,
+             CAST('0x' || SUBSTR(MD5(s), 11, 10) AS BIGINT) AS b
+      FROM sh"""
+  private val sigMinsSql: String =
+    (1 to 8).map(i => s"MIN((a + $i * b) % $SigMod) AS h$i").mkString(", ")
+
   val qMinhashLshOracle: String = {
-    val hs = (1 to 8).map(i => s"MIN(MD5('$i:' || s)) AS h$i").mkString(", ")
     s"""
     WITH sh AS ($shinglesSql),
-    sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+    hp AS ($sigHalvesSql),
+    sig AS (SELECT doc_id, $sigMinsSql FROM hp GROUP BY doc_id),
     bands AS (
-      SELECT doc_id, 1 AS band_id, h1 || h2 AS band_sig FROM sig
-      UNION ALL SELECT doc_id, 2, h3 || h4 FROM sig
-      UNION ALL SELECT doc_id, 3, h5 || h6 FROM sig
-      UNION ALL SELECT doc_id, 4, h7 || h8 FROM sig),
+      SELECT doc_id, 1 AS band_id, h1 || ':' || h2 AS band_sig FROM sig
+      UNION ALL SELECT doc_id, 2, h3 || ':' || h4 FROM sig
+      UNION ALL SELECT doc_id, 3, h5 || ':' || h6 FROM sig
+      UNION ALL SELECT doc_id, 4, h7 || ':' || h8 FROM sig),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
@@ -446,10 +511,12 @@ object TextOps {
     * Jaccard is the same single long/long division t28 emits.
     */
   def qMinhashError(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSigs(s, dir)
+    val cands = lshCandidates(s, dir)
+    // same candidate-bounded verify relation as t28 (memoized)
+    val sig = lshVerifyDocs(s, dir)
     val agree = (1 to 8).map(i =>
       when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)).reduce(_ + _)
-    lshCandidates(s, dir)
+    cands
       .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .withColumn("n_agree", agree)
@@ -465,18 +532,18 @@ object TextOps {
   }
 
   val qMinhashErrorOracle: String = {
-    val hs = (1 to 8).map(i => s"MIN(MD5('$i:' || s)) AS h$i").mkString(", ")
     val agreeSql = (1 to 8)
       .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""
     WITH sh AS ($shinglesSql),
-    sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+    hp AS ($sigHalvesSql),
+    sig AS (SELECT doc_id, $sigMinsSql FROM hp GROUP BY doc_id),
     bands AS (
-      SELECT doc_id, 1 AS band_id, h1 || h2 AS band_sig FROM sig
-      UNION ALL SELECT doc_id, 2, h3 || h4 FROM sig
-      UNION ALL SELECT doc_id, 3, h5 || h6 FROM sig
-      UNION ALL SELECT doc_id, 4, h7 || h8 FROM sig),
+      SELECT doc_id, 1 AS band_id, h1 || ':' || h2 AS band_sig FROM sig
+      UNION ALL SELECT doc_id, 2, h3 || ':' || h4 FROM sig
+      UNION ALL SELECT doc_id, 3, h5 || ':' || h6 FROM sig
+      UNION ALL SELECT doc_id, 4, h7 || ':' || h8 FROM sig),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y

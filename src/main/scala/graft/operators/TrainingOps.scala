@@ -752,22 +752,30 @@ object TrainingOps {
     * construction avoids — the trade this formulation makes to stay a
     * two-stage Spark plan at any corpus size.
     */
-  /** The memoized (doc_id, h) span-hash relation — every length-
+  /** The memoized (doc_id, pos, h) span-hash relation — every length-
     * [[SpanL]] token window at stride 1, hashed in-row off one corpus
-    * scan. Read by t65 (corpus-wide repeat counting) and t68
-    * (train-vs-eval collision screening): the generator fan-out runs
-    * once per (session, dir) however many screens consume it.
+    * scan, keyed by its 1-based start token. Read by t65 (corpus-wide
+    * repeat counting), t68 (train-vs-eval collision screening) and t82
+    * (maximal-span extension, which needs the positions): the
+    * generator fan-out runs once per (session, dir) however many
+    * screens consume it.
     */
-  private def spanRelation(s: SparkSession, dir: String): DataFrame =
+  private def spanPosRelation(s: SparkSession, dir: String): DataFrame =
     SessionMemo.persist("training:spans", s, dir) {
       Tables.documents(s, dir)
         .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
         .withColumn("n", size(col("words")))
         .filter(col("n") >= SpanL)
-        .select(col("doc_id"), explode(expr(
+        .select(col("doc_id"), posexplode(expr(
           s"""transform(sequence(1, n - $SpanL + 1),
-                i -> md5(array_join(slice(words, i, $SpanL), ' ')))""")).as("h"))
+                i -> md5(array_join(slice(words, i, $SpanL), ' ')))"""))
+          .as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
     }
+
+  /** Position-free view for the consumers that only count hashes. */
+  private def spanRelation(s: SparkSession, dir: String): DataFrame =
+    spanPosRelation(s, dir).select(col("doc_id"), col("h"))
 
   def qRepeatedSpans(s: SparkSession, dir: String): DataFrame = {
     val spans = spanRelation(s, dir)
@@ -849,6 +857,103 @@ object TrainingOps {
     FROM tr LEFT JOIN ev ON ev.h = tr.h
     GROUP BY tr.doc_id
     ORDER BY tr.doc_id"""
+
+  // ---- Exact-substring dedup: maximal repeated spans (t82) ----
+
+  /** Window-hash document-frequency cap for span seeding — the t38
+    * df-cap discipline applied to the window space: a window shared by
+    * more than this many documents is ubiquitous boilerplate whose
+    * posting list would expand ~df²/2 seed matches; it is excluded
+    * from seeding BY CONTRACT (t65's corpus-wide counts are the tool
+    * for boilerplate; this operator is for pairwise verbatim reuse).
+    */
+  private val SpanDfCap = 50
+
+  /** Minimum reported span length in tokens (Lee et al. 2022 report
+    * ≥ 50-token verbatim overlaps as the interesting class).
+    */
+  private val MinSpan = 50
+
+  /** TRUE exact-substring dedup (t82) — the suffix-array-family
+    * statistic of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), computed without a global suffix array:
+    * for every document pair, each MAXIMAL repeated token span of
+    * length ≥ [[MinSpan]] at ARBITRARY alignment, reported as one span
+    * with both start offsets. t63 (aligned chunks) and t65 (fixed
+    * 20-token windows) see such a quote only piecewise; this operator
+    * reports it as the single (start_a, start_b, span_len) fact a
+    * curation pass can act on (cut the span, keep one copy).
+    *
+    * Method: seed from the memoized stride-1 window-hash relation —
+    * two windows with equal hashes at positions (i, j) of docs (a, b)
+    * lie on diagonal d = i − j, and a repeated substring of length
+    * M ≥ [[SpanL]] is exactly a run of M − SpanL + 1 consecutive
+    * matched windows on one diagonal. Gaps-and-islands over
+    * (pair, diagonal) recovers the maximal runs: island id =
+    * pos − row_number() (consecutive positions share it), one
+    * group-by emits each maximal span once. Nothing here is
+    * corpus-quadratic: seeding is posting-list-bounded by
+    * [[SpanDfCap]], runs are window-function work partitioned by
+    * (doc_a, doc_b, diagonal) — bounded by matched-window volume,
+    * never all-pairs. At 100 TB this is the standard layout: the
+    * window index is the corpus-sized artifact (one shuffle), matches
+    * are near-dup-sized, and the span extension never touches raw
+    * text.
+    *
+    * Maximality is over the df-capped window space: a span whose
+    * interior windows are boilerplate-hot fragments at the cap
+    * boundary (documented contract; the oracle applies the same cap,
+    * so the gate pins the exact same semantics).
+    */
+  def qExactSubstring(s: SparkSession, dir: String): DataFrame = {
+    val sp = spanPosRelation(s, dir)
+    val cold = sp.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("docf"))
+      .filter(col("docf") <= SpanDfCap)
+      .select(col("h"))
+    val spc = sp.join(cold, Seq("h"))
+    val m = spc.as("a").join(spc.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .withColumn("d", col("pa") - col("pb"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("d"))
+      .orderBy(col("pa"))
+    m.withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("d"), col("isl"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (max(col("pa")) - min(col("pa")) + lit(SpanL.toLong)).as("span_len"))
+      .filter(col("span_len") >= MinSpan)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_len"))
+      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
+
+  val qExactSubstringOracle: String = s"""
+    WITH f AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '') AS words
+      FROM documents),
+    g AS (SELECT doc_id, words, LEN(words) AS n FROM f WHERE LEN(words) >= $SpanL),
+    sp AS (
+      SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(words[i:i + $SpanL - 1], ' ')) AS h
+      FROM (SELECT doc_id, words, UNNEST(RANGE(1, n - $SpanL + 2)) AS i FROM g)),
+    cold AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) <= $SpanDfCap),
+    spc AS (SELECT sp.* FROM sp JOIN cold USING (h)),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS d
+      FROM spc a JOIN spc b ON a.h = b.h AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT *, pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, d ORDER BY pa) AS isl
+      FROM m),
+    spans AS (
+      SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+             MAX(pa) - MIN(pa) + $SpanL AS span_len
+      FROM isl GROUP BY doc_a, doc_b, d, isl)
+    SELECT doc_a, doc_b, CAST(start_a AS BIGINT) AS start_a,
+           CAST(start_b AS BIGINT) AS start_b, CAST(span_len AS BIGINT) AS span_len
+    FROM spans WHERE span_len >= $MinSpan
+    ORDER BY doc_a, doc_b, start_a, start_b"""
 
   /** Leakage-free (cluster-aware) splitting (t78) — the fix for the
     * subtle eval-inflation bug the plain per-doc hash split (t33)
@@ -1060,6 +1165,7 @@ object TrainingOps {
     GateQuery("t65_repeated_spans", qRepeatedSpans, Some(qRepeatedSpansOracle)),
     GateQuery("t67_chunk_retrieval", qChunkRetrieval, Some(qChunkRetrievalOracle)),
     GateQuery("t68_span_decontaminate", qSpanDecontaminate, Some(qSpanDecontaminateOracle)),
+    GateQuery("t82_exact_substring", qExactSubstring, Some(qExactSubstringOracle)),
     GateQuery("t76_contamination_report", qContaminationReport, Some(qContaminationReportOracle)),
     GateQuery("t78_cluster_split", qClusterSplit, Some(qClusterSplitOracle)),
   )

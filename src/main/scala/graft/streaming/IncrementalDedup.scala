@@ -13,8 +13,8 @@ import org.apache.spark.storage.StorageLevel
   * The index is a persisted table (parquet) of one row per document:
   * its distinct shingle array, shingle count, and the 4 banded MinHash
   * signatures — exactly the signature layout of the batch operator
-  * (TextOps.qMinhashLsh: 8 seeded-md5 minima, 4 bands × 2 rows). Each
-  * micro-batch:
+  * (TextOps.qMinhashLsh: 8 Kirsch–Mitzenmacher minhash minima off one
+  * md5 per shingle, 4 bands × 2 rows). Each micro-batch:
   *
   *  1. computes signatures for the NEW documents only (the old
   *     documents' raw text is never touched — their signatures are
@@ -56,12 +56,20 @@ object IncrementalDedup {
           "i -> array_join(slice(words, i, 3), ' ')) end")).as("shs"))
       .withColumn("n", size(col("shs")).cast("long"))
       .filter(col("n") > 0)
-    val sigs = (1 to 2 * Bands).foldLeft(base) { case (df, i) =>
-      df.withColumn(s"h$i",
-        array_min(transform(col("shs"), x => md5(concat(lit(s"$i:"), x)))))
+    // one md5 per shingle + Kirsch–Mitzenmacher mixing — the same
+    // signature family as the batch operator (TextOps.minhashSigs):
+    // h_i = (a + i·b) mod 2^40 over the digest's two 40-bit halves
+    val withHalves = base.withColumn("hp", expr(
+      "transform(shs, x -> named_struct(" +
+        "'a', cast(conv(substring(md5(x), 1, 10), 16, 10) as bigint), " +
+        "'b', cast(conv(substring(md5(x), 11, 10), 16, 10) as bigint)))"))
+    val sigs = (1 to 2 * Bands).foldLeft(withHalves) { case (df, i) =>
+      df.withColumn(s"h$i", array_min(
+        expr(s"transform(hp, p -> (p.a + $i * p.b) % 1099511627776)")))
     }
     (1 to Bands).foldLeft(sigs) { case (df, b) =>
-      df.withColumn(s"b$b", concat(col(s"h${2 * b - 1}"), col(s"h${2 * b}")))
+      df.withColumn(s"b$b",
+        concat_ws(":", col(s"h${2 * b - 1}"), col(s"h${2 * b}")))
     }.select(indexSchema.fieldNames.toIndexedSeq.map(col): _*)
   }
 

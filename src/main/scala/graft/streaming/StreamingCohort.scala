@@ -70,8 +70,11 @@ object StreamingCohort {
       state: GroupState[Buf]): Iterator[Contribution] = {
     val wm = state.getCurrentWatermarkMs
     val prior = state.getOption
+    // floorDiv, not /: `/` truncates toward zero, so pre-1970 event
+    // times would collapse days -1..0 into one double-width epoch-day
+    // (the q40 negative-domain bucketing lesson, applied here too)
     val arrived = if (state.hasTimedOut) Nil
-      else it.map(_.ts.getTime / DayMs).toSeq
+      else it.map(t => Math.floorDiv(t.ts.getTime, DayMs)).toSeq
     val cohort = (prior.map(_.cohortDay).toSeq ++ arrived).minOption match {
       case None => return Iterator.empty
       case Some(c) => c
@@ -83,10 +86,13 @@ object StreamingCohort {
     // closes once the watermark reaches the first instant after the
     // week's last day — by which point the cohort is final (the week
     // end is past the cohort day, so no earlier first-event can arrive)
-    def weekEnd(d: Long): Long = (cohort + 7 * ((d - cohort) / 7 + 1)) * DayMs
+    // floorDiv for symmetry with the day bucketing (d >= cohort makes
+    // these safe today, but the invariant shouldn't be load-bearing)
+    def weekEnd(d: Long): Long =
+      (cohort + 7 * (Math.floorDiv(d - cohort, 7L) + 1)) * DayMs
     val (closed, open) = days.partition { case (d, _) => weekEnd(d) <= wm }
     val out = closed.toSeq
-      .groupMapReduce { case (d, _) => (d - cohort) / 7 } (_._2)(_ + _)
+      .groupMapReduce { case (d, _) => Math.floorDiv(d - cohort, 7L) } (_._2)(_ + _)
       .toSeq.sorted
       .map { case (wk, n) => Contribution(key, cohort, wk, n) }
     state.update(Buf(cohort, open))
