@@ -268,8 +268,16 @@ object Analytics {
     * repartitions AQE already coalesces. At 100 TB the grid is
     * #users × span-hours — output-sized, never events-sized.
     */
-  def qGapFill(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+  def qGapFill(s: SparkSession, dir: String): DataFrame =
+    gapFill(Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value")))
+
+  /** Library form of q36 over any (user_id, ts, event_id, value)
+    * frame — also the batch reference StreamingGapFillSpec pins the
+    * incremental formulation against.
+    */
+  def gapFill(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
         col("ts"), col("event_id"), col("value"))
     // closing value per (user, hour): latest ts wins, event_id tie-break

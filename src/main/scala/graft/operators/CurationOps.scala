@@ -1252,16 +1252,32 @@ object CurationOps {
     * depth×width rows no matter the corpus size; the top-k probe joins
     * a broadcast 256-row counter table. All counts exact bigints.
     */
+  /** Row-bucketing SQL for CMS cell (d, w) — shared between the batch
+    * gate and [[graft.streaming.StreamingCms]] so every sketch in the
+    * library lands words in the same cells.
+    */
+  private[graft] def cmsBucketSql(d: String, w: String): String =
+    s"cast(conv(substring(md5(concat(cast($d as string), ':', $w)), 1, 4), 16, 10) as bigint) % $CmsWidth"
+
+  /** depth×width CMS cell counts for a (w, tf) relation. Additive: the
+    * cells of a whole corpus equal the (d, b)-keyed SUM of the cells of
+    * any partition of it into batches — the property StreamingCms's
+    * incremental merge rides, and the reason this sketch family is
+    * oracle-checkable at all (order independence).
+    */
+  private[graft] def cmsCells(tf: DataFrame): DataFrame = tf
+    .select(col("tf"), explode(expr(
+      s"transform(sequence(0, ${CmsDepth - 1}), d -> named_struct(" +
+        s"'d', d, 'b', ${cmsBucketSql("d", "w")}))")).as("db"))
+    .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+    .agg(sum(col("tf")).as("c"))
+
+  private[graft] def cmsParams: (Int, Int) = (CmsDepth, CmsWidth)
+
   def qCmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val tf = termFreq(s, dir)
-    val bucketSql = (d: String, w: String) =>
-      s"cast(conv(substring(md5(concat(cast($d as string), ':', $w)), 1, 4), 16, 10) as bigint) % $CmsWidth"
-    val cells = tf
-      .select(col("tf"), explode(expr(
-        s"transform(sequence(0, ${CmsDepth - 1}), d -> named_struct(" +
-          s"'d', d, 'b', ${bucketSql("d", "w")}))")).as("db"))
-      .groupBy(col("db.d").as("d"), col("db.b").as("b"))
-      .agg(sum(col("tf")).as("c"))
+    val bucketSql = cmsBucketSql _
+    val cells = cmsCells(tf)
     val top = tf.orderBy(col("tf").desc, col("w")).limit(CmsTopK)
     top
       .select(col("w"), col("tf"),
