@@ -185,8 +185,12 @@ object Bench {
           df.isFile && df.lastModified() >= sf.lastModified()
         }
       }
+      // an EXPLICIT scale-up dir unlocks any base pair (e.g. the r10
+      // sf1 → sf10 heavy-gate step); the default target/sf1 section
+      // still only fires from the standard sf0.1 base
+      val explicitUp = sys.env.contains("SPARK_GRAFT_SCALE_UP_DIR")
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_UP", "1") != "0" &&
-          sfDir.endsWith("sf0.1") && fresh) {
+          (sfDir.endsWith("sf0.1") || explicitUp) && fresh) {
         graft.operators.TextOps.releaseCache(spark)
         val big = timeSuite(spark, queries, bigDir, ScalingPasses, errors,
           warm = false)
