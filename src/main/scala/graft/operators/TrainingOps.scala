@@ -905,29 +905,38 @@ object TrainingOps {
     * boundary (documented contract; the oracle applies the same cap,
     * so the gate pins the exact same semantics).
     */
-  def qExactSubstring(s: SparkSession, dir: String): DataFrame = {
-    val sp = spanPosRelation(s, dir)
-    val cold = sp.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("docf"))
-      .filter(col("docf") <= SpanDfCap)
-      .select(col("h"))
-    val spc = sp.join(cold, Seq("h"))
-    val m = spc.as("a").join(spc.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.pos").as("pa"), col("b.pos").as("pb"))
-      .withColumn("d", col("pa") - col("pb"))
-    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("d"))
-      .orderBy(col("pa"))
-    m.withColumn("isl", col("pa") - row_number().over(w))
-      .groupBy(col("doc_a"), col("doc_b"), col("d"), col("isl"))
-      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
-        (max(col("pa")) - min(col("pa")) + lit(SpanL.toLong)).as("span_len"))
-      .filter(col("span_len") >= MinSpan)
-      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
-        col("span_len"))
+  /** The t82 span set as a memoized SNAPSHOT artifact — one build,
+    * two readers (the t82 report and t84's cut plan), mirroring the
+    * curated-corpus discipline: downstream consumers must act on the
+    * SAME span facts the audit gate certified.
+    */
+  private def exactSpanRelation(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("training:xsub", s, dir) {
+      val sp = spanPosRelation(s, dir)
+      val cold = sp.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("docf"))
+        .filter(col("docf") <= SpanDfCap)
+        .select(col("h"))
+      val spc = sp.join(cold, Seq("h"))
+      val m = spc.as("a").join(spc.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pos").as("pa"), col("b.pos").as("pb"))
+        .withColumn("d", col("pa") - col("pb"))
+      val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("d"))
+        .orderBy(col("pa"))
+      m.withColumn("isl", col("pa") - row_number().over(w))
+        .groupBy(col("doc_a"), col("doc_b"), col("d"), col("isl"))
+        .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+          (max(col("pa")) - min(col("pa")) + lit(SpanL.toLong)).as("span_len"))
+        .filter(col("span_len") >= MinSpan)
+        .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+          col("span_len"))
+    }
+
+  def qExactSubstring(s: SparkSession, dir: String): DataFrame =
+    exactSpanRelation(s, dir)
       .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
-  }
 
   val qExactSubstringOracle: String = s"""
     WITH f AS (
@@ -954,6 +963,207 @@ object TrainingOps {
            CAST(start_b AS BIGINT) AS start_b, CAST(span_len AS BIGINT) AS span_len
     FROM spans WHERE span_len >= $MinSpan
     ORDER BY doc_a, doc_b, start_a, start_b"""
+
+  // ---- Within-document self-repetition spans (t83) ----
+
+  /** Within-doc occurrence cap for self-repetition seeding: a window
+    * hash occurring more than this many times INSIDE one document is
+    * periodic boilerplate (a k-times-repeated window seeds k·(k−1)/2
+    * self-matches), which is t36's repetition filter's territory —
+    * excluded from span seeding BY CONTRACT, same discipline as
+    * [[SpanDfCap]] across documents.
+    */
+  private val SelfOccCap = 20
+
+  /** Window length for WITHIN-doc repetition — deliberately shorter
+    * than the cross-doc [[SpanL]]: intra-document repetition is a
+    * QUALITY signal (Rae et al. 2021's Gopher filters measure duplicate
+    * 2-/3-/4-gram fractions), not a plagiarism one, and the phrases a
+    * single document repeats are short. The maximal-span report is
+    * window-length-invariant for any true repeat ≥ the window, so
+    * shrinking the window only ADDS shorter (real) spans — it never
+    * changes a long one.
+    */
+  private val SelfSpanL = 3
+  private val SelfMinSpan = 3
+
+  /** Trigram window positions per document — t83's seeding relation,
+    * the intra-doc analogue of [[spanPosRelation]] at [[SelfSpanL]].
+    */
+  private def selfSpanRelation(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("training:selfspans", s, dir) {
+      Tables.documents(s, dir)
+        .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+        .withColumn("n", size(col("words")))
+        .filter(col("n") >= SelfSpanL)
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(1, n - $SelfSpanL + 1),
+                i -> md5(array_join(slice(words, i, $SelfSpanL), ' ')))"""))
+          .as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    }
+
+  /** Within-document self-repetition (t83) — the intra-doc half of the
+    * Lee et al. 2022 ExactSubstr statistic that t82 deliberately
+    * excludes (its pair join requires doc_a < doc_b): a document that
+    * quotes ITSELF — cut-and-paste spam, templated sections, lyrics
+    * choruses — carries maximal repeated token spans at two offsets of
+    * the SAME doc_id. Same diagonal construction as t82 with both
+    * sides one document: matched window positions (pa, pb), pa < pb,
+    * lie on diagonal d = pb − pa, and gaps-and-islands over
+    * (doc_id, d) recovers each maximal span once. d < [[SelfSpanL]]
+    * means the two copies overlap — text with period d — which is
+    * still a true self-repetition fact and is reported as such.
+    *
+    * Scale shape: seeding is bounded by [[SelfOccCap]] per (doc, hash)
+    * — the self-match population is Σ occ² per document, capped — and
+    * the window work is partitioned by (doc_id, d). Nothing is
+    * corpus-pairwise: every join key contains doc_id, so the operator
+    * scales with documents, not document pairs.
+    */
+  def qSelfRepetition(s: SparkSession, dir: String): DataFrame = {
+    val sp = selfSpanRelation(s, dir)
+    val occ = sp.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= SelfOccCap)
+      .select(col("doc_id"), col("h"))
+    val spc = sp.join(occ, Seq("doc_id", "h"))
+    val m = spc.as("a").join(spc.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.h") === col("b.h") &&
+          col("a.pos") < col("b.pos"))
+      .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pa"),
+        col("b.pos").as("pb"))
+      .withColumn("d", col("pb") - col("pa"))
+    val w = Window.partitionBy(col("doc_id"), col("d")).orderBy(col("pa"))
+    m.withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("doc_id"), col("d"), col("isl"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (max(col("pa")) - min(col("pa")) + lit(SelfSpanL.toLong)).as("span_len"))
+      .filter(col("span_len") >= SelfMinSpan)
+      .select(col("doc_id"), col("start_a"), col("start_b"), col("span_len"))
+      .orderBy(col("doc_id"), col("start_a"), col("start_b"))
+  }
+
+  val qSelfRepetitionOracle: String = s"""
+    WITH f AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '') AS words
+      FROM documents),
+    g AS (SELECT doc_id, words, LEN(words) AS n FROM f WHERE LEN(words) >= $SelfSpanL),
+    sp AS (
+      SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(words[i:i + $SelfSpanL - 1], ' ')) AS h
+      FROM (SELECT doc_id, words, UNNEST(RANGE(1, n - $SelfSpanL + 2)) AS i FROM g)),
+    occ AS (SELECT doc_id, h FROM sp GROUP BY doc_id, h HAVING COUNT(*) <= $SelfOccCap),
+    spc AS (SELECT sp.* FROM sp JOIN occ USING (doc_id, h)),
+    m AS (
+      SELECT a.doc_id, a.pos AS pa, b.pos AS pb, b.pos - a.pos AS d
+      FROM spc a JOIN spc b
+        ON a.doc_id = b.doc_id AND a.h = b.h AND a.pos < b.pos),
+    isl AS (
+      SELECT *, pa - ROW_NUMBER() OVER (PARTITION BY doc_id, d ORDER BY pa) AS isl
+      FROM m),
+    spans AS (
+      SELECT doc_id, MIN(pa) AS start_a, MIN(pb) AS start_b,
+             MAX(pa) - MIN(pa) + $SelfSpanL AS span_len
+      FROM isl GROUP BY doc_id, d, isl)
+    SELECT doc_id, CAST(start_a AS BIGINT) AS start_a,
+           CAST(start_b AS BIGINT) AS start_b, CAST(span_len AS BIGINT) AS span_len
+    FROM spans WHERE span_len >= $SelfMinSpan
+    ORDER BY doc_id, start_a, start_b"""
+
+  // ---- Substring-dedup cut plan (t84) ----
+
+  /** Actionable cut plan from the t82 span facts (t84) — the step Lee
+    * et al. 2022 actually apply to the corpus: keep ONE copy of every
+    * repeated substring and cut the rest. Keep-first policy: each
+    * (doc_a < doc_b) span is cut from doc_b, so the lowest-id member
+    * of every reuse chain keeps its text (the same deterministic
+    * survivor rule as t52). A document quoted by several peers or
+    * carrying several overlapping quotes gets OVERLAPPING cut
+    * intervals; the plan merges them (distinct intervals, running-max
+    * interval union per doc — adjacent-but-disjoint intervals stay
+    * separate cuts) and reports, per affected document, the number of
+    * disjoint cuts, tokens removed, and the fraction of the document
+    * they cover.
+    *
+    * Scale shape: reads the MEMOIZED t82 span relation (near-dup-pair
+    * sized, never corpus-sized); the merge windows are partitioned by
+    * doc_id; the token-length join prunes `documents` to two columns.
+    */
+  def qSubstringCutPlan(s: SparkSession, dir: String): DataFrame = {
+    val iv = exactSpanRelation(s, dir)
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("span_len") - 1).as("e"))
+      .distinct()
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val merged = iv.withColumn("pm", max(col("e")).over(wPrev))
+      .withColumn("nf",
+        when(col("pm").isNull || col("s") > col("pm"), 1L).otherwise(0L))
+      .withColumn("gid", sum(col("nf")).over(wRun))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("s")).as("cs"), max(col("e")).as("ce"))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), size(expr(
+        "filter(split(text, ' '), w -> w != '')")).cast("long").as("n_tokens"))
+    merged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cuts"),
+        sum(col("ce") - col("cs") + 1).as("tokens_cut"))
+      .join(toks, Seq("doc_id"))
+      .withColumn("cut_frac",
+        col("tokens_cut").cast("double") / col("n_tokens"))
+      .select(col("doc_id"), col("n_cuts"), col("tokens_cut"),
+        col("n_tokens"), col("cut_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSubstringCutPlanOracle: String = s"""
+    WITH f AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '') AS words
+      FROM documents),
+    g AS (SELECT doc_id, words, LEN(words) AS n FROM f WHERE LEN(words) >= $SpanL),
+    sp AS (
+      SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(words[i:i + $SpanL - 1], ' ')) AS h
+      FROM (SELECT doc_id, words, UNNEST(RANGE(1, n - $SpanL + 2)) AS i FROM g)),
+    cold AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) <= $SpanDfCap),
+    spc AS (SELECT sp.* FROM sp JOIN cold USING (h)),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS d
+      FROM spc a JOIN spc b ON a.h = b.h AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT *, pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, d ORDER BY pa) AS isl
+      FROM m),
+    spans AS (
+      SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+             MAX(pa) - MIN(pa) + $SpanL AS span_len
+      FROM isl GROUP BY doc_a, doc_b, d, isl),
+    iv AS (
+      SELECT DISTINCT doc_b AS doc_id, start_b AS s, start_b + span_len - 1 AS e
+      FROM spans WHERE span_len >= $MinSpan),
+    mx AS (
+      SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM iv),
+    fl AS (SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nf FROM mx),
+    gi AS (
+      SELECT *, SUM(nf) OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS gid
+      FROM fl),
+    mg AS (SELECT doc_id, MIN(s) AS cs, MAX(e) AS ce FROM gi GROUP BY doc_id, gid),
+    cuts AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cuts,
+             CAST(SUM(ce - cs + 1) AS BIGINT) AS tokens_cut
+      FROM mg GROUP BY doc_id),
+    toks AS (
+      SELECT doc_id, CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '')) AS BIGINT)
+               AS n_tokens
+      FROM documents)
+    SELECT cuts.doc_id, n_cuts, tokens_cut, n_tokens,
+           CAST(tokens_cut AS DOUBLE) / n_tokens AS cut_frac
+    FROM cuts JOIN toks USING (doc_id)
+    ORDER BY doc_id"""
 
   /** Leakage-free (cluster-aware) splitting (t78) — the fix for the
     * subtle eval-inflation bug the plain per-doc hash split (t33)
@@ -1166,6 +1376,8 @@ object TrainingOps {
     GateQuery("t67_chunk_retrieval", qChunkRetrieval, Some(qChunkRetrievalOracle)),
     GateQuery("t68_span_decontaminate", qSpanDecontaminate, Some(qSpanDecontaminateOracle)),
     GateQuery("t82_exact_substring", qExactSubstring, Some(qExactSubstringOracle)),
+    GateQuery("t83_self_repetition", qSelfRepetition, Some(qSelfRepetitionOracle)),
+    GateQuery("t84_substring_cut_plan", qSubstringCutPlan, Some(qSubstringCutPlanOracle)),
     GateQuery("t76_contamination_report", qContaminationReport, Some(qContaminationReportOracle)),
     GateQuery("t78_cluster_split", qClusterSplit, Some(qClusterSplitOracle)),
   )
