@@ -55,7 +55,12 @@ object Bench {
     for (_ <- 1 to passes; i <- queries.indices) {
       val t0 = System.nanoTime()
       try queries(i)._2(spark, sfDir).count()
-      catch { case _: Throwable => errors += queries(i)._1 }
+      catch { case e: Throwable =>
+        errors += queries(i)._1
+        // the reason goes to the LOG, not the artifact: a failure whose
+        // cause is invisible cost a full rerun to diagnose (sf10, r10)
+        System.err.println(s"[bench] ${queries(i)._1} failed at $sfDir: $e")
+      }
       samples(i) += (System.nanoTime() - t0) / 1e9
     }
     samples.map(_.result())

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Tables, Det}
@@ -189,6 +189,100 @@ object Analytics {
            TRUE AS within_tol
     FROM lineitem
     GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
+  /** HLL register width: 256 registers (8-bit bucket index), 52-bit
+    * rank slice — the Flajolet et al. 2007 layout at m = 256
+    * (σ ≈ 1.04/√m ≈ 6.5%).
+    */
+  private val HllM = 256
+
+  /** 2^53 — the harmonic-sum scale: register value R contributes
+    * 2^(53−R), so an EMPTY register (R = 0) contributes exactly this.
+    */
+  private val HllOne = 9007199254740992L
+
+  /** α·m²·2^53, the raw-estimate numerator, computed once so BOTH
+    * engines divide the identical double literal (Double.toString
+    * round-trips exactly through DuckDB's parser).
+    */
+  private val HllNum: Double =
+    0.7213 / (1 + 1.079 / HllM) * HllM * HllM * HllOne.toDouble
+
+  /** Per-group HLL register relation: (group, j, rr) where j is the
+    * 8-bit bucket of md5(value) and rr the max rank observed there.
+    * Rank = leading-zero count of the 52-bit hash slice + 1, computed
+    * with INTEGER ops only (53 − bit-length via `bin`): no float, no
+    * libm, engine-exact. Exposed for reuse/spec: registers are the
+    * mergeable sketch state (register-wise MAX), so two corpus halves'
+    * relations union+re-max into exactly the whole-corpus relation.
+    */
+  def hllRegisters(df: DataFrame, group: String, value: Column): DataFrame =
+    df.select(col(group), md5(value.cast("string")).as("hx"))
+      .select(col(group),
+        expr("cast(conv(substring(hx, 1, 2), 16, 10) as bigint)").as("j"),
+        expr("cast(conv(substring(hx, 3, 13), 16, 10) as bigint)").as("v"))
+      .groupBy(col(group), col("j"))
+      .agg(max(expr(
+        "case when v = 0 then 53L else cast(53 - length(bin(v)) as bigint) end"))
+        .as("rr"))
+
+  /** Register-exact HyperLogLog (q43) — the companion to q30, which
+    * pins only the ESTIMATE inside an error envelope. This gate pins
+    * the sketch STATE: at 100 TB the registers are what 1000 executors
+    * merge, incremental pipelines persist, and daily runs union — a
+    * sketch is portable evidence only if its state is engine-exact
+    * (Flajolet et al. 2007; Heule et al. 2013 on production layouts).
+    *
+    * Determinism discipline: the 256 registers reduce to the INTEGER
+    * harmonic sum Σ 2^(53−R_j) ≤ 256·2^53 < 2^63 — exact,
+    * order-independent bigint arithmetic, so no float enters any
+    * aggregation. The raw estimate is ONE IEEE division of the shared
+    * [[HllNum]] literal by that sum — bit-identical cross-engine. The
+    * small-range linear-counting correction needs ln(), whose last ulp
+    * is libm-dependent, so the gate reports that correction's INPUT
+    * (`zero_regs`) instead of its float output.
+    */
+  def qHllSketch(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val r = hllRegisters(li, "l_returnflag", col("l_partkey"))
+    val sreg = r.groupBy(col("l_returnflag"))
+      .agg((lit(HllM.toLong) - count(lit(1))).as("zero_regs"),
+        (sum(expr("shiftleft(cast(1 as bigint), cast(53 - rr as int))")) +
+          (lit(HllM.toLong) - count(lit(1))) * lit(HllOne)).as("reg_sum"))
+    val e = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    e.join(sreg, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_parts"), col("zero_regs"),
+        col("reg_sum"),
+        (lit(HllNum) / col("reg_sum").cast("double")).as("raw_est"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qHllSketchOracle: String = s"""
+    WITH h AS (
+      SELECT l_returnflag, MD5(CAST(l_partkey AS VARCHAR)) AS hx FROM lineitem),
+    p AS (
+      SELECT l_returnflag,
+             CAST('0x' || SUBSTR(hx, 1, 2) AS BIGINT) AS j,
+             CAST('0x' || SUBSTR(hx, 3, 13) AS BIGINT) AS v
+      FROM h),
+    r AS (
+      SELECT l_returnflag, j,
+             MAX(CASE WHEN v = 0 THEN 53 ELSE 53 - LEN(BIN(v)) END) AS rr
+      FROM p GROUP BY l_returnflag, j),
+    s AS (
+      SELECT l_returnflag,
+             CAST($HllM - COUNT(*) AS BIGINT) AS zero_regs,
+             CAST(SUM(1::BIGINT << (53 - rr)) +
+                  ($HllM - COUNT(*)) * $HllOne::BIGINT AS BIGINT) AS reg_sum
+      FROM r GROUP BY l_returnflag),
+    e AS (
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT e.l_returnflag, exact_parts, zero_regs, reg_sum,
+           $HllNum / CAST(reg_sum AS DOUBLE) AS raw_est
+    FROM e JOIN s USING (l_returnflag)
     ORDER BY l_returnflag"""
 
   /** Sketch-quantile surface (q35): `approx_percentile` is the
@@ -594,6 +688,7 @@ object Analytics {
     GateQuery("q28_sessionize", qSessionize, Some(qSessionizeOracle)),
     GateQuery("q29_percentiles", qPercentiles, Some(qPercentilesOracle)),
     GateQuery("q30_approx_distinct", qApproxDistinct, Some(qApproxDistinctOracle)),
+    GateQuery("q43_hll_sketch", qHllSketch, Some(qHllSketchOracle)),
     GateQuery("q35_approx_percentile", qApproxPercentile, Some(qApproxPercentileOracle)),
     GateQuery("q31_topk_aggregate", qTopkAggregate, Some(qTopkAggregateOracle)),
     GateQuery("q36_gap_fill", qGapFill, Some(qGapFillOracle)),
