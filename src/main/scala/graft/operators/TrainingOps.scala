@@ -777,10 +777,24 @@ object TrainingOps {
   private def spanRelation(s: SparkSession, dir: String): DataFrame =
     spanPosRelation(s, dir).select(col("doc_id"), col("h"))
 
+  /** t65 works on a 60-bit window FINGERPRINT (md5's first 15 hex
+    * digits as a bigint), not the full 32-char hex string: the r10
+    * sf10 profile flagged this gate superlinear (23.7× on 10× data)
+    * and the cost was the corpus-sized shuffle of 40-byte string keys
+    * — group + join shipped the hash column twice. The narrowed key
+    * cuts the shuffled bytes ~4× and makes the sort comparisons
+    * integer, and the count-over-window form reshuffles the span
+    * relation ONCE instead of group-then-join's twice. Contract: a
+    * 60-bit fingerprint collision (≈n²/2^61 — ~1e-3 at a billion
+    * windows) can overcount one window pair as repeated; the oracle
+    * applies the identical truncation, so the gate pins the exact
+    * same fingerprint semantics.
+    */
   def qRepeatedSpans(s: SparkSession, dir: String): DataFrame = {
-    val spans = spanRelation(s, dir)
-    val counts = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
-    spans.join(counts, Seq("h"))
+    val spans = spanPosRelation(s, dir).select(col("doc_id"),
+      expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)").as("h64"))
+    val w = Window.partitionBy(col("h64"))
+    spans.withColumn("c", count(lit(1)).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_repeated"))
@@ -795,7 +809,9 @@ object TrainingOps {
       FROM documents),
     g AS (SELECT doc_id, words, LEN(words) AS n FROM f WHERE LEN(words) >= $SpanL),
     sp AS (
-      SELECT doc_id, MD5(ARRAY_TO_STRING(words[i:i + $SpanL - 1], ' ')) AS h
+      SELECT doc_id, CAST('0x' ||
+               SUBSTR(MD5(ARRAY_TO_STRING(words[i:i + $SpanL - 1], ' ')), 1, 15)
+               AS BIGINT) AS h
       FROM (SELECT doc_id, words, UNNEST(RANGE(1, n - $SpanL + 2)) AS i FROM g)),
     c AS (SELECT h, COUNT(*) AS c FROM sp GROUP BY h)
     SELECT sp.doc_id, COUNT(*) AS n_spans,
