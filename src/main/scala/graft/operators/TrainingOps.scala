@@ -1105,7 +1105,11 @@ object TrainingOps {
     * sized, never corpus-sized); the merge windows are partitioned by
     * doc_id; the token-length join prunes `documents` to two columns.
     */
-  def qSubstringCutPlan(s: SparkSession, dir: String): DataFrame = {
+  /** The t84 merged (disjoint) cut intervals per document — shared by
+    * the cut-plan report and the t85 apply step, so the plan a user
+    * reviews and the cuts the engine makes are the same facts.
+    */
+  private def mergedCutIntervals(s: SparkSession, dir: String): DataFrame = {
     val iv = exactSpanRelation(s, dir)
       .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
         (col("start_b") + col("span_len") - 1).as("e"))
@@ -1114,12 +1118,16 @@ object TrainingOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val merged = iv.withColumn("pm", max(col("e")).over(wPrev))
+    iv.withColumn("pm", max(col("e")).over(wPrev))
       .withColumn("nf",
         when(col("pm").isNull || col("s") > col("pm"), 1L).otherwise(0L))
       .withColumn("gid", sum(col("nf")).over(wRun))
       .groupBy(col("doc_id"), col("gid"))
       .agg(min(col("s")).as("cs"), max(col("e")).as("ce"))
+  }
+
+  def qSubstringCutPlan(s: SparkSession, dir: String): DataFrame = {
+    val merged = mergedCutIntervals(s, dir)
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), size(expr(
         "filter(split(text, ' '), w -> w != '')")).cast("long").as("n_tokens"))
@@ -1180,6 +1188,90 @@ object TrainingOps {
            CAST(tokens_cut AS DOUBLE) / n_tokens AS cut_frac
     FROM cuts JOIN toks USING (doc_id)
     ORDER BY doc_id"""
+
+  // ---- Substring-dedup apply (t85) ----
+
+  /** Apply the cut plan (t85) — the terminal step of the Lee et al.
+    * 2022 family: materialize the DEDUPLICATED corpus. Every document
+    * row comes back with its cut token count and the md5 of its
+    * cleaned text (tokens whose 1-based position falls in a merged
+    * t84 interval removed, survivors rejoined single-spaced) — the
+    * hash stands in for shipping full text through the gate while
+    * pinning the exact byte result of the cut.
+    *
+    * Scale shape: the interval set is cut-plan-sized (near-dup-bounded)
+    * and broadcast against the corpus; token removal is one in-row
+    * higher-order filter per document (positions tested against ≤
+    * n_cuts intervals) — the corpus is touched exactly once, no
+    * shuffle keys ever carry text.
+    */
+  def qSubstringApply(s: SparkSession, dir: String): DataFrame = {
+    val ivs = mergedCutIntervals(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("cs"), col("ce"))).as("ivs"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w != '')").as("words"))
+      .join(broadcast(ivs), Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("words")).cast("long").as("n_before"),
+        expr("""filter(words, (w, i) -> ivs is null or
+                 not exists(ivs, v -> i + 1 >= v.cs and i + 1 <= v.ce))""")
+          .as("kept"))
+      .select(col("doc_id"), col("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
+        md5(array_join(col("kept"), " ")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSubstringApplyOracle: String = s"""
+    WITH f AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '') AS words
+      FROM documents),
+    g AS (SELECT doc_id, words, LEN(words) AS n FROM f WHERE LEN(words) >= $SpanL),
+    sp AS (
+      SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(words[i:i + $SpanL - 1], ' ')) AS h
+      FROM (SELECT doc_id, words, UNNEST(RANGE(1, n - $SpanL + 2)) AS i FROM g)),
+    cold AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) <= $SpanDfCap),
+    spc AS (SELECT sp.* FROM sp JOIN cold USING (h)),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS d
+      FROM spc a JOIN spc b ON a.h = b.h AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT *, pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, d ORDER BY pa) AS isl
+      FROM m),
+    spans AS (
+      SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+             MAX(pa) - MIN(pa) + $SpanL AS span_len
+      FROM isl GROUP BY doc_a, doc_b, d, isl),
+    iv AS (
+      SELECT DISTINCT doc_b AS doc_id, start_b AS s, start_b + span_len - 1 AS e
+      FROM spans WHERE span_len >= $MinSpan),
+    mx AS (
+      SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM iv),
+    fl AS (SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nf FROM mx),
+    gi AS (
+      SELECT *, SUM(nf) OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS gid
+      FROM fl),
+    mg AS (SELECT doc_id, MIN(s) AS cs, MAX(e) AS ce FROM gi GROUP BY doc_id, gid),
+    pos AS (SELECT doc_id, words, UNNEST(RANGE(1, LEN(words) + 1)) AS i FROM f),
+    kept AS (
+      SELECT p.doc_id, p.i, p.words[p.i] AS w
+      FROM pos p WHERE NOT EXISTS (
+        SELECT 1 FROM mg
+        WHERE mg.doc_id = p.doc_id AND p.i BETWEEN mg.cs AND mg.ce)),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+             MD5(STRING_AGG(w, ' ' ORDER BY i)) AS text_md5
+      FROM kept GROUP BY doc_id)
+    SELECT f.doc_id, CAST(LEN(f.words) AS BIGINT) AS n_before,
+           COALESCE(agg.n_after, 0) AS n_after,
+           COALESCE(agg.text_md5, MD5('')) AS text_md5
+    FROM f LEFT JOIN agg USING (doc_id)
+    ORDER BY f.doc_id"""
 
   /** Leakage-free (cluster-aware) splitting (t78) — the fix for the
     * subtle eval-inflation bug the plain per-doc hash split (t33)
@@ -1394,6 +1486,7 @@ object TrainingOps {
     GateQuery("t82_exact_substring", qExactSubstring, Some(qExactSubstringOracle)),
     GateQuery("t83_self_repetition", qSelfRepetition, Some(qSelfRepetitionOracle)),
     GateQuery("t84_substring_cut_plan", qSubstringCutPlan, Some(qSubstringCutPlanOracle)),
+    GateQuery("t85_substring_apply", qSubstringApply, Some(qSubstringApplyOracle)),
     GateQuery("t76_contamination_report", qContaminationReport, Some(qContaminationReportOracle)),
     GateQuery("t78_cluster_split", qClusterSplit, Some(qClusterSplitOracle)),
   )

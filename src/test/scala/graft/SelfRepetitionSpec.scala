@@ -73,6 +73,24 @@ class SelfRepetitionSpec extends AnyFunSuite {
       (4L, 2L, 120L, 190L, 120.0 / 190)), s"got $rows")
   }
 
+  test("t85: applying the plan removes exactly the merged spans, keep-first survives whole") {
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = TrainingOps.qSubstringApply(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val aText = (toks("a", 1, 50) ++ toks("Q", 1, 60) ++ toks("c", 1, 90)).mkString(" ")
+    val bKept = (toks("b", 1, 37) ++ toks("d", 1, 53)).mkString(" ")
+    val eKept = (toks("u", 1, 10) ++ toks("v", 1, 20)).mkString(" ")
+    val sKept = (toks("x", 1, 30) ++ toks("y", 1, 25) ++ toks("z", 1, 15)).mkString(" ")
+    assert(rows == Seq(
+      (1L, 200L, 200L, md5(aText)),   // lowest-id member keeps ALL text
+      (2L, 150L, 90L, md5(bKept)),    // 60-token Q cut
+      (3L, 108L, 30L, md5(eKept)),    // merged [11,88] cut
+      (4L, 190L, 70L, md5(sKept))),   // both Q copies cut
+      s"got $rows")
+  }
+
   test("t83 occurrence cap: periodic boilerplate beyond the cap is screened out") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("selfrep2").toString
