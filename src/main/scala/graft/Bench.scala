@@ -116,6 +116,15 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Large-heap survival knobs: the sf10 working set under a 100 g
+      // heap produced multi-minute full-GC stalls; the default 10 s
+      // heartbeat / 120 s network timeout pair then expires the (only)
+      // local-mode executor and poisons the SparkContext mid-suite —
+      // every remaining query fails instantly and benches as a fast
+      // time-to-failure. Same settings a real cluster uses for big
+      // executors: heartbeat well under the stall, expiry well over it.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "800s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadBefore = loadavg()

@@ -243,19 +243,29 @@ object Analytics {
     * is libm-dependent, so the gate reports that correction's INPUT
     * (`zero_regs`) instead of its float output.
     */
-  def qHllSketch(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    val r = hllRegisters(li, "l_returnflag", col("l_partkey"))
-    val sreg = r.groupBy(col("l_returnflag"))
+  /** Per-group reduction of a register relation (group, j, rr) to
+    * zero-register count, the exact integer harmonic sum, and the raw
+    * estimate — one place, so the q43 gate and the streaming register
+    * maintainer ([[graft.streaming.StreamingHll]]) summarize persisted
+    * and freshly-built sketches identically.
+    */
+  def hllSummary(regs: DataFrame, group: String): DataFrame =
+    regs.groupBy(col(group))
       .agg((lit(HllM.toLong) - count(lit(1))).as("zero_regs"),
         (sum(expr("shiftleft(cast(1 as bigint), cast(53 - rr as int))")) +
           (lit(HllM.toLong) - count(lit(1))) * lit(HllOne)).as("reg_sum"))
+      .select(col(group), col("zero_regs"), col("reg_sum"),
+        (lit(HllNum) / col("reg_sum").cast("double")).as("raw_est"))
+
+  def qHllSketch(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sreg = hllSummary(
+      hllRegisters(li, "l_returnflag", col("l_partkey")), "l_returnflag")
     val e = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("exact_parts"))
     e.join(sreg, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_parts"), col("zero_regs"),
-        col("reg_sum"),
-        (lit(HllNum) / col("reg_sum").cast("double")).as("raw_est"))
+        col("reg_sum"), col("raw_est"))
       .orderBy(col("l_returnflag"))
   }
 
