@@ -8,7 +8,7 @@ tooling only — the shipped library is the Scala code under src/.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
-import sys, os, json, glob
+import sys, os, json, glob, time
 import duckdb
 import pandas as pd
 
@@ -25,6 +25,7 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
+    oracle_secs = {}
     for name in sorted(oracles):
         sql = oracles[name]
         pq = f"{out_dir}/{name}"
@@ -35,7 +36,9 @@ def main(sf_dir, out_dir):
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{pq}/*.parquet')").df()
+            t0 = time.perf_counter()
             exp = con.execute(sql).df()
+            oracle_secs[name] = time.perf_counter() - t0
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -43,11 +46,15 @@ def main(sf_dir, out_dir):
         ok, msg = compare(got, exp)
         if ok:
             n_pass += 1
-            print(f"PASS {name} ({len(got)} rows)")
+            print(f"PASS {name} ({len(got)} rows, duckdb {oracle_secs[name]:.2f}s)")
         else:
             n_fail += 1
             print(f"FAIL {name}: {msg}")
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    total = sum(oracle_secs.values())
+    top = sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:5]
+    print(f"== {n_pass} pass / {n_fail} fail == duckdb oracle total "
+          f"{total:.1f}s, top: "
+          + ", ".join(f"{n} {s:.1f}s" for n, s in top))
     return 1 if n_fail else 0
 
 
