@@ -1012,9 +1012,15 @@ object TrainingOps {
         .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
         .withColumn("n", size(col("words")))
         .filter(col("n") >= SelfSpanL)
+        // 60-bit fingerprint (md5's first 15 hex digits), the t65
+        // discipline: the hash only buckets identical trigrams, so the
+        // 8-byte integer replaces the 32-char hex string in the
+        // shuffle; the oracle applies the identical truncation.
         .select(col("doc_id"), posexplode(expr(
           s"""transform(sequence(1, n - $SelfSpanL + 1),
-                i -> md5(array_join(slice(words, i, $SelfSpanL), ' ')))"""))
+                i -> cast(conv(substring(
+                       md5(array_join(slice(words, i, $SelfSpanL), ' ')),
+                       1, 15), 16, 10) as bigint))"""))
           .as(Seq("p0", "h")))
         .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
     }
@@ -1034,21 +1040,25 @@ object TrainingOps {
     * Scale shape: seeding is bounded by [[SelfOccCap]] per (doc, hash)
     * — the self-match population is Σ occ² per document, capped — and
     * the window work is partitioned by (doc_id, d). Nothing is
-    * corpus-pairwise: every join key contains doc_id, so the operator
-    * scales with documents, not document pairs.
+    * corpus-pairwise: every grouping key contains doc_id, so the
+    * operator scales with documents, not document pairs. ONE shuffle
+    * builds the match relation: positions collect per (doc, hash) —
+    * at most [[SelfOccCap]] of them — and the ≤ occ·(occ−1)/2 ≤ 190
+    * ordered pairs generate IN-ROW from the sorted position array
+    * (the r10 rewrite; the previous occurrence-count join + self-join
+    * shuffled the corpus-sized position relation three times to
+    * produce the same pairs).
     */
   def qSelfRepetition(s: SparkSession, dir: String): DataFrame = {
     val sp = selfSpanRelation(s, dir)
-    val occ = sp.groupBy(col("doc_id"), col("h"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") <= SelfOccCap)
-      .select(col("doc_id"), col("h"))
-    val spc = sp.join(occ, Seq("doc_id", "h"))
-    val m = spc.as("a").join(spc.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("a.h") === col("b.h") &&
-          col("a.pos") < col("b.pos"))
-      .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pa"),
-        col("b.pos").as("pb"))
+    val m = sp.groupBy(col("doc_id"), col("h"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .filter(size(col("ps")).between(2, SelfOccCap))
+      .select(col("doc_id"), explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps) - i - 1),
+               y -> struct(x as pa, y as pb))))""")).as("p"))
+      .select(col("doc_id"), col("p.pa").as("pa"), col("p.pb").as("pb"))
       .withColumn("d", col("pb") - col("pa"))
     val w = Window.partitionBy(col("doc_id"), col("d")).orderBy(col("pa"))
     m.withColumn("isl", col("pa") - row_number().over(w))
@@ -1066,7 +1076,9 @@ object TrainingOps {
       FROM documents),
     g AS (SELECT doc_id, words, LEN(words) AS n FROM f WHERE LEN(words) >= $SelfSpanL),
     sp AS (
-      SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(words[i:i + $SelfSpanL - 1], ' ')) AS h
+      SELECT doc_id, i AS pos, CAST('0x' ||
+               SUBSTR(MD5(ARRAY_TO_STRING(words[i:i + $SelfSpanL - 1], ' ')), 1, 15)
+               AS BIGINT) AS h
       FROM (SELECT doc_id, words, UNNEST(RANGE(1, n - $SelfSpanL + 2)) AS i FROM g)),
     occ AS (SELECT doc_id, h FROM sp GROUP BY doc_id, h HAVING COUNT(*) <= $SelfOccCap),
     spc AS (SELECT sp.* FROM sp JOIN occ USING (doc_id, h)),
