@@ -295,6 +295,136 @@ object Analytics {
     FROM e JOIN s USING (l_returnflag)
     ORDER BY l_returnflag"""
 
+  /** Histogram-quantile sketch width: [[QsB]] fixed-width bins of
+    * [[QsW]] cents over the non-negative price domain (top bin
+    * clamps). 2^16-cent bins ≈ $655 — the estimate's worst-case error
+    * by construction, pinned per row against the exact rank value.
+    */
+  private val QsB = 256
+  private val QsW = 65536L
+
+  /** Register-exact QUANTILE sketch (q44) — completes the mergeable
+    * sketch family alongside t81's CMS (counts), q43's HLL
+    * (distincts) and their streaming counterparts: a fixed-width
+    * histogram is the quantile sketch whose merge is pure counter
+    * ADDITION (same property that makes CMS streamable), the reason
+    * histogram-based quantiles are what 1000 executors' map-side
+    * partials and month-over-month persisted sketches actually
+    * combine with; q35 already pins `approx_percentile`'s error
+    * envelope, but its GK-summary state is implementation-internal —
+    * this gate pins a sketch STATE the oracle can reproduce bit-for-
+    * bit. Per (group, quantile q ∈ {50, 95, 99}): the rank target
+    * k = ⌈q·n/100⌉ (exact integer arithmetic), the histogram's
+    * answer (first bin whose cumulative count reaches k, as its
+    * lower-edge cents), the EXACT rank-k value (first cents value
+    * whose cumulative count reaches k — discrete percentile, no
+    * interpolation, no floats anywhere), and two state-pinning
+    * reductions (Σ bin·cnt and the nonzero-bin count: any corrupted
+    * counter moves one of them or n). The by-construction error
+    * bound exact − est_edge ∈ [0, [[QsW]]) is spec-asserted and
+    * VISIBLE in the gate rows.
+    *
+    * Scale shape: the sketch is one map-side-combinable
+    * groupBy(group, bin) — groups × [[QsB]] rows out of any corpus
+    * size; the exact side reduces VALUES (groupBy(group, cents)),
+    * never rows, before its partitioned cumulative window — the same
+    * distinct-value discipline as q29's percentile rewrite. Nothing
+    * here holds per-row state; both windows run over value-sized
+    * relations.
+    */
+  /** The sketch state: fixed-width bin counts per group. Merging two
+    * corpora's sketches is `unionByName` + `groupBy(group, bin).sum` —
+    * pure addition, the property the q44 spec pins and any streaming
+    * fold would ride.
+    */
+  def histSketch(df: DataFrame, group: String, cents: Column): DataFrame =
+    df.select(col(group), cents.cast("long").as("cents"))
+      .withColumn("bin", least(expr(s"cents div $QsW"), lit(QsB - 1L)))
+      .groupBy(col(group), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+    val hist = histSketch(cents, "l_returnflag", col("cents"))
+    val wb = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hcum = hist.withColumn("cum", sum(col("cnt")).over(wb))
+    val state = hist.groupBy(col("l_returnflag"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("bin") * col("cnt")).as("state_sum"),
+        count(lit(1)).as("nonzero_bins"))
+    val vals = cents.groupBy(col("l_returnflag"), col("cents"))
+      .agg(count(lit(1)).as("vc"))
+    val wv = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vcum = vals.withColumn("vcum", sum(col("vc")).over(wv))
+    val ks = state
+      .select(col("l_returnflag"), col("n"), col("state_sum"),
+        col("nonzero_bins"), explode(expr("array(50L, 95L, 99L)")).as("q"))
+      .withColumn("k", expr("(n * q + 99) div 100"))
+    val est = ks.join(hcum, Seq("l_returnflag"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("l_returnflag"), col("q"), col("n"), col("k"),
+        col("state_sum"), col("nonzero_bins"))
+      .agg(min(col("bin")).as("est_bin"))
+      .withColumn("est_edge_cents", col("est_bin") * lit(QsW))
+    val exact = ks.join(vcum, Seq("l_returnflag"))
+      .filter(col("vcum") >= col("k"))
+      .groupBy(col("l_returnflag"), col("q"))
+      .agg(min(col("cents")).as("exact_cents"))
+    est.join(exact, Seq("l_returnflag", "q"))
+      .select(col("l_returnflag"), col("q"), col("n"), col("k"),
+        col("est_bin"), col("est_edge_cents"), col("exact_cents"),
+        col("state_sum"), col("nonzero_bins"))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
+  val qQuantileSketchOracle: String = s"""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    hist AS (
+      SELECT l_returnflag,
+             LEAST(cents // $QsW, ${QsB - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM c GROUP BY 1, 2),
+    hcum AS (
+      SELECT *, CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum
+      FROM hist),
+    state AS (
+      SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(bin * cnt) AS BIGINT) AS state_sum,
+             CAST(COUNT(*) AS BIGINT) AS nonzero_bins
+      FROM hist GROUP BY 1),
+    vals AS (
+      SELECT l_returnflag, cents, COUNT(*) AS vc FROM c GROUP BY 1, 2),
+    vcum AS (
+      SELECT *, SUM(vc) OVER (PARTITION BY l_returnflag ORDER BY cents) AS vcum
+      FROM vals),
+    ks AS (
+      SELECT l_returnflag, n, state_sum, nonzero_bins, q,
+             CAST((n * q + 99) // 100 AS BIGINT) AS k
+      FROM state, (SELECT UNNEST([50, 95, 99]) AS q)),
+    est AS (
+      SELECT ks.l_returnflag, CAST(ks.q AS BIGINT) AS q, ks.n, ks.k,
+             ks.state_sum, ks.nonzero_bins,
+             CAST(MIN(h.bin) AS BIGINT) AS est_bin
+      FROM ks JOIN hcum h ON ks.l_returnflag = h.l_returnflag AND h.cum >= ks.k
+      GROUP BY 1, 2, 3, 4, 5, 6),
+    exact AS (
+      SELECT ks.l_returnflag, CAST(ks.q AS BIGINT) AS q,
+             MIN(v.cents) AS exact_cents
+      FROM ks JOIN vcum v ON ks.l_returnflag = v.l_returnflag AND v.vcum >= ks.k
+      GROUP BY 1, 2)
+    SELECT est.l_returnflag, est.q, est.n, est.k, est.est_bin,
+           est.est_bin * $QsW AS est_edge_cents, exact.exact_cents,
+           est.state_sum, est.nonzero_bins
+    FROM est JOIN exact ON est.l_returnflag = exact.l_returnflag AND est.q = exact.q
+    ORDER BY est.l_returnflag, est.q"""
+
   /** Sketch-quantile surface (q35): `approx_percentile` is the
     * percentile that actually runs at 100 TB — constant-size
     * partial state per task where q29's exact form carries a
@@ -716,6 +846,7 @@ object Analytics {
     GateQuery("q29_percentiles", qPercentiles, Some(qPercentilesOracle)),
     GateQuery("q30_approx_distinct", qApproxDistinct, Some(qApproxDistinctOracle)),
     GateQuery("q43_hll_sketch", qHllSketch, Some(qHllSketchOracle)),
+    GateQuery("q44_quantile_sketch", qQuantileSketch, Some(qQuantileSketchOracle)),
     GateQuery("q35_approx_percentile", qApproxPercentile, Some(qApproxPercentileOracle)),
     GateQuery("q31_topk_aggregate", qTopkAggregate, Some(qTopkAggregateOracle)),
     GateQuery("q36_gap_fill", qGapFill, Some(qGapFillOracle)),
