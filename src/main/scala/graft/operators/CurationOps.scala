@@ -188,23 +188,27 @@ object CurationOps {
     */
   private val TopTermsK = 10
 
-  /** (source, w, tf) per-source term frequencies — vocabulary×sources
-    * sized, memoized like [[termFreq]]: the corpus-granular occurrence
-    * aggregation is the whole per-pass cost of t45 (r9 found it
-    * re-running every execution — 0.46 s quiet where the downstream
-    * join + window over the tiny aggregate is sub-0.1 s).
+  /** (source, w, tf, n_sources) per-source term frequencies with the
+    * cross-source spread attached — vocabulary×sources sized, memoized
+    * like [[termFreq]]: the corpus-granular occurrence aggregation is
+    * the whole per-pass cost of t45 (r9 found it re-running every
+    * execution — 0.46 s quiet where the downstream window over the
+    * tiny aggregate is sub-0.1 s). The spread lives INSIDE the memo
+    * (one w-partitioned count window at build time) because r10's
+    * quiet re-measure showed the per-pass groupBy(w) + join costing
+    * 0.45 s solo — two vocabulary-sized shuffles every execution for
+    * a column that never changes per (session, dir).
     */
   private def sourceTermFreq(s: SparkSession, dir: String): DataFrame =
     SessionMemo.persist("curation:stf", s, dir) {
       occurrences(s, dir).groupBy(col("source"), col("w"))
         .agg(count(lit(1)).as("tf"))
+        .withColumn("n_sources",
+          count(lit(1)).over(Window.partitionBy(col("w"))))
     }
 
   def qTopTerms(s: SparkSession, dir: String): DataFrame = {
-    val tf = sourceTermFreq(s, dir)
-    val spread = tf.groupBy(col("w"))
-      .agg(count(lit(1)).as("n_sources"))
-    val ranked = tf.join(spread, "w")
+    val ranked = sourceTermFreq(s, dir)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("source"))
           .orderBy(col("tf").desc, col("w"))))
