@@ -347,7 +347,17 @@ object Analytics {
     val cents = Tables.lineitem(s, dir)
       .select(col("l_returnflag"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
-    val hist = histSketch(cents, "l_returnflag", col("cents"))
+    // ONE wide shuffle of the raw rows (the distinct-value reduce);
+    // the histogram derives from it by a values-sized re-bucket, and
+    // Catalyst reuses the vals exchange across both branches —
+    // building hist straight from the corpus would shuffle the raw
+    // rows a second time for counts the value relation already holds.
+    val vals = cents.groupBy(col("l_returnflag"), col("cents"))
+      .agg(count(lit(1)).as("vc"))
+    val hist = vals
+      .withColumn("bin", least(expr(s"cents div $QsW"), lit(QsB - 1L)))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(sum(col("vc")).as("cnt"))
     val wb = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hcum = hist.withColumn("cum", sum(col("cnt")).over(wb))
@@ -355,8 +365,6 @@ object Analytics {
       .agg(sum(col("cnt")).as("n"),
         sum(col("bin") * col("cnt")).as("state_sum"),
         count(lit(1)).as("nonzero_bins"))
-    val vals = cents.groupBy(col("l_returnflag"), col("cents"))
-      .agg(count(lit(1)).as("vc"))
     val wv = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val vcum = vals.withColumn("vcum", sum(col("vc")).over(wv))
