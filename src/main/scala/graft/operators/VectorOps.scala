@@ -1314,18 +1314,25 @@ object VectorOps {
     * 8 bytes per row — and only the 50 survivors per query ever touch
     * a float vector again.
     */
-  def qAnnBinary(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir).select(col("vec_id"), col("v"), col("nv"))
-    // two 32-bit halves: DuckDB's checked shift rejects bit 63, and the
-    // pair costs the scan nothing (two xors + two popcounts)
+  /** (vec_id, code_lo, code_hi) 64-bit sign codes as two 32-bit halves
+    * (DuckDB's checked shift rejects bit 63) — the binary-sketch index
+    * artifact, memoized and shared by v44's Hamming scan and v47's
+    * fusion backend.
+    */
+  private def binaryCodes(s: SparkSession, dir: String): DataFrame = {
     def half(lo: Int): String =
       s"""aggregate(sequence($lo, ${lo + 31}), 0L, (acc, i) ->
             acc + if(element_at(v, i + 1) >= cast(0 as double),
                      shiftleft(1L, i - $lo), 0L))"""
-    val coded = SessionMemo.persist("vec:bq-codes", s, dir) {
-      e.select(col("vec_id"), expr(half(0)).as("code_lo"),
+    SessionMemo.persist("vec:bq-codes", s, dir) {
+      embs(s, dir).select(col("vec_id"), expr(half(0)).as("code_lo"),
         expr(half(32)).as("code_hi"))
     }
+  }
+
+  def qAnnBinary(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("v"), col("nv"))
+    val coded = binaryCodes(s, dir)
     val q = coded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("code_lo").as("qlo"),
         col("code_hi").as("qhi"))
@@ -1393,9 +1400,127 @@ object VectorOps {
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** Fusion list depth and the standard RRF constant (Cormack &
+    * Clarke 2009, "Reciprocal Rank Fusion outperforms Condorcet");
+    * 1/(60+rank) is quantized to ⌊10⁶/(60+rank)⌋ so fusion scores are
+    * exact bigints — rank arithmetic, like t50's quantized idf, never
+    * floats.
+    */
+  private val RrfDepth = 20
+  private val RrfScale = 1000000L
+
+  /** Hybrid retrieval via reciprocal-rank fusion (v47) — the standard
+    * way production search fuses heterogeneous backends (lexical +
+    * dense, or here exact-cosine + binary-Hamming: two rankers over
+    * the same corpus with different geometry): each backend
+    * contributes ⌊10⁶/(60+rank)⌋ for its top-[[RrfDepth]] items, a
+    * full-outer join unions the candidate sets (an item one backend
+    * misses simply contributes 0 from that list), and the fused
+    * ranking re-sorts by summed score. RRF needs only RANKS — no score
+    * calibration across backends — which is why it composes backends
+    * whose raw scores are incomparable (cosine ∈ [−1,1] vs Hamming ∈
+    * [0,64]).
+    *
+    * Scale shape: both backends are the EXISTING production paths
+    * (v33's broadcast scan, v44's memoized 64-bit codes); the fusion
+    * itself touches only queries × depth rank rows — at any corpus
+    * size the fusion stage is broadcast-sized, so the operator's cost
+    * IS its backends' cost. Output pins the fused order AND each
+    * backend's rank per item (0 = not in that backend's top-20), so
+    * the gate catches a regression in either constituent ranking.
+    */
+  def qHybridFusion(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("v"), col("nv"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("qnv"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val cosR = broadcast(q).crossJoin(e)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot("qv", "v") / (col("qnv") * col("nv")))
+      .withColumn("crank", row_number().over(wC).cast("long"))
+      .filter(col("crank") <= RrfDepth)
+      .select(col("query_id"), col("vec_id"), col("crank"))
+    val coded = binaryCodes(s, dir)
+    val qc = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("code_lo").as("qlo"),
+        col("code_hi").as("qhi"))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id"))
+    val hamR = broadcast(qc).crossJoin(coded)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        (bit_count(col("qlo").bitwiseXOR(col("code_lo"))) +
+         bit_count(col("qhi").bitwiseXOR(col("code_hi")))).cast("long"))
+      .withColumn("hrank", row_number().over(wH).cast("long"))
+      .filter(col("hrank") <= RrfDepth)
+      .select(col("query_id"), col("vec_id"), col("hrank"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("vec_id"))
+    cosR.join(hamR, Seq("query_id", "vec_id"), "full_outer")
+      .withColumn("rrf_score",
+        expr(s"coalesce($RrfScale div (60 + crank), 0L) + " +
+          s"coalesce($RrfScale div (60 + hrank), 0L)"))
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("rrf_score"), coalesce(col("crank"), lit(0L)).as("cos_rank"),
+        coalesce(col("hrank"), lit(0L)).as("ham_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qHybridFusionOracle: String = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    cosr AS (
+      SELECT query_id, vec_id, crank FROM (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 LIST_DOT_PRODUCT(q.qv, e.v) /
+                   (SQRT(LIST_DOT_PRODUCT(q.qv, q.qv)) * SQRT(LIST_DOT_PRODUCT(e.v, e.v))) DESC,
+                 e.vec_id) AS crank
+        FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
+      WHERE crank <= $RrfDepth),
+    coded AS (
+      SELECT vec_id,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(32),
+               i -> CASE WHEN v[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS code_lo,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(32),
+               i -> CASE WHEN v[i + 33] >= 0 THEN (CAST(1 AS BIGINT) << i)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS code_hi
+      FROM e),
+    qc AS (SELECT vec_id AS query_id, code_lo AS qlo, code_hi AS qhi
+           FROM coded WHERE vec_id < 10),
+    hamr AS (
+      SELECT query_id, vec_id, hrank FROM (
+        SELECT qc.query_id, coded.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qc.query_id ORDER BY
+                 BIT_COUNT(XOR(qc.qlo, coded.code_lo)) +
+                 BIT_COUNT(XOR(qc.qhi, coded.code_hi)),
+                 coded.vec_id) AS hrank
+        FROM qc CROSS JOIN coded WHERE coded.vec_id <> qc.query_id)
+      WHERE hrank <= $RrfDepth),
+    fused AS (
+      SELECT query_id, vec_id,
+             CAST(COALESCE($RrfScale // (60 + crank), 0) +
+                  COALESCE($RrfScale // (60 + hrank), 0) AS BIGINT) AS rrf_score,
+             CAST(COALESCE(crank, 0) AS BIGINT) AS cos_rank,
+             CAST(COALESCE(hrank, 0) AS BIGINT) AS ham_rank
+      FROM cosr FULL JOIN hamr USING (query_id, vec_id)),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, vec_id) AS rank
+      FROM fused)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+           rrf_score, cos_rank, ham_rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("v33_ann_bruteforce", qAnnBruteForce, Some(qAnnBruteForceOracle)),
     GateQuery("v44_ann_binary", qAnnBinary, Some(qAnnBinaryOracle)),
+    GateQuery("v47_hybrid_fusion", qHybridFusion, Some(qHybridFusionOracle)),
     GateQuery("v34_ann_lsh", qAnnLsh, Some(qAnnLshOracle)),
     GateQuery("v35_cosine_dedup", qCosineDedup, Some(qCosineDedupOracle)),
     GateQuery("v36_vector_stats", qVectorStats, Some(qVectorStatsOracle)),

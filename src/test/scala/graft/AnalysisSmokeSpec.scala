@@ -96,6 +96,9 @@ class AnalysisSmokeSpec extends AnyFunSuite {
     //   v38/v44               — 10-row query frame × coded corpus / 1-row min-max stats
     //   v39/v42/v45           — corpus × ≤8-row trained centroid array
     //   v46                   — 8-row centroid frame × itself
+    //   v47                   — 10-row query frame × corpus, twice
+    //                           (its two fused backends are v33's and
+    //                           v44's own whitelisted probe scans)
     val whitelist = Set(
       "m43_pdf_layout", "t34_source_mix", "t64_temperature_mix",
       "t71_lang_divergence",
@@ -103,7 +106,8 @@ class AnalysisSmokeSpec extends AnyFunSuite {
       "v36_vector_stats", "v37_ann_ivf", "v38_ann_quantized",
       "v39_cluster_assign", "v40_ann_ivf_sq8", "v41_ann_ivf_pq",
       "v42_semdedup", "v43_ann_recall", "v44_ann_binary",
-      "v45_cluster_quality", "v46_centroid_overlap")
+      "v45_cluster_quality", "v46_centroid_overlap",
+      "v47_hybrid_fusion")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, build) =>
         val plan = build(spark, dir).queryExecution.sparkPlan
