@@ -232,15 +232,22 @@ object Bench {
     // copy left of the 1,900-char pair budget, so when the suite
     // outgrows 950-char maps (89 queries did, r8) the per-query detail
     // survives on the sentinel line instead of vanishing from both.
-    // Machine-state fields (r9 VERDICT #2): loadavg before/after and a
-    // steady-state verdict — `steady` means the machine was quiet when
-    // the run STARTED (1-min load under a quarter of the benched
-    // cores); a false here marks the totals as contention-inflated.
+    // Machine-state fields (r9 VERDICT #2, tightened r11 per VERDICT
+    // #7): `steady` means TRUE quiet at run start — 1-min load under
+    // max(0.5, cores/16) — because r10's own measurements showed a
+    // decaying loadavg of ~3 still inflating the suite ~15% under the
+    // old cores/4 bound. The old bound survives as the `load_tier`
+    // field: "quiet" (steady), "warm" (under cores/4 — usable but
+    // possibly ~5–15% inflated), "loaded" (contention-dominated).
     val loadAfter = loadavg()
     val steady = loadBefore >= 0 &&
-      loadBefore <= math.max(2.0, cpus.toDouble / 4)
+      loadBefore <= math.max(0.5, cpus.toDouble / 16)
+    val loadTier =
+      if (steady) "quiet"
+      else if (loadBefore >= 0 && loadBefore <= math.max(2.0, cpus.toDouble / 4)) "warm"
+      else "loaded"
     val loadJson = s""""loadavg":[${fixed(loadBefore, 2)},${fixed(loadAfter, 2)}],""" +
-      s""""steady":$steady,"passes":$TimedPasses"""
+      s""""steady":$steady,"load_tier":"$loadTier","passes":$TimedPasses"""
 
     val ids = queries.map(_._1.takeWhile(_ != '_'))
     val useIds = ids.distinct.size == ids.size

@@ -885,6 +885,18 @@ object TrainingOps {
     */
   private val SpanDfCap = 50
 
+  /** Intra-document occurrence cap for the SAME seeding relation (r11,
+    * closing the r10 advisory): [[SpanDfCap]] bounds how many DOCUMENTS
+    * may share a window, but a single document internally repeating a
+    * hot window k times still contributed k×k' match rows per partner
+    * pair — per-pair quadratic skew from periodic documents. A window
+    * any document repeats more than this many times is periodic
+    * boilerplate (t36/t83's territory) and is excluded from seeding BY
+    * CONTRACT, the same discipline t83's SelfOccCap applies within
+    * documents. The oracle applies the identical cap.
+    */
+  private val SpanOccCap = 20
+
   /** Minimum reported span length in tokens (Lee et al. 2022 report
     * ≥ 50-token verbatim overlaps as the interesting class).
     */
@@ -929,9 +941,15 @@ object TrainingOps {
   private def exactSpanRelation(s: SparkSession, dir: String): DataFrame =
     SessionMemo.persist("training:xsub", s, dir) {
       val sp = spanPosRelation(s, dir)
-      val cold = sp.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("docf"))
-        .filter(col("docf") <= SpanDfCap)
+      // two-level aggregation: (h, doc) occurrence counts first (map-
+      // side combinable), then per-h document frequency AND the max
+      // within-doc occurrence — one extra values-sized reduce buys the
+      // per-pair quadratic guard
+      val cold = sp.groupBy(col("h"), col("doc_id"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("docf"), max(col("k")).as("maxk"))
+        .filter(col("docf") <= SpanDfCap && col("maxk") <= SpanOccCap)
         .select(col("h"))
       val spc = sp.join(cold, Seq("h"))
       val m = spc.as("a").join(spc.as("b"),
@@ -962,7 +980,9 @@ object TrainingOps {
     sp AS (
       SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(words[i:i + $SpanL - 1], ' ')) AS h
       FROM (SELECT doc_id, words, UNNEST(RANGE(1, n - $SpanL + 2)) AS i FROM g)),
-    cold AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) <= $SpanDfCap),
+    cold AS (
+      SELECT h FROM (SELECT h, doc_id, COUNT(*) AS k FROM sp GROUP BY h, doc_id)
+      GROUP BY h HAVING COUNT(*) <= $SpanDfCap AND MAX(k) <= $SpanOccCap),
     spc AS (SELECT sp.* FROM sp JOIN cold USING (h)),
     m AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
@@ -1162,7 +1182,9 @@ object TrainingOps {
     sp AS (
       SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(words[i:i + $SpanL - 1], ' ')) AS h
       FROM (SELECT doc_id, words, UNNEST(RANGE(1, n - $SpanL + 2)) AS i FROM g)),
-    cold AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) <= $SpanDfCap),
+    cold AS (
+      SELECT h FROM (SELECT h, doc_id, COUNT(*) AS k FROM sp GROUP BY h, doc_id)
+      GROUP BY h HAVING COUNT(*) <= $SpanDfCap AND MAX(k) <= $SpanOccCap),
     spc AS (SELECT sp.* FROM sp JOIN cold USING (h)),
     m AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
@@ -1243,7 +1265,9 @@ object TrainingOps {
     sp AS (
       SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(words[i:i + $SpanL - 1], ' ')) AS h
       FROM (SELECT doc_id, words, UNNEST(RANGE(1, n - $SpanL + 2)) AS i FROM g)),
-    cold AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) <= $SpanDfCap),
+    cold AS (
+      SELECT h FROM (SELECT h, doc_id, COUNT(*) AS k FROM sp GROUP BY h, doc_id)
+      GROUP BY h HAVING COUNT(*) <= $SpanDfCap AND MAX(k) <= $SpanOccCap),
     spc AS (SELECT sp.* FROM sp JOIN cold USING (h)),
     m AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,

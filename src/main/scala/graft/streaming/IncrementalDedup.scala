@@ -37,6 +37,50 @@ object IncrementalDedup {
 
   private val Bands = 4
 
+  /** On-disk signature-scheme version. History: 1 = seeded-md5 string
+    * minima with bare band concat (≤ r9); 2 = Kirsch–Mitzenmacher
+    * 40-bit integer minima with ':'-separated band keys (r10+). The
+    * schemes produce band signatures that can NEVER collide with each
+    * other, so probing a v1 index with v2 signatures would silently
+    * miss every true near-duplicate instead of failing — the marker
+    * turns that silent miss into a hard error at open time.
+    */
+  private[streaming] val FormatVersion = 2
+
+  private def versionPath(path: String) = s"$path/_graft_format_version"
+
+  /** Refuse an index written under a different signature scheme; stamp
+    * the version on first creation. The marker filename starts with
+    * '_' so the parquet reader treats it as hidden metadata.
+    */
+  private def checkOrStampVersion(spark: SparkSession, path: String): Unit = {
+    val fs = StreamingState.fsFor(spark, path)
+    val vp = new org.apache.hadoop.fs.Path(versionPath(path))
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(vp)) {
+      val in = fs.open(vp)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (v != FormatVersion.toString)
+        throw new IllegalStateException(
+          s"IncrementalDedup index at $path has signature-scheme version $v " +
+          s"but this build writes version $FormatVersion; its band signatures " +
+          "can never match newly signed documents. Rebuild the index (delete " +
+          "the directory and re-stream the corpus).")
+    } else if (fs.exists(root) &&
+        fs.listStatus(root).exists(st =>
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))) {
+      throw new IllegalStateException(
+        s"IncrementalDedup index at $path predates signature-scheme versioning " +
+        s"(no ${versionPath(path)} marker); refusing to probe it with version-" +
+        s"$FormatVersion signatures. Rebuild the index.")
+    } else {
+      fs.mkdirs(root)
+      val out = fs.create(vp, true)
+      try out.write(FormatVersion.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   val indexSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("shs", ArrayType(StringType), nullable = false),
@@ -73,11 +117,15 @@ object IncrementalDedup {
     }.select(indexSchema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
-  /** Current index contents ((session, path) may not exist yet). */
+  /** Current index contents ((session, path) may not exist yet).
+    * Existence resolves through Hadoop's FileSystem (HDFS/S3-safe) and
+    * an existing index must carry the current signature-scheme version.
+    */
   def readIndex(spark: SparkSession, path: String): DataFrame =
-    if (new java.io.File(path).exists())
+    if (StreamingState.exists(spark, path)) {
+      checkOrStampVersion(spark, path)
       spark.read.schema(indexSchema).parquet(path)
-    else
+    } else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], indexSchema)
 
   /** Ids-only banded view: the probe join must move (id, band, sig)
@@ -96,6 +144,7 @@ object IncrementalDedup {
   def probeAndUpdate(batch: DataFrame, indexPath: String,
       threshold: Double = 0.5): DataFrame = {
     val spark = batch.sparkSession
+    checkOrStampVersion(spark, indexPath)
     val existing = readIndex(spark, indexPath)
     val fresh = docSignatures(batch)
       .join(existing.select(col("doc_id")), Seq("doc_id"), "left_anti")

@@ -20,9 +20,12 @@ import graft.operators.CurationOps
   * Replayed batches (streaming retry semantics) must NOT double-count
   * — unlike the dedup index, whose doc-keyed rows anti-join replays
   * away for free, counter increments are not naturally idempotent. So
-  * the sketch directory carries an applied-batch-id ledger; a batch id
-  * already in the ledger is a no-op (the standard foreachBatch
-  * exactly-once discipline).
+  * the sketch carries an applied-batch-id ledger, and (r11) the
+  * ledger and the merged cells are published TOGETHER through
+  * [[StreamingState]]'s epoch-directory + atomic-marker commit — the
+  * r10 layout wrote cells first and appended the ledger second, so a
+  * crash between the writes re-applied (double-counted) the batch on
+  * retry, in exactly the replay scenario the ledger exists for.
   *
   * At 100 TB the shape holds: per batch, one word-count aggregation
   * (map-side combinable), a depth-way in-row fan-out to at most
@@ -40,16 +43,9 @@ object StreamingCms {
   private val ledgerSchema: StructType = StructType(Seq(
     StructField("batch_id", LongType, nullable = false)))
 
-  private def cellsPath(path: String) = s"$path/cells"
-  private def ledgerPath(path: String) = s"$path/applied"
-
-  private def readOr(spark: SparkSession, p: String, schema: StructType): DataFrame =
-    if (new java.io.File(p).exists()) spark.read.schema(schema).parquet(p)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-
   /** Current sketch contents (empty 0-cell sketch if never written). */
   def readSketch(spark: SparkSession, path: String): DataFrame =
-    readOr(spark, cellsPath(path), sketchSchema)
+    StreamingState.readCurrent(spark, path, "cells", sketchSchema)
 
   /** Cell increments for one (doc_id, text) batch — batch-local word
     * counts fanned out to (d, b) cells via the SAME bucketing as the
@@ -66,21 +62,21 @@ object StreamingCms {
     */
   def applyBatch(docs: DataFrame, path: String, batchId: Long): Boolean = {
     val spark = docs.sparkSession
-    val applied = readOr(spark, ledgerPath(path), ledgerSchema)
+    val applied = StreamingState.readCurrent(spark, path, "applied", ledgerSchema)
     if (applied.filter(col("batch_id") === batchId).limit(1).count() > 0)
       return false
-    // localCheckpoint (eager): the merged result must be materialized
-    // with lineage truncated BEFORE the overwrite, or the write would
-    // re-read the files it is replacing (the IncrementalDedup lesson)
+    // the merge reads the PREVIOUS epoch's directory and writes the
+    // next one, so no lineage truncation is needed; the new epoch's
+    // ledger already contains this batch id and both relations become
+    // visible in one atomic marker creation
     val merged = readSketch(spark, path)
       .unionByName(batchCells(docs))
       .groupBy(col("d"), col("b")).agg(sum(col("c")).as("c"))
       .select(col("d"), col("b"), col("c"))
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(cellsPath(path))
     import spark.implicits._
-    Seq(batchId).toDF("batch_id")
-      .write.mode("append").parquet(ledgerPath(path))
+    val ledger = applied.unionByName(Seq(batchId).toDF("batch_id"))
+    StreamingState.commit(spark, path, batchId,
+      Map("cells" -> merged, "applied" -> ledger))
     true
   }
 

@@ -44,13 +44,9 @@ object StreamingHll {
     StructField("j", LongType, nullable = false),
     StructField("rr", LongType, nullable = false)))
 
-  private def regPath(path: String) = s"$path/registers"
-
   /** Current register relation (empty if never written). */
   def readRegisters(spark: SparkSession, path: String): DataFrame =
-    if (new java.io.File(regPath(path)).exists())
-      spark.read.schema(registerSchema).parquet(regPath(path))
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], registerSchema)
+    StreamingState.readCurrent(spark, path, "registers", registerSchema)
 
   /** One micro-batch's register relation (g, j, rr) — the q43
     * construction verbatim, so streamed sketches are bit-identical to
@@ -66,15 +62,17 @@ object StreamingHll {
   def applyBatch(rows: DataFrame, path: String,
       group: Column, value: Column): Unit = {
     val spark = rows.sparkSession
-    // localCheckpoint (eager): materialize the merge with lineage
-    // truncated BEFORE the overwrite, or the write would re-read the
-    // files it is replacing (the IncrementalDedup lesson)
+    // reads the previous epoch's directory, writes the next (no
+    // in-place overwrite, so no lineage truncation needed); max-merge
+    // stays ledger-free — a replayed fold re-maxes the sketch onto
+    // itself and lands in a fresh epoch with identical contents
     val merged = readRegisters(spark, path)
       .unionByName(batchRegisters(rows, group, value))
       .groupBy(col("g"), col("j")).agg(max(col("rr")).as("rr"))
       .select(col("g"), col("j"), col("rr"))
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(regPath(path))
+    StreamingState.commit(spark, path,
+      StreamingState.currentEpoch(spark, path) + 1L,
+      Map("registers" -> merged))
   }
 
   /** Per-group distinct-count summary of the persisted sketch —

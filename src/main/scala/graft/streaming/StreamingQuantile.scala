@@ -20,9 +20,10 @@ import graft.operators.Analytics
   * StreamingQuantileSpec on randomized splits).
   *
   * Like the CMS counters — and unlike StreamingHll's max-merged
-  * registers — sums are NOT replay-idempotent, so the sketch directory
-  * carries the same applied-batch-id ledger (the standard foreachBatch
-  * exactly-once discipline).
+  * registers — sums are NOT replay-idempotent, so the sketch carries
+  * the same applied-batch-id ledger, published atomically WITH the
+  * merged bins through [[StreamingState]]'s epoch + marker commit
+  * (see StreamingCms for the r10 crash-window this closes).
   *
   * At 100 TB the shape holds: per batch one map-side-combinable
   * groupBy(group, bin) over the batch only, a merge against a table
@@ -39,16 +40,9 @@ object StreamingQuantile {
   private val ledgerSchema: StructType = StructType(Seq(
     StructField("batch_id", LongType, nullable = false)))
 
-  private def binsPath(path: String) = s"$path/bins"
-  private def ledgerPath(path: String) = s"$path/applied"
-
-  private def readOr(spark: SparkSession, p: String, schema: StructType): DataFrame =
-    if (new java.io.File(p).exists()) spark.read.schema(schema).parquet(p)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-
   /** Current sketch contents (empty if never written). */
   def readSketch(spark: SparkSession, path: String): DataFrame =
-    readOr(spark, binsPath(path), sketchSchema)
+    StreamingState.readCurrent(spark, path, "bins", sketchSchema)
 
   /** One micro-batch's bin counts — the q44 construction verbatim, so
     * streamed sketches are bit-identical to batch ones.
@@ -64,21 +58,20 @@ object StreamingQuantile {
   def applyBatch(rows: DataFrame, path: String,
       group: Column, cents: Column, batchId: Long): Boolean = {
     val spark = rows.sparkSession
-    val applied = readOr(spark, ledgerPath(path), ledgerSchema)
+    val applied = StreamingState.readCurrent(spark, path, "applied", ledgerSchema)
     if (applied.filter(col("batch_id") === batchId).limit(1).count() > 0)
       return false
-    // localCheckpoint (eager): materialize the merge with lineage
-    // truncated BEFORE the overwrite, or the write would re-read the
-    // files it is replacing (the IncrementalDedup lesson)
+    // reads the previous epoch, writes the next; bins + ledger become
+    // visible in one atomic marker creation (no cells-before-ledger
+    // crash window, no lineage truncation needed)
     val merged = readSketch(spark, path)
       .unionByName(batchBins(rows, group, cents))
       .groupBy(col("g"), col("bin")).agg(sum(col("cnt")).as("cnt"))
       .select(col("g"), col("bin"), col("cnt"))
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(binsPath(path))
     import spark.implicits._
-    Seq(batchId).toDF("batch_id")
-      .write.mode("append").parquet(ledgerPath(path))
+    val ledger = applied.unionByName(Seq(batchId).toDF("batch_id"))
+    StreamingState.commit(spark, path, batchId,
+      Map("bins" -> merged, "applied" -> ledger))
     true
   }
 

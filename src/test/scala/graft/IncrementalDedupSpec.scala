@@ -78,4 +78,43 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(IncrementalDedup.readIndex(spark, indexPath).count() == 6)
     replay.unpersist()
   }
+
+  test("index format version: stamped on create, refused on mismatch or unversioned") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dedup_ver")
+
+    // first use stamps the marker
+    val idx1 = base.resolve("fresh").toString
+    IncrementalDedup.probeAndUpdate(
+      Seq((1L, textA)).toDF("doc_id", "text"), idx1).unpersist()
+    val marker = java.nio.file.Paths.get(idx1, "_graft_format_version")
+    assert(java.nio.file.Files.exists(marker))
+    assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == "2")
+    // and re-opening the index it stamped is fine
+    assert(IncrementalDedup.readIndex(spark, idx1).count() == 1)
+
+    // an index stamped with a DIFFERENT scheme version must refuse
+    val idx2 = base.resolve("v1").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idx2))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idx2, "_graft_format_version"), "1".getBytes("UTF-8"))
+    val e1 = intercept[IllegalStateException] {
+      IncrementalDedup.probeAndUpdate(Seq((2L, textB)).toDF("doc_id", "text"), idx2)
+    }
+    assert(e1.getMessage.contains("version 1"))
+
+    // a pre-versioning index (data files, no marker) must refuse too
+    val idx3 = base.resolve("unversioned").toString
+    Seq((9L, textC)).toDF("doc_id", "text").write.parquet(idx3)
+    java.nio.file.Files.list(java.nio.file.Paths.get(idx3)).forEach { f =>
+      val n = f.getFileName.toString
+      if (n.startsWith("_") && n != "part") java.nio.file.Files.deleteIfExists(f)
+      ()
+    }
+    val e2 = intercept[IllegalStateException] {
+      IncrementalDedup.readIndex(spark, idx3)
+    }
+    assert(e2.getMessage.contains("predates"))
+  }
 }
