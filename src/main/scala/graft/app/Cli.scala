@@ -388,7 +388,8 @@ object GraftTransformLoad {
 }
 
 /** One-command corpus curation — `--in <tablesDir> --out <dir>
-  * [--budget N] [--span-decontaminate] [--cluster-split]`: the
+  * [--budget N] [--span-decontaminate] [--cluster-split]
+  * [--cut-substrings]`: the
   * LLM-pipeline counterpart
   * of the FIC drivers above. Runs the full corpus-production chain
   * ([[graft.operators.CurationOps.writeCuratedFull]]): exact-canonical
@@ -397,16 +398,20 @@ object GraftTransformLoad {
   * screening (drops train docs sharing any token window with the eval
   * split), optional t78 leakage-free splitting (every near-dup family
   * inherits its cluster representative's split, so duplicates never
-  * straddle train/eval), then the partitioned (split, source) parquet
-  * write + release manifest. Prints the manifest as the run summary.
+  * straddle train/eval), optional t84/t85 exact-substring cutting
+  * (cross-document verbatim spans removed from the written text, the
+  * manifest recording tokens removed), then the partitioned (split,
+  * source) parquet write + release manifest. Prints the manifest as
+  * the run summary.
   */
 object GraftCurate {
 
   def run(spark: SparkSession, in: String, out: String,
       budget: Option[Long], spanDecontaminate: Boolean = false,
-      clusterSplit: Boolean = false): DataFrame = {
+      clusterSplit: Boolean = false, cutSubstrings: Boolean = false): DataFrame = {
     val manifest = graft.operators.CurationOps
-      .writeCuratedFull(spark, in, out, budget, spanDecontaminate, clusterSplit)
+      .writeCuratedFull(spark, in, out, budget, spanDecontaminate,
+        clusterSplit, cutSubstrings)
     manifest.collect().foreach { r =>
       println(s"curated ${r.getAs[String]("split")}/${r.getAs[String]("source")}: " +
         s"${r.getAs[Long]("n_docs")} docs, ${r.getAs[Long]("n_chars")} chars")
@@ -420,8 +425,9 @@ object GraftCurate {
     val budget = Cli.arg(args, "--budget").map(_.toLong)
     val spanDecon = args.contains("--span-decontaminate")
     val clusterSplit = args.contains("--cluster-split")
+    val cutSubstrings = args.contains("--cut-substrings")
     val spark = Cli.session("graft-curate")
-    run(spark, in, out, budget, spanDecon, clusterSplit)
+    run(spark, in, out, budget, spanDecon, clusterSplit, cutSubstrings)
     spark.stop()
   }
 }

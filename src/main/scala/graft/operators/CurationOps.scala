@@ -532,7 +532,8 @@ object CurationOps {
   def writeCuratedFull(s: SparkSession, dir: String, outPath: String,
       budget: Option[Long] = None,
       spanDecontaminate: Boolean = false,
-      clusterSplit: Boolean = false): DataFrame = {
+      clusterSplit: Boolean = false,
+      cutSubstrings: Boolean = false): DataFrame = {
     val survivors = TextOps.qDedupSurvivors(s, dir)
       .select(col("survivor_id").as("doc_id"))
     val deduped0 = curatedDocs(s, dir).join(survivors, Seq("doc_id"), "left_semi")
@@ -571,14 +572,37 @@ object CurationOps {
         .select(base.columns.toIndexedSeq.map(col): _*)
       case None => base
     }
-    selected.write.mode("overwrite")
+    // opt-in t84/t85 exact-substring cuts (r11, VERDICT #3): swap each
+    // cut document's text for the t85 cleaned text (cross-doc verbatim
+    // spans ≥ MinSpan removed, keep-first interval-union semantics —
+    // the SAME memoized span relation the gates certified), so the
+    // written corpus ships deduplicated bytes, not just a cut REPORT.
+    // n_chars is recomputed for cut docs and n_tokens_cut lands in the
+    // docs parquet + manifest as the removal audit trail.
+    val toWrite =
+      if (!cutSubstrings) selected
+      else {
+        val cleaned = TrainingOps.substringCleanedDocs(s, dir)
+        selected.join(broadcast(cleaned), Seq("doc_id"), "left")
+          .withColumn("text", coalesce(col("text_clean"), col("text")))
+          .withColumn("n_tokens_cut", coalesce(col("tokens_cut"), lit(0L)))
+          .withColumn("n_chars",
+            when(col("text_clean").isNotNull, length(col("text")).cast("long"))
+              .otherwise(col("n_chars")))
+          .drop("text_clean", "tokens_cut")
+      }
+    toWrite.write.mode("overwrite")
       .partitionBy("split", "source").parquet(s"$outPath/docs")
+    val baseAggs = Seq(count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars"),
+      min(col("doc_id")).as("first_doc"),
+      max(col("doc_id")).as("last_doc"))
+    val aggs =
+      if (cutSubstrings) baseAggs :+ sum(col("n_tokens_cut")).as("tokens_cut")
+      else baseAggs
     val manifest = s.read.parquet(s"$outPath/docs")
       .groupBy(col("split"), col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("n_chars"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("split"), col("source"))
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$outPath/manifest")
     manifest

@@ -666,11 +666,22 @@ object TextOps {
     * ordering anywhere. Wordless documents carry no shingles (so never
     * cluster) and no defined quality score; both engines exclude them.
     */
+  /** (doc_id, score) of every scorable document — shared by t52 and
+    * the independent components checker (tools.CcCheck), so the
+    * checker verifies selection over the exact scores the gate used.
+    */
+  private[graft] def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    withQualityScore(Tables.documents(s, dir).withColumn("words", wordsCol))
+      .select(col("doc_id"), col("score"))
+
+  /** LSH near-dup pair graph edges — the t40/t52 input, exposed for
+    * the independent checker. */
+  private[graft] def nearDupEdges(s: SparkSession, dir: String): DataFrame =
+    qMinhashLsh(s, dir).select(col("doc_a").as("u"), col("doc_b").as("v"))
+
   def qDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     val labels = ccLabels(s, dir)
-    val scored = withQualityScore(
-        Tables.documents(s, dir).withColumn("words", wordsCol))
-      .select(col("doc_id"), col("score"))
+    val scored = scoredDocs(s, dir)
     scored.join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
       .groupBy(col("cluster_id"))

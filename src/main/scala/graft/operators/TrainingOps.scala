@@ -1239,6 +1239,32 @@ object TrainingOps {
     * n_cuts intervals) — the corpus is touched exactly once, no
     * shuffle keys ever carry text.
     */
+  /** (doc_id, text_clean, tokens_cut) for every document the t84 cut
+    * plan touches — the WRITE-side reader of the span family (r11,
+    * VERDICT #3): graft-curate's `--cut-substrings` stage swaps each
+    * cut document's text for this cleaned text, so the end product
+    * actually ships the deduplicated bytes the t85 gate pins
+    * (text_clean is the exact array_join the gate md5s). Inner join:
+    * only cut documents appear — the corpus-sized pass-through stays
+    * in the caller, and this relation is cut-plan-sized (near-dup-
+    * bounded), safe to broadcast.
+    */
+  private[graft] def substringCleanedDocs(s: SparkSession, dir: String): DataFrame = {
+    val ivs = mergedCutIntervals(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("cs"), col("ce"))).as("ivs"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w != '')").as("words"))
+      .join(broadcast(ivs), Seq("doc_id"))
+      .select(col("doc_id"), size(col("words")).cast("long").as("n_before"),
+        expr("""filter(words, (w, i) -> not exists(ivs, v -> i + 1 >= v.cs and i + 1 <= v.ce))""")
+          .as("kept"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("text_clean"),
+        (col("n_before") - size(col("kept")).cast("long")).as("tokens_cut"))
+  }
+
   def qSubstringApply(s: SparkSession, dir: String): DataFrame = {
     val ivs = mergedCutIntervals(s, dir)
       .groupBy(col("doc_id"))

@@ -498,4 +498,46 @@ class CurationOpsSpec extends AnyFunSuite {
       s"bloom path diverged: exact=${exact.length} rows, bloom=${bloom.length}")
     SessionMemo.release(spark)
   }
+
+  test("full curation driver: --cut-substrings ships t85 cleaned bytes, manifest records removals") {
+    val out = java.nio.file.Files.createTempDirectory("curate_cut").toString
+    val manifest = CurationOps.writeCuratedFull(spark, dir, out, cutSubstrings = true)
+    assert(manifest.columns.contains("tokens_cut"))
+    val written = spark.read.parquet(s"$out/docs")
+    // gate parity: every written doc the t84 plan cuts must carry
+    // EXACTLY the cleaned bytes the t85 gate pinned (md5 equality),
+    // the same removal count, and an n_chars recomputed from the
+    // written text
+    val t85 = TrainingOps.qSubstringApply(spark, dir)
+      .filter(col("n_after") < col("n_before"))
+      .select(col("doc_id"), col("text_md5"),
+        (col("n_before") - col("n_after")).as("cut"))
+    val joined = written.select(col("doc_id"), md5(col("text")).as("w_md5"),
+        col("n_tokens_cut"), length(col("text")).cast("long").as("len"),
+        col("n_chars"))
+      .join(t85, Seq("doc_id"))
+      .collect()
+    assert(joined.nonEmpty, "no cut doc survived curation; test vacuous")
+    joined.foreach { r =>
+      assert(r.getAs[String]("w_md5") === r.getAs[String]("text_md5"),
+        s"doc ${r.getAs[Long]("doc_id")}: written bytes != t85 cleaned bytes")
+      assert(r.getAs[Long]("n_tokens_cut") === r.getAs[Long]("cut"))
+      assert(r.getAs[Long]("n_chars") === r.getAs[Long]("len"))
+    }
+    // the manifest's removal audit equals the written per-doc sums
+    val mTot = manifest.collect().map(_.getAs[Long]("tokens_cut")).sum
+    val wTot = written.agg(sum(col("n_tokens_cut"))).collect()(0).getLong(0)
+    assert(mTot === wTot)
+    assert(mTot > 0L)
+    // uncut docs pass through byte-identical to the no-cut run
+    val plain = java.nio.file.Files.createTempDirectory("curate_plain").toString
+    CurationOps.writeCuratedFull(spark, dir, plain)
+    val uncut = spark.read.parquet(s"$plain/docs")
+      .select(col("doc_id"), md5(col("text")).as("m0"))
+      .join(written.filter(col("n_tokens_cut") === 0L)
+        .select(col("doc_id"), md5(col("text")).as("m1")), Seq("doc_id"))
+      .collect()
+    assert(uncut.nonEmpty)
+    uncut.foreach(r => assert(r.getAs[String]("m0") === r.getAs[String]("m1")))
+  }
 }
