@@ -68,6 +68,30 @@ object BpeReference {
     loop(words.toList.map { case (w, c) => (w.toList.map(_.toString), c) }, 1, Nil)
   }
 
+  /** GPT-2 bytes_to_unicode for the byte-level oracle (t86), built by
+    * COMPLEMENT SCAN — list the self-mapped printable ranges, then
+    * assign 0x100+i to the ascending complement — a deliberately
+    * different construction from the gate path's single imperative
+    * sweep (BpeTrainer.byteToUnicode); BpeTrainerSpec asserts the two
+    * tables agree byte-for-byte.
+    */
+  val byteToChar: Map[Int, Char] = {
+    val self = ((0x21 to 0x7e) ++ (0xa1 to 0xac) ++ (0xae to 0xff)).toSet
+    val shifted = (0 to 255).filterNot(self).zipWithIndex
+      .map { case (b, i) => b -> (0x100 + i).toChar }
+    (self.toList.map(b => b -> b.toChar) ++ shifted).toMap
+  }
+
+  /** A word's UTF-8 bytes as remapped printable chars. */
+  def byteRemap(w: String): String =
+    w.getBytes("UTF-8").map(b => byteToChar(b & 0xff)).mkString
+
+  /** Inverse remapping over concatenated tokens → original string. */
+  def byteUnmap(tokens: List[String]): String = {
+    val rev = byteToChar.map(_.swap)
+    new String(tokens.flatMap(_.toList).map(c => rev(c).toByte).toArray, "UTF-8")
+  }
+
   /** apply_bpe: tokenize one word under a trained (pair → rank) table. */
   def encode(word: String, ranks: Map[(String, String), Int]): List[String] = {
     @annotation.tailrec

@@ -85,14 +85,83 @@ object BpeTrainer {
     * word-frequency aggregate, then the regime dispatch documented on
     * the object. Results are identical on either path.
     */
-  def train(docs: DataFrame, nMerges: Int): Seq[Merge] = {
-    val wc = wordCounts(docs).persist(StorageLevel.MEMORY_AND_DISK)
+  def train(docs: DataFrame, nMerges: Int): Seq[Merge] =
+    trainWc(wordCounts(docs), nMerges)
+
+  /** Regime dispatch over an already-built (w, n) frequency frame —
+    * shared by the char-level and byte-level entry points (the two
+    * differ ONLY in what the initial symbols of a word are; byte mode
+    * pre-remaps the word so that one char == one original byte and
+    * every downstream stage is reused verbatim).
+    */
+  private def trainWc(wcIn: DataFrame, nMerges: Int): Seq[Merge] = {
+    val wc = wcIn.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       if (wc.count() <= LocalVocabLimit) {
         val words = wc.collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
         trainLocal(words, nMerges)
       } else trainDistributed(wc, nMerges)
     } finally { wc.unpersist(); () }
+  }
+
+  // ---- Byte-level (UTF-8) mode: the GPT-2/tiktoken shape ----
+
+  /** GPT-2's bytes_to_unicode remapping (Radford et al. 2019,
+    * encoder.py; same table tiktoken ships): every byte 0–255 maps to
+    * a PRINTABLE Basic-Multilingual-Plane char — printable latin bytes
+    * map to themselves, the 68 others (controls, space, 0x7f, 0xa0,
+    * 0xad) shift to 0x100+n in byte order. After remapping, "one char"
+    * == "one original UTF-8 byte", so the whole char-level machinery
+    * (toSymbols' substring split, applyMerge, encodeWord) runs byte-
+    * level BPE UNCHANGED — and merge symbols stay printable strings an
+    * oracle VALUES literal can carry.
+    */
+  val byteToUnicode: Array[Char] = {
+    def printable(b: Int) =
+      (b >= 0x21 && b <= 0x7e) || (b >= 0xa1 && b <= 0xac) || (b >= 0xae && b <= 0xff)
+    val arr = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (printable(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    arr
+  }
+
+  private lazy val unicodeToByte: Map[Char, Int] =
+    byteToUnicode.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** One word's UTF-8 bytes as remapped printable chars — the byte-
+    * level initial-symbol string. Handles any codepoint (a 4-byte
+    * emoji becomes 4 symbols; char-level splitting would tear its
+    * UTF-16 surrogate pair).
+    */
+  def byteEncodeWord(w: String): String = {
+    val bs = w.getBytes("UTF-8")
+    val sb = new java.lang.StringBuilder(bs.length)
+    bs.foreach(x => sb.append(byteToUnicode(x & 0xff)))
+    sb.toString
+  }
+
+  /** Invert the remapping over a token sequence: concatenated tokens →
+    * original UTF-8 bytes → string. Exact round-trip for any input
+    * (the table is a bijection on bytes).
+    */
+  def byteDecodeTokens(tokens: Seq[String]): String = {
+    val bytes = tokens.flatMap(_.map(c => unicodeToByte(c).toByte))
+    new String(bytes.toArray, "UTF-8")
+  }
+
+  /** Byte-level training: the same corpus-sized word count, keys
+    * remapped byte→printable (injective, so frequencies are untouched),
+    * then the shared regime dispatch. Returned merge symbols are in
+    * the remapped alphabet (decode with [[byteDecodeTokens]]).
+    */
+  def trainBytes(docs: DataFrame, nMerges: Int): Seq[Merge] = {
+    val remap = udf((w: String) => byteEncodeWord(w))
+    trainWc(wordCounts(docs).withColumn("w", remap(col("w"))), nMerges)
   }
 
   /** In-memory merge loop over a bounded (word, count) table — the
@@ -196,6 +265,23 @@ object BpeTrainer {
     import s.implicits._
     trainedMerges(s, dir, nMerges)
       .toDF()
+      .select(col("rank"), col("left"), col("right"), col("count"))
+      .orderBy(col("rank"))
+  }
+
+  /** Byte-level training gate (t86) — the GPT-2/tiktoken-shaped
+    * variant: initial symbols are remapped UTF-8 bytes, merges are
+    * byte-pair merges. On a multibyte corpus the trained table
+    * DIFFERS from t51's char-level one (a 2-byte char is two byte
+    * symbols but one char symbol); the spec pins the disagreement and
+    * the byte round-trip, the VALUES oracle pins the table against
+    * the code-independent reference.
+    */
+  def qBpeByteTrain(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    import s.implicits._
+    SessionMemo.memo(s"bpe:byte-merges:$nMerges", s, dir) {
+      trainBytes(Tables.documents(s, dir), nMerges)
+    }.toDF()
       .select(col("rank"), col("left"), col("right"), col("count"))
       .orderBy(col("rank"))
   }
@@ -392,6 +478,27 @@ object BpeTrainer {
   def trainOracle(nMerges: Int = 10): Option[String] =
     withOracleContext(s"train:$nMerges") { (s, dir) =>
       val merges = BpeReference.train(pureWordCounts(collectedDocs(s, dir)), nMerges)
+      val rows = merges.map { case (rank, l, r, c) =>
+        s"($rank, ${sqlStr(l)}, ${sqlStr(r)}, $c)" }
+      require(rows.nonEmpty, "empty corpus")
+      s"""SELECT CAST("rank" AS INTEGER) AS "rank", "left", "right",
+            CAST("count" AS BIGINT) AS "count"
+          FROM (VALUES ${rows.mkString(",\n")}) t("rank", "left", "right", "count")
+          ORDER BY "rank""""
+    }
+
+  /** t86's oracle: [[BpeReference]]'s from-the-definition training over
+    * the SAME corpus with the reference's OWN byte remapping (the two
+    * tables are built in different styles and asserted equal in the
+    * spec — a transcription slip in either is a differential failure,
+    * not a silent agreement). Merge symbols are printable by
+    * construction, so the VALUES literal carries them directly.
+    */
+  def byteTrainOracle(nMerges: Int = 10): Option[String] =
+    withOracleContext(s"byte-train:$nMerges") { (s, dir) =>
+      val words = pureWordCounts(collectedDocs(s, dir))
+        .map { case (w, c) => BpeReference.byteRemap(w) -> c }
+      val merges = BpeReference.train(words, nMerges)
       val rows = merges.map { case (rank, l, r, c) =>
         s"($rank, ${sqlStr(l)}, ${sqlStr(r)}, $c)" }
       require(rows.nonEmpty, "empty corpus")

@@ -1386,5 +1386,10 @@ object CurationOps {
     // VALUES-literal oracle regime as t51/t59 (Verify context only)
     GateQuery("t74_tokenizer_fertility", (s, d) => BpeTrainer.qTokenizerFertility(s, d),
       BpeTrainer.fertilityOracle()),
+    // byte-level (UTF-8, GPT-2/tiktoken-shaped) training — r11: initial
+    // symbols are remapped bytes; VALUES oracle via the code-
+    // independent reference with its OWN remap table (Verify context)
+    GateQuery("t86_bpe_byte_train", (s, d) => BpeTrainer.qBpeByteTrain(s, d),
+      BpeTrainer.byteTrainOracle()),
   )
 }

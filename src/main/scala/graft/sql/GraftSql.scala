@@ -80,6 +80,9 @@ object GraftSql {
   val EagerArtifactViews: Set[String] = Set(
     "t46_bloom_decontaminate", "t40_dedup_clusters",
     "t52_dedup_survivors", "t51_bpe_train", "t59_bpe_encode",
+    // t86 trains the byte-level merge table at plan build (t51's loop
+    // over byte-remapped words)
+    "t86_bpe_byte_train",
     // t74 composes t59's trained tokenizer — same BPE loop at plan build
     "t74_tokenizer_fertility",
     "t50_lexical_topk", "t58_dsir_weights", "t61_unigram_surprise",

@@ -153,4 +153,54 @@ class BpeTrainerSpec extends AnyFunSuite {
         s"doc ${r.getLong(0)}: n_bpe_tokens $toks outside [words=$words, chars=$chars]")
     }
   }
+
+  test("byte-level mode: remap tables agree, multibyte words disagree with char level, exact round-trip") {
+    import graft.operators.BpeReference
+    // the gate path's table (imperative sweep) and the reference's
+    // (complement scan) must agree on every byte — a transcription
+    // slip in either construction fails here, not silently in a gate
+    (0 until 256).foreach { b =>
+      assert(BpeTrainer.byteToUnicode(b) === BpeReference.byteToChar(b),
+        s"byte $b remaps differently")
+    }
+    // all remapped chars printable (non-control, non-space): the
+    // property that makes merge symbols safe VALUES literals
+    (0 until 256).foreach { b =>
+      val c = BpeTrainer.byteToUnicode(b)
+      assert(!Character.isISOControl(c) && !Character.isWhitespace(c))
+    }
+    // multibyte UTF-8: char-level and byte-level initial symbols differ
+    val word = "na\u00efve" // 5 chars, 6 UTF-8 bytes
+    assert(word.length === 5)
+    assert(BpeTrainer.byteEncodeWord(word).length === 6)
+    // and training on a multibyte corpus yields a DIFFERENT merge
+    // table: the char-level first merge can pair the 2-byte char
+    // atomically, byte level must first merge its two bytes
+    val counts = Map(word -> 3L)
+    val charMerges = BpeTrainer.trainLocal(counts.toSeq, 3).map(m => (m.left, m.right))
+    val byteMerges = BpeTrainer
+      .trainLocal(counts.toSeq.map { case (w, c) => BpeTrainer.byteEncodeWord(w) -> c }, 3)
+      .map(m => (m.left, m.right))
+    assert(charMerges !== byteMerges)
+    // exact round-trip through the remapping for multibyte content,
+    // including a 4-byte (surrogate-pair) codepoint char-level
+    // splitting would tear
+    Seq(word, "\u00fcber", "\u65e5\u672c\u8a9e", new String(Character.toChars(0x1F600)))
+      .foreach { w =>
+        assert(BpeTrainer.byteDecodeTokens(Seq(BpeTrainer.byteEncodeWord(w))) === w)
+        assert(BpeReference.byteUnmap(List(BpeReference.byteRemap(w))) === w)
+      }
+    // gate-vs-reference differential for the byte mode on the real corpus
+    val spark2 = spark
+    val gate = BpeTrainer.qBpeByteTrain(spark2, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val docs = spark2.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("filter(split(text, ' '), w -> w != '') as ws").collect()
+      .flatMap(_.getSeq[String](0))
+    val wc = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ref = BpeReference.train(
+      wc.toSeq.map { case (w, c) => BpeReference.byteRemap(w) -> c }, 10)
+    assert(gate.toList === ref.map(t => (t._1, t._2, t._3, t._4)))
+    assert(gate.nonEmpty)
+  }
 }
