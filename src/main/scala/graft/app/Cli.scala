@@ -332,6 +332,12 @@ object GraftDrop {
         val pairs = graft.streaming.IncrementalDedup
           .probeAndUpdate(b, s"$index/dedup", threshold)
         pairs.write.mode("append").parquet(s"$index/reports/pairs")
+        // r11: cross-drop verbatim quotes (the t82 class — too little
+        // whole-document overlap for the MinHash probe) surface from
+        // the persisted window-hash index
+        val spans = graft.streaming.IncrementalSpanIndex
+          .probeAndUpdate(b, s"$index/spans")
+        spans.write.mode("append").parquet(s"$index/reports/spans")
         val vecs = LlmOperators.embed(b.select(col("doc_id"), col("text")),
             embedder, backoffMs = _ => 0L)
           .filter(col("error").isNull)
@@ -341,8 +347,9 @@ object GraftDrop {
           .probeAndUpdate(vecs, s"$index/ann", cfg)
         topk.write.mode("append").parquet(s"$index/reports/neighbors")
         println(s"drop batch $id: ${b.count()} docs, " +
-          s"${pairs.count()} near-dup pairs, ${topk.count()} neighbor rows")
-        pairs.unpersist(); topk.unpersist(); b.unpersist()
+          s"${pairs.count()} near-dup pairs, ${spans.count()} verbatim spans, " +
+          s"${topk.count()} neighbor rows")
+        pairs.unpersist(); spans.unpersist(); topk.unpersist(); b.unpersist()
         ()
       }
       .start()

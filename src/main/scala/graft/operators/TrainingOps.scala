@@ -732,7 +732,7 @@ object TrainingOps {
     * selective prose (ExactSubstr uses 50 BYTES ≈ 10–12 tokens; a
     * token-window formulation wants a little more context).
     */
-  private val SpanL = 20
+  private[graft] val SpanL = 20
 
   /** Alignment-free repeated-span detection (t65) — the windowed-hash
     * form of exact-substring dedup (the "ExactSubstr" family): hash
@@ -883,7 +883,7 @@ object TrainingOps {
     * from seeding BY CONTRACT (t65's corpus-wide counts are the tool
     * for boilerplate; this operator is for pairwise verbatim reuse).
     */
-  private val SpanDfCap = 50
+  private[graft] val SpanDfCap = 50
 
   /** Intra-document occurrence cap for the SAME seeding relation (r11,
     * closing the r10 advisory): [[SpanDfCap]] bounds how many DOCUMENTS
@@ -895,12 +895,12 @@ object TrainingOps {
     * CONTRACT, the same discipline t83's SelfOccCap applies within
     * documents. The oracle applies the identical cap.
     */
-  private val SpanOccCap = 20
+  private[graft] val SpanOccCap = 20
 
   /** Minimum reported span length in tokens (Lee et al. 2022 report
     * ≥ 50-token verbatim overlaps as the interesting class).
     */
-  private val MinSpan = 50
+  private[graft] val MinSpan = 50
 
   /** TRUE exact-substring dedup (t82) — the suffix-array-family
     * statistic of Lee et al. 2022 ("Deduplicating Training Data Makes
