@@ -439,6 +439,39 @@ object GraftCurate {
   }
 }
 
+/** Cross-snapshot corpus diff — `--old <curatedDir> --new
+  * <curatedDir>`: the promotion review a recurring curation pipeline
+  * runs between last month's and this month's written snapshots
+  * ([[graft.operators.SnapshotDiff]]): per (split, source), documents
+  * added / removed / rewritten / moved and the char-volume delta.
+  * Prints the report and exits non-zero if the new snapshot REMOVED
+  * documents (the regression signal a promotion gate blocks on;
+  * additions and rewrites are normal growth/cleaning).
+  */
+object GraftSnapshotDiff {
+
+  def run(spark: SparkSession, oldP: String, newP: String): DataFrame = {
+    val rep = graft.operators.SnapshotDiff.report(spark, oldP, newP)
+    rep.collect().foreach { r =>
+      println(s"diff ${r.getAs[String]("split")}/${r.getAs[String]("source")}: " +
+        s"+${r.getAs[Long]("n_added")} -${r.getAs[Long]("n_removed")} " +
+        s"~${r.getAs[Long]("n_rewritten")} moved=${r.getAs[Long]("n_moved")} " +
+        s"chars ${r.getAs[Long]("chars_delta")}")
+    }
+    rep
+  }
+
+  def main(args: Array[String]): Unit = {
+    val oldP = Cli.arg(args, "--old").getOrElse(sys.error("--old required"))
+    val newP = Cli.arg(args, "--new").getOrElse(sys.error("--new required"))
+    val spark = Cli.session("graft-snapshot-diff")
+    val removed = run(spark, oldP, newP)
+      .agg(org.apache.spark.sql.functions.sum("n_removed")).collect()(0).getLong(0)
+    spark.stop()
+    if (removed > 0) sys.exit(2)
+  }
+}
+
 /** One-command event-stream analytics report — `--in <tablesDir> --out
   * <dir>`: the monitoring counterpart of graft-curate, composing the
   * oracle-gated analytics operators into one report directory:
