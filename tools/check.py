@@ -6,9 +6,15 @@ runs each oracle against DuckDB over the same sf directory, and compares
 row counts, schemas (column names sorted) and values. This file is local
 tooling only — the shipped library is the Scala code under src/.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> \
+           [--skip n1,n2] [--only n1,n2] [--timeout-sec N]
+
+--timeout-sec interrupts any single oracle exceeding N seconds (it
+reports as TIMEOUT, not FAIL-by-mismatch) — for the sf10 campaign,
+where a handful of oracles are quadratic/spill-bound in DuckDB and
+must not wedge the rest of the batch.
 """
-import sys, os, json, glob, time
+import sys, os, json, glob, threading, time
 import duckdb
 import pandas as pd
 
@@ -16,33 +22,55 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+def main(sf_dir, out_dir, skip=(), only=(), timeout_sec=None):
+    def connect():
+        c = duckdb.connect()
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return c
+    con = connect()
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_timeout = 0
     oracle_secs = {}
     for name in sorted(oracles):
+        if name in skip or (only and name not in only):
+            continue
         sql = oracles[name]
         pq = f"{out_dir}/{name}"
         if not glob.glob(f"{pq}/*.parquet"):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
+        timer = None
+        timed_out = [False]
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{pq}/*.parquet')").df()
+            if timeout_sec:
+                def kill(c=con):
+                    timed_out[0] = True
+                    c.interrupt()
+                timer = threading.Timer(timeout_sec, kill)
+                timer.start()
             t0 = time.perf_counter()
             exp = con.execute(sql).df()
             oracle_secs[name] = time.perf_counter() - t0
         except Exception as e:
-            print(f"FAIL {name}: {e}")
-            n_fail += 1
+            if timed_out[0]:
+                print(f"TIMEOUT {name}: oracle exceeded {timeout_sec}s")
+                n_timeout += 1
+                con = connect()  # interrupted connection state is suspect
+            else:
+                print(f"FAIL {name}: {e}")
+                n_fail += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
+        sys.stdout.flush()
         ok, msg = compare(got, exp)
         if ok:
             n_pass += 1
@@ -52,7 +80,8 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {msg}")
     total = sum(oracle_secs.values())
     top = sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:5]
-    print(f"== {n_pass} pass / {n_fail} fail == duckdb oracle total "
+    to = f" / {n_timeout} timeout" if n_timeout else ""
+    print(f"== {n_pass} pass / {n_fail} fail{to} == duckdb oracle total "
           f"{total:.1f}s, top: "
           + ", ".join(f"{n} {s:.1f}s" for n, s in top))
     return 1 if n_fail else 0
@@ -87,4 +116,17 @@ def compare(got, exp):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = sys.argv[1:]
+    skip, only, timeout = (), (), None
+    pos = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--skip":
+            skip = tuple(args[i + 1].split(",")); i += 2
+        elif args[i] == "--only":
+            only = tuple(args[i + 1].split(",")); i += 2
+        elif args[i] == "--timeout-sec":
+            timeout = float(args[i + 1]); i += 2
+        else:
+            pos.append(args[i]); i += 1
+    sys.exit(main(pos[0], pos[1], skip=skip, only=only, timeout_sec=timeout))
