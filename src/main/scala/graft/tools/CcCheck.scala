@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.operators.TextOps
+import graft.operators.{TextOps, TrainingOps}
 
 /** Independent verification of the t40/t52 connected-components
   * results (r11, VERDICT #2): at sf10 the DuckDB recursive-CTE oracle
@@ -20,7 +20,11 @@ import graft.operators.TextOps
   *    match, is_canonical must mark exactly the minimum;
   *  - t52: per cluster (including score-bearing singletons), the
   *    survivor must be the member maximizing (score, -doc_id) over
-  *    the exact scores the gate used, with the right cluster_size.
+  *    the exact scores the gate used, with the right cluster_size;
+  *  - t78 (r11): every document's cluster representative, naive and
+  *    cluster split (md5 first-byte bucket, reimplemented from the
+  *    definition), and leak flag — its oracle is the same recursive
+  *    CTE that dies at sf10, so the independent check covers it too.
   *
   * Run: runMain graft.tools.CcCheck <dir>   (exit 1 on any mismatch)
   * CcCheckSpec runs the same check at sf0.1 in CI.
@@ -111,6 +115,30 @@ object CcCheck {
           if (sc != scores(expSurv)) err(s"t52 cluster $cl score $sc != gate score")
       }
     }
+    // 4. t78: cluster-aware splitting over the same labels — its
+    // DuckDB oracle is the same recursive CTE that dies at sf10, so
+    // the independent check covers it too. The split rule is the t33
+    // md5 first-byte bucket, reimplemented here from the definition.
+    def splitOf(id: Long): String = {
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))(0) & 0xff
+      if (b < 13) "test" else if (b < 39) "eval" else "train"
+    }
+    val t78 = TrainingOps.qClusterSplit(spark, dir).collect()
+    val allDocs = t78.map(_.getLong(0))
+    // leaky = the cluster's members span >1 naive split
+    val splitsByRep = allDocs.groupBy(d => expectLabel.getOrElse(d, d))
+      .map { case (rep, ids) => rep -> ids.map(splitOf).toSet }
+    t78.foreach { r =>
+      val (doc, rep, sd, sc, leaky) = (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3), r.getBoolean(4))
+      val expRep = expectLabel.getOrElse(doc, doc)
+      if (rep != expRep) err(s"t78 doc $doc rep $rep != union-find $expRep")
+      if (sd != splitOf(doc)) err(s"t78 doc $doc split_doc $sd != ${splitOf(doc)}")
+      if (sc != splitOf(expRep)) err(s"t78 doc $doc split_cluster $sc wrong")
+      val expLeaky = splitsByRep(expRep).size > 1
+      if (leaky != expLeaky) err(s"t78 doc $doc leaky=$leaky != $expLeaky")
+    }
     errs.toSeq
   }
 
@@ -125,7 +153,7 @@ object CcCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val errs = check(spark, dir)
-    if (errs.isEmpty) println(s"[cc-check] $dir: t40 + t52 verified against driver-side union-find")
+    if (errs.isEmpty) println(s"[cc-check] $dir: t40 + t52 + t78 verified against driver-side union-find")
     else { errs.foreach(e => println(s"[cc-check] MISMATCH: $e")); }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)

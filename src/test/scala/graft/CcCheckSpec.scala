@@ -24,8 +24,13 @@ class CcCheckSpec extends AnyFunSuite {
     s
   }
 
-  test("t40/t52 match a driver-side union-find at sf0.1") {
+  test("t40/t52/t78 match a driver-side union-find at sf0.1") {
     val errs = CcCheck.check(spark, "/root/testdata/sf0.1")
+    assert(errs.isEmpty, errs.mkString("; "))
+  }
+
+  test("q37 matches a driver-side two-pointer sweep at sf0.1") {
+    val errs = graft.tools.ProximityCheck.check(spark, "/root/testdata/sf0.1")
     assert(errs.isEmpty, errs.mkString("; "))
   }
 }
