@@ -581,18 +581,42 @@ object CurationOps {
     // docs parquet + manifest as the removal audit trail.
     val toWrite =
       if (!cutSubstrings) selected
-      else {
-        val cleaned = TrainingOps.substringCleanedDocs(s, dir)
-        selected.join(broadcast(cleaned), Seq("doc_id"), "left")
-          .withColumn("text", coalesce(col("text_clean"), col("text")))
-          .withColumn("n_tokens_cut", coalesce(col("tokens_cut"), lit(0L)))
-          .withColumn("n_chars",
-            when(col("text_clean").isNotNull, length(col("text")).cast("long"))
-              .otherwise(col("n_chars")))
-          .drop("text_clean", "tokens_cut")
-      }
+      else applySubstringCuts(selected, s, dir)
     toWrite.write.mode("overwrite")
       .partitionBy("split", "source").parquet(s"$outPath/docs")
+    writeManifest(s, outPath, cutSubstrings)
+  }
+
+  /** The `--cut-substrings` text swap, factored out so PlanShapeSpec
+    * can pin its join strategy: each cut document's text is replaced by
+    * t85's cleaned text (cross-doc verbatim spans ≥ MinSpan removed,
+    * keep-first interval-union semantics — the SAME memoized span
+    * relation the gates certify), `n_chars` recomputed, `n_tokens_cut`
+    * recorded as the removal audit trail.
+    *
+    * Deliberately NO broadcast hint: `cleaned` carries the full cleaned
+    * TEXT of every cut document — at 100 TB with realistic duplication
+    * (Lee et al. 2022 report whole percents of tokens in cross-doc
+    * spans) that side is tens of GB, and a forced broadcast ships it
+    * through the driver to every executor: an OOM scale-killer in the
+    * end-product path. A plain doc_id equi-join shuffles each side
+    * once, and AQE still broadcasts when the cut set is genuinely
+    * small.
+    */
+  private[graft] def applySubstringCuts(selected: DataFrame,
+      s: SparkSession, dir: String): DataFrame = {
+    val cleaned = TrainingOps.substringCleanedDocs(s, dir)
+    selected.join(cleaned, Seq("doc_id"), "left")
+      .withColumn("text", coalesce(col("text_clean"), col("text")))
+      .withColumn("n_tokens_cut", coalesce(col("tokens_cut"), lit(0L)))
+      .withColumn("n_chars",
+        when(col("text_clean").isNotNull, length(col("text")).cast("long"))
+          .otherwise(col("n_chars")))
+      .drop("text_clean", "tokens_cut")
+  }
+
+  private def writeManifest(s: SparkSession, outPath: String,
+      cutSubstrings: Boolean): DataFrame = {
     val baseAggs = Seq(count(lit(1)).as("n_docs"),
       sum(col("n_chars")).as("n_chars"),
       min(col("doc_id")).as("first_doc"),

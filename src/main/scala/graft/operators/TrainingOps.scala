@@ -1246,8 +1246,10 @@ object TrainingOps {
     * actually ships the deduplicated bytes the t85 gate pins
     * (text_clean is the exact array_join the gate md5s). Inner join:
     * only cut documents appear — the corpus-sized pass-through stays
-    * in the caller, and this relation is cut-plan-sized (near-dup-
-    * bounded), safe to broadcast.
+    * in the caller. The interval side is cut-plan-sized but its
+    * cardinality is UNBOUNDED in the duplication rate (every near-dup
+    * doc contributes rows), so no broadcast hint: the doc_id equi-join
+    * shuffles once and AQE broadcasts only when genuinely small.
     */
   private[graft] def substringCleanedDocs(s: SparkSession, dir: String): DataFrame = {
     val ivs = mergedCutIntervals(s, dir)
@@ -1256,7 +1258,7 @@ object TrainingOps {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), w -> w != '')").as("words"))
-      .join(broadcast(ivs), Seq("doc_id"))
+      .join(ivs, Seq("doc_id"))
       .select(col("doc_id"), size(col("words")).cast("long").as("n_before"),
         expr("""filter(words, (w, i) -> not exists(ivs, v -> i + 1 >= v.cs and i + 1 <= v.ce))""")
           .as("kept"))
@@ -1272,7 +1274,7 @@ object TrainingOps {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), w -> w != '')").as("words"))
-      .join(broadcast(ivs), Seq("doc_id"), "left")
+      .join(ivs, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("words")).cast("long").as("n_before"),
         expr("""filter(words, (w, i) -> ivs is null or
                  not exists(ivs, v -> i + 1 >= v.cs and i + 1 <= v.ce))""")

@@ -115,6 +115,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("cut-substrings swap never broadcasts the cleaned text (r11 verdict #1)") {
+    // Simulate the 100 TB regime where the cleaned-text relation
+    // exceeds the broadcast threshold: with auto-broadcast off, the
+    // doc_id equi-join must plan as a shuffle join — a build side
+    // carrying text_clean means a forced hint snuck back in.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val selected = graft.Tables.documents(spark, dir)
+      val p = plan(graft.operators.CurationOps
+        .applySubstringCuts(selected, spark, dir))
+      assert(!p.contains("BroadcastHashJoin") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+        s"cleaned-text join must not broadcast when over threshold:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q36 gap fill: exchanges are user-keyed, no nested loop") {
     val p = plan(Analytics.qGapFill(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
