@@ -296,8 +296,11 @@ object GraftPipeline {
   *     zero-egress build — swap an [[graft.llm.HttpEmbedder]] in via
   *     `run`) and probes/appends the persisted sign-LSH ANN index
   *     ([[graft.streaming.IncrementalAnn]]);
-  *  3. appends the verified near-dup pairs and top-k neighbor reports
-  *     under `<index>/reports/`.
+  *  3. copies the verified near-dup pairs, verbatim spans, and top-k
+  *     neighbor reports into per-batch partition dirs under
+  *     `<index>/reports/` (overwrite — idempotent under replay; each
+  *     batch's rows were already committed atomically WITH its index
+  *     delta, so no crash point loses them).
   *
   * `Trigger.AvailableNow` drains the pending files then exits, so the
   * command is cron-able per monthly drop while keeping exactly-once
@@ -329,23 +332,33 @@ object GraftDrop {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val b = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        // r12 exactly-once reports (VERDICT #2): each index commits
+        // its delta AND the batch's report rows in ONE atomic epoch
+        // keyed by the streaming batch id; a replayed batch resolves
+        // to the PERSISTED report, and the copies below land in
+        // per-batch partition dirs written with overwrite — so a crash
+        // anywhere between index commit and report copy is repaired by
+        // the replay instead of losing the batch's rows forever (the
+        // r11 append-then-write sequence could). `batch=<id>` is a
+        // partition-discovery key: reading `reports/pairs` yields one
+        // table with batch provenance attached.
         val pairs = graft.streaming.IncrementalDedup
-          .probeAndUpdate(b, s"$index/dedup", threshold)
-        pairs.write.mode("append").parquet(s"$index/reports/pairs")
+          .processBatch(b, s"$index/dedup", id, threshold)
+        pairs.write.mode("overwrite").parquet(s"$index/reports/pairs/batch=$id")
         // r11: cross-drop verbatim quotes (the t82 class — too little
         // whole-document overlap for the MinHash probe) surface from
         // the persisted window-hash index
         val spans = graft.streaming.IncrementalSpanIndex
-          .probeAndUpdate(b, s"$index/spans")
-        spans.write.mode("append").parquet(s"$index/reports/spans")
+          .processBatch(b, s"$index/spans", id)
+        spans.write.mode("overwrite").parquet(s"$index/reports/spans/batch=$id")
         val vecs = LlmOperators.embed(b.select(col("doc_id"), col("text")),
             embedder, backoffMs = _ => 0L)
           .filter(col("error").isNull)
           .select(col("doc_id").as("vec_id"),
             expr("transform(embedding, x -> cast(x as double))").as("v"))
         val topk = graft.streaming.IncrementalAnn
-          .probeAndUpdate(vecs, s"$index/ann", cfg)
-        topk.write.mode("append").parquet(s"$index/reports/neighbors")
+          .processBatch(vecs, s"$index/ann", id, cfg)
+        topk.write.mode("overwrite").parquet(s"$index/reports/neighbors/batch=$id")
         println(s"drop batch $id: ${b.count()} docs, " +
           s"${pairs.count()} near-dup pairs, ${spans.count()} verbatim spans, " +
           s"${topk.count()} neighbor rows")

@@ -16,18 +16,25 @@ import org.apache.spark.storage.StorageLevel
   *    vectors, the same data-derived convention as the batch operator,
   *    VectorOps.withBandSigs) and read back by every later batch, so
   *    signatures stay comparable across the index's lifetime;
-  *  - `vectors/` — one row per indexed vector: (vec_id, v, nv,
-  *    bucket), where bucket packs all sign bits into one long; band
-  *    signatures are shift/mask slices of it, so the banded view is a
-  *    projection, never a recompute against the raw vectors.
+  *  - `state/` — the [[StreamingState]] epoch-committed log (r12,
+  *    VERDICT #2): one `epoch-<batch>/` dir per drop holding the
+  *    batch's vector delta (vec_id, v, nv, bucket — bucket packs all
+  *    sign bits into one long; band signatures are shift/mask slices
+  *    of it, so the banded view is a projection, never a recompute
+  *    against the raw vectors) AND its top-k neighbor report,
+  *    published together by one atomic marker. A crash mid-batch
+  *    leaves nothing visible; a crash after the marker finds the
+  *    report durable and the replay returns it — the r11
+  *    append-vectors-then-write-report lost-report window is closed.
   *
   * Each micro-batch: sign only the NEW vectors, probe new-vs-all via
   * the per-band signature equi-join (with a bucket-occupancy cap so a
   * degenerate signature region cannot reintroduce the quadratic
   * stage), score exact cosine on candidates, emit per-new-vector
-  * top-k, and append the new rows. Replays are no-ops. At 100 TB the
+  * top-k, and commit the delta + report atomically. At 100 TB the
   * occupancy counts would be maintained incrementally as their own
-  * table; here they are a map-side-combinable aggregate per batch.
+  * state relation (the span index's folded-caps pattern); here they
+  * are a map-side-combinable aggregate per batch.
   */
 object IncrementalAnn {
 
@@ -41,7 +48,10 @@ object IncrementalAnn {
   private def dot(a: String, b: String): Column =
     expr(s"dot_product($a, $b)")
 
-  private def vectorsPath(p: String) = s"$p/vectors"
+  // epoch-committed vector deltas + per-batch neighbor reports live
+  // under state/; the once-written hyperplane model sits beside it
+  // (outside the epoch log — it is immutable after creation)
+  private def statePath(p: String) = s"$p/state"
   private def planesPath(p: String) = s"$p/planes"
 
   private val vectorsSchema: StructType = StructType(Seq(
@@ -50,10 +60,22 @@ object IncrementalAnn {
     StructField("nv", DoubleType, nullable = false),
     StructField("bucket", LongType, nullable = false)))
 
-  private def readOr(spark: SparkSession, path: String,
-      schema: StructType): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  private val neighborsSchema: StructType = StructType(Seq(
+    StructField("query_id", LongType, nullable = true),
+    StructField("rank", IntegerType, nullable = true),
+    StructField("neighbor_id", LongType, nullable = true),
+    StructField("cosine", DoubleType, nullable = true)))
+
+  /** Current committed vectors (union of every published epoch's
+    * delta; empty if never written). Existence resolves through
+    * Hadoop's FileSystem (HDFS/S3-safe — the r10 java.io.File probes
+    * silently restarted from an empty index on object stores).
+    */
+  def readIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    StreamingState.guardEpochLayout(spark, statePath(indexPath), "IncrementalAnn")
+    StreamingState.readCommittedDeltas(spark, statePath(indexPath),
+      "vectors", vectorsSchema)
+  }
 
   /** The persisted hyperplane model, initialized from `batch` if the
     * index does not exist yet.
@@ -64,7 +86,7 @@ object IncrementalAnn {
     val schema = StructType(Seq(
       StructField("plane_id", IntegerType, nullable = false),
       StructField("pv", ArrayType(DoubleType), nullable = false)))
-    if (!new java.io.File(pp).exists()) {
+    if (!StreamingState.exists(spark, pp)) {
       // number the ≤ bands×bits seed planes in-row (single-row
       // aggregate + posexplode) instead of a global window — same
       // result, no empty-partition WindowExec warning in the logs
@@ -98,14 +120,21 @@ object IncrementalAnn {
       .drop("bucket")
 
   /** Probe the batch's vectors against the index (and the batch
-    * itself), append the new signatures, and return per-new-vector
-    * top-k neighbors (query_id, rank, neighbor_id, cosine).
+    * itself), commit the new signatures AND the batch's top-k report
+    * in one atomic epoch (r12, VERDICT #2 — see IncrementalDedup for
+    * the exactly-once argument), and return per-new-vector top-k
+    * neighbors (query_id, rank, neighbor_id, cosine). Replays of a
+    * committed `batchId` return the persisted report.
     */
-  def probeAndUpdate(batch: DataFrame, indexPath: String,
+  def processBatch(batch: DataFrame, indexPath: String, batchId: Long,
       cfg: Config = Config()): DataFrame = {
     val spark = batch.sparkSession
     graft.functions.DotProduct.register(spark)
-    val existing = readOr(spark, vectorsPath(indexPath), vectorsSchema)
+    StreamingState.guardEpochLayout(spark, statePath(indexPath), "IncrementalAnn")
+    if (StreamingState.isCommitted(spark, statePath(indexPath), batchId))
+      return spark.read.schema(neighborsSchema)
+        .parquet(StreamingState.epochRel(statePath(indexPath), batchId, "neighbors"))
+    val existing = readIndex(spark, indexPath)
     val pl = planes(spark, batch, indexPath, cfg)
     val fresh = withBucket(
         batch.select(col("vec_id"), col("v"))
@@ -138,14 +167,27 @@ object IncrementalAnn {
       .withColumn("cosine", dot("qv", "v") / (col("qnv") * col("nv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
+    // No localCheckpoint: the committed index is stable until the
+    // epoch marker, so the top-k plan materializes exactly once — by
+    // the epoch write — against an unmoving listing
     val topk = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= cfg.k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-      .localCheckpoint(true) // materialize BEFORE the append (see IncrementalDedup)
-    fresh.write.mode("append").parquet(vectorsPath(indexPath))
+    StreamingState.commitAppend(spark, statePath(indexPath), batchId,
+      Map("vectors" -> fresh, "neighbors" -> topk))
     fresh.unpersist()
-    topk
+    spark.read.schema(neighborsSchema)
+      .parquet(StreamingState.epochRel(statePath(indexPath), batchId, "neighbors"))
   }
+
+  /** Batch-API convenience: commits under the next free epoch id
+    * (re-sent vectors stay no-ops via the vec-id anti-join).
+    */
+  def probeAndUpdate(batch: DataFrame, indexPath: String,
+      cfg: Config = Config()): DataFrame =
+    processBatch(batch, indexPath,
+      StreamingState.currentEpoch(batch.sparkSession, statePath(indexPath)) + 1L,
+      cfg)
 
   /** Streaming surface: foreachBatch maintaining the index, handing
     * each micro-batch's top-k neighbor frame to the caller.
@@ -155,7 +197,7 @@ object IncrementalAnn {
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val topk = probeAndUpdate(batch, indexPath, cfg)
+        val topk = processBatch(batch, indexPath, id, cfg)
         onBatch(topk, id)
         topk.unpersist()
         ()

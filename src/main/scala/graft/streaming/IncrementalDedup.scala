@@ -24,9 +24,10 @@ import org.apache.spark.storage.StorageLevel
   *     O(new × collisions));
   *  3. verifies candidates with exact Jaccard over the stored shingle
   *     arrays;
-  *  4. appends the new documents' rows to the index. Replayed batches
-  *     (streaming retry semantics) are no-ops: already-indexed ids are
-  *     anti-joined out before probing or appending.
+  *  4. commits the new documents' signature rows AND the batch's pair
+  *     report as ONE atomic epoch (r12, [[StreamingState]] marker
+  *     discipline). Replayed batch ids resolve to their committed
+  *     report; re-sent doc ids are anti-joined out before probing.
   *
   * At 100 TB scale the same shape holds: the index is a table keyed by
   * doc_id (bucketed/partitioned on the band signature for the probe
@@ -37,15 +38,22 @@ object IncrementalDedup {
 
   private val Bands = 4
 
-  /** On-disk signature-scheme version. History: 1 = seeded-md5 string
-    * minima with bare band concat (≤ r9); 2 = Kirsch–Mitzenmacher
-    * 40-bit integer minima with ':'-separated band keys (r10+). The
-    * schemes produce band signatures that can NEVER collide with each
-    * other, so probing a v1 index with v2 signatures would silently
-    * miss every true near-duplicate instead of failing — the marker
-    * turns that silent miss into a hard error at open time.
+  /** On-disk format version. History: 1 = seeded-md5 string minima
+    * with bare band concat (≤ r9); 2 = Kirsch–Mitzenmacher 40-bit
+    * integer minima with ':'-separated band keys, flat appended
+    * parquet (r10–r11); 3 = the same signature scheme over the
+    * epoch-committed delta LAYOUT (r12) — one `epoch-<batch>/` dir per
+    * drop holding the signature delta AND that batch's pair report,
+    * published by a single atomic marker. v1/v2 signatures can never
+    * collide with the current scheme (v1) or would be silently
+    * invisible to the committed-deltas reader (v2), so probing either
+    * would silently miss every true near-duplicate instead of
+    * failing — the marker turns that silent miss into a hard error at
+    * open time. v2 indexes carry compatible signatures but a flat
+    * layout with no per-batch commit log, so their crash window
+    * (appended-but-unreported batches) is unrecoverable — rebuild.
     */
-  private[streaming] val FormatVersion = 2
+  private[streaming] val FormatVersion = 3
 
   private def versionPath(path: String) = s"$path/_graft_format_version"
 
@@ -117,16 +125,21 @@ object IncrementalDedup {
     }.select(indexSchema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
-  /** Current index contents ((session, path) may not exist yet).
-    * Existence resolves through Hadoop's FileSystem (HDFS/S3-safe) and
-    * an existing index must carry the current signature-scheme version.
+  private[streaming] val pairsSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType, nullable = true),
+    StructField("doc_b", LongType, nullable = true),
+    StructField("jaccard", DoubleType, nullable = true)))
+
+  /** Current committed index contents ((session, path) may not exist
+    * yet): the union of every marker-published epoch's signature
+    * delta. Existence resolves through Hadoop's FileSystem
+    * (HDFS/S3-safe) and an existing index must carry the current
+    * format version.
     */
-  def readIndex(spark: SparkSession, path: String): DataFrame =
-    if (StreamingState.exists(spark, path)) {
-      checkOrStampVersion(spark, path)
-      spark.read.schema(indexSchema).parquet(path)
-    } else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], indexSchema)
+  def readIndex(spark: SparkSession, path: String): DataFrame = {
+    if (StreamingState.exists(spark, path)) checkOrStampVersion(spark, path)
+    StreamingState.readCommittedDeltas(spark, path, "index", indexSchema)
+  }
 
   /** Ids-only banded view: the probe join must move (id, band, sig)
     * rows, never the shingle arrays — payloads re-attach by id for
@@ -137,14 +150,26 @@ object IncrementalDedup {
       posexplode(array((1 to Bands).map(b => col(s"b$b")): _*))
         .as(Seq("band_id", "band_sig")))
 
-  /** Probe the new batch against the index (and itself) and append the
-    * new signatures. Returns the verified near-dup pairs
+  /** Probe the new batch against the index (and itself), commit the
+    * new signatures AND the batch's verified pair report in ONE atomic
+    * epoch (r12, VERDICT #2), and return the pairs
     * (doc_a, doc_b, jaccard) with doc_a < doc_b, at least one side new.
+    *
+    * Exactly-once: a crash anywhere before the epoch marker leaves the
+    * batch invisible (the retry recomputes and overwrites the orphan
+    * epoch dir); a crash after the marker means the pairs are already
+    * durable — the retry sees the committed batch id and returns the
+    * PERSISTED report, so a caller that copies reports per batch id
+    * (overwrite, idempotent) can never lose a batch's pairs the way
+    * the r11 append-index-then-write-report sequence could.
     */
-  def probeAndUpdate(batch: DataFrame, indexPath: String,
+  def processBatch(batch: DataFrame, indexPath: String, batchId: Long,
       threshold: Double = 0.5): DataFrame = {
     val spark = batch.sparkSession
     checkOrStampVersion(spark, indexPath)
+    if (StreamingState.isCommitted(spark, indexPath, batchId))
+      return spark.read.schema(pairsSchema)
+        .parquet(StreamingState.epochRel(indexPath, batchId, "pairs"))
     val existing = readIndex(spark, indexPath)
     val fresh = docSignatures(batch)
       .join(existing.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -172,12 +197,11 @@ object IncrementalDedup {
         col("n").as("n_a")), Seq("doc_a"))
       .join(payload.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
         col("n").as("n_b")), Seq("doc_b"))
-    // localCheckpoint (eager): the pair result must be MATERIALIZED
-    // with its lineage truncated before the append and the fresh
-    // unpersist below — a lazily-lineaged (or merely cached) result
-    // would be recomputed against the post-append file listing, where
-    // the batch's own rows are already indexed and the anti-join
-    // empties `fresh`, silently erasing the batch's pairs.
+    // No localCheckpoint needed under the epoch layout: the committed
+    // index `existing` is stable throughout (this batch's rows live in
+    // an epoch dir no reader resolves until the marker), so the pair
+    // plan is materialized once — by the epoch write itself — against
+    // a listing that cannot shift under it.
     val pairs = cand
       .withColumn("inter",
         size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
@@ -185,11 +209,23 @@ object IncrementalDedup {
         col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .localCheckpoint(true)
-    fresh.write.mode("append").parquet(indexPath)
+    StreamingState.commitAppend(spark, indexPath, batchId,
+      Map("index" -> fresh, "pairs" -> pairs))
     fresh.unpersist()
-    pairs
+    spark.read.schema(pairsSchema)
+      .parquet(StreamingState.epochRel(indexPath, batchId, "pairs"))
   }
+
+  /** Batch-API convenience (specs, ad-hoc use): commits under the next
+    * free epoch id. Re-sent documents are still no-ops via the doc-id
+    * anti-join; streaming callers should use [[processBatch]] with the
+    * engine's batch id so REPLAYS resolve to the committed report.
+    */
+  def probeAndUpdate(batch: DataFrame, indexPath: String,
+      threshold: Double = 0.5): DataFrame =
+    processBatch(batch, indexPath,
+      StreamingState.currentEpoch(batch.sparkSession, indexPath) + 1L,
+      threshold)
 
   /** Streaming surface: foreachBatch maintaining the index, handing
     * each micro-batch's verified near-dup pairs to the caller.
@@ -199,7 +235,7 @@ object IncrementalDedup {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val pairs = probeAndUpdate(batch, indexPath, threshold)
+        val pairs = processBatch(batch, indexPath, id, threshold)
         onBatch(pairs, id)
         pairs.unpersist()
         ()

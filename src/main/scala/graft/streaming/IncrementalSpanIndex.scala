@@ -8,43 +8,66 @@ import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 import graft.operators.TrainingOps
 
-/** Incremental exact-substring index (r11, VERDICT #6) — the streaming
-  * counterpart of the t82 maximal-span family, closing the gap where
-  * the monthly-drop driver deduplicated by MinHash only and a verbatim
-  * quote spanning two DROPS (the t82 class: same ≥50-token passage,
-  * arbitrary alignment, too little whole-document overlap for LSH)
-  * went unseen.
+/** Incremental exact-substring index (r11, VERDICT #6; r12 epoch
+  * commits + folded cap state) — the streaming counterpart of the t82
+  * maximal-span family, closing the gap where the monthly-drop driver
+  * deduplicated by MinHash only and a verbatim quote spanning two
+  * DROPS (the t82 class: same ≥50-token passage, arbitrary alignment,
+  * too little whole-document overlap for LSH) went unseen.
   *
   * The persisted artifact is t82's seeding relation itself: one row
   * per stride-1 token window, (doc_id, pos, h64) with h64 the 60-bit
   * md5-prefix fingerprint (the t65/t83 narrow-key discipline — 4×
   * fewer shuffled/stored bytes than the hex string; a fingerprint
   * collision can seed one false window match, which span extension
-  * then caps at window length, the documented contract). Each
-  * micro-batch:
+  * then caps at window length, the documented contract).
+  *
+  * Storage is the [[StreamingState]] epoch-committed delta layout
+  * (r12, VERDICT #2): each batch writes ONE `epoch-<batch>/` dir
+  * holding its window delta, its doc-id delta, the FOLDED df-cap
+  * state, and that batch's span report, then publishes all four with
+  * a single atomic marker. A crash mid-batch leaves nothing visible
+  * (the retry recomputes and overwrites the orphan dir); a crash
+  * after the marker finds the spans already durable and the retry
+  * returns the persisted report — the r11 layout's lost-report window
+  * (windows appended, spans not yet written, replay anti-joins the
+  * doc away) is structurally closed, as is the partial-append window
+  * the r11 ADVICE flagged (some of a doc's windows on disk, the rest
+  * never indexed).
+  *
+  * Each micro-batch:
   *
   *  1. windows the NEW documents only (old text is never re-read);
-  *     replayed batches anti-join away on already-indexed doc ids —
-  *     replays append nothing and report nothing;
-  *  2. applies the SAME seeding caps as batch t82 over index ∪ fresh:
-  *     window document-frequency ≤ SpanDfCap AND intra-document
-  *     occurrences ≤ SpanOccCap (periodic/boilerplate windows never
-  *     seed, so no batch can go pair-quadratic);
+  *     replayed batch ids resolve to their committed report, and
+  *     re-sent doc ids anti-join away against the committed doc-id
+  *     deltas (one row per document — the anti-join never scans the
+  *     token-sized window index);
+  *  2. applies the SAME seeding caps as batch t82 — window document
+  *     frequency ≤ SpanDfCap AND intra-document occurrences ≤
+  *     SpanOccCap — by FOLDING the batch delta into the persisted
+  *     per-h64 (docf, maxk) aggregate (r12, VERDICT #5). The fold is
+  *     exact because a document's windows live in exactly one
+  *     committed delta (the anti-join guarantees it), so per-doc
+  *     occurrence counts never split across epochs: docf adds, maxk
+  *     maxes. The r11 layout re-aggregated the FULL token-sized index
+  *     (two shuffles over every stored position) per drop; the fold
+  *     shuffles one row per distinct window hash plus the batch delta;
   *  3. probes new-vs-all (never old-vs-old: those pairs were reported
   *     when their younger side arrived) and extends matches to
   *     maximal spans by t82's diagonal gaps-and-islands, emitting
   *     (doc_a, doc_b, start_a, start_b, span_len) for spans ≥
   *     MinSpan;
-  *  4. appends the new windows to the index.
+  *  4. commits windows + docs + caps + spans atomically (step 2's
+  *     state is pruned to the two newest epochs — each copy
+  *     supersedes the last — while the window/doc deltas stay live:
+  *     their union IS the index).
   *
   * At 100 TB the shape holds: the window index is the corpus-sized
-  * artifact (written once per document, appended per drop), the probe
-  * join moves fresh windows plus colliding postings only, and the
-  * span extension is window work partitioned by (pair, diagonal) —
-  * bounded by matched-window volume, never all-pairs. The per-batch
-  * df-cap aggregation scans the index once; at a monthly-drop cadence
-  * that is the natural cost (and the scan is the same one the probe
-  * join performs).
+  * artifact (written once per document, one delta per drop), the
+  * probe join moves fresh windows plus colliding postings, the cap
+  * fold is bounded by distinct-hash count not position count, and
+  * the span extension is window work partitioned by (pair, diagonal)
+  * — bounded by matched-window volume, never all-pairs.
   */
 object IncrementalSpanIndex {
 
@@ -52,6 +75,21 @@ object IncrementalSpanIndex {
     StructField("doc_id", LongType, nullable = false),
     StructField("pos", LongType, nullable = false),
     StructField("h64", LongType, nullable = false)))
+
+  private val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false)))
+
+  private[graft] val capsSchema: StructType = StructType(Seq(
+    StructField("h64", LongType, nullable = true),
+    StructField("docf", LongType, nullable = true),
+    StructField("maxk", LongType, nullable = true)))
+
+  private val spansSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType, nullable = true),
+    StructField("doc_b", LongType, nullable = true),
+    StructField("start_a", LongType, nullable = true),
+    StructField("start_b", LongType, nullable = true),
+    StructField("span_len", LongType, nullable = true)))
 
   /** Stride-1 window fingerprints for a (doc_id, text) batch — the
     * same SpanL-token window + md5 construction as the batch family,
@@ -71,36 +109,82 @@ object IncrementalSpanIndex {
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h64"))
   }
 
-  /** Current index contents (empty if never written). */
-  def readIndex(spark: SparkSession, path: String): DataFrame =
-    StreamingState.readOr(spark, path, indexSchema)
-
-  /** Probe one batch against the index (and itself), append its
-    * windows, and return the maximal cross-document spans involving
-    * at least one new document.
+  /** Current committed window index (union of every published epoch's
+    * delta; empty if never written).
     */
-  def probeAndUpdate(batch: DataFrame, indexPath: String): DataFrame = {
-    val spark = batch.sparkSession
-    val existing = readIndex(spark, indexPath)
-    val fresh = windowRows(batch)
-      .join(existing.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val all = existing.unionByName(fresh)
+  def readIndex(spark: SparkSession, path: String): DataFrame = {
+    StreamingState.guardEpochLayout(spark, path, "IncrementalSpanIndex")
+    StreamingState.readCommittedDeltas(spark, path, "windows", indexSchema)
+  }
 
-    // t82's r11 seeding discipline over index ∪ fresh: two-level
-    // aggregation gives document frequency AND the max within-doc
-    // occurrence per window in one reduce
-    val cold = all.groupBy(col("h64"), col("doc_id"))
+  /** Doc ids already committed — one row per document, so the replay
+    * anti-join never scans the token-sized window relation.
+    */
+  private def indexedDocs(spark: SparkSession, path: String): DataFrame =
+    StreamingState.readCommittedDeltas(spark, path, "docs", docsSchema)
+
+  /** The persisted per-h64 (docf, maxk) aggregate of the CURRENT
+    * committed epoch (the full cap state as of the last drop).
+    */
+  private[graft] def currentCaps(spark: SparkSession, path: String): DataFrame = {
+    val e = StreamingState.currentEpoch(spark, path)
+    if (e < 0L) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], capsSchema)
+    else StreamingState.readOr(spark,
+      StreamingState.epochRel(path, e, "caps"), capsSchema)
+  }
+
+  /** Fold a batch's window delta into the persisted cap state: the
+    * new full per-h64 (docf, maxk) aggregate. Exposed for the spec
+    * that pins (a) fold-vs-recompute equality across randomized drop
+    * splits and (b) that the plan never scans the windows relation —
+    * the r11 per-drop full-index re-aggregation is gone.
+    */
+  private[graft] def foldedCaps(spark: SparkSession, path: String,
+      fresh: DataFrame): DataFrame = {
+    val deltaAgg = fresh.groupBy(col("h64"), col("doc_id"))
       .agg(count(lit(1)).as("k"))
       .groupBy(col("h64"))
       .agg(count(lit(1)).as("docf"), max(col("k")).as("maxk"))
+    currentCaps(spark, path).unionByName(deltaAgg)
+      .groupBy(col("h64"))
+      .agg(sum(col("docf")).as("docf"), max(col("maxk")).as("maxk"))
+  }
+
+  /** Probe one batch against the index (and itself), commit its
+    * windows + the folded cap state + the span report in one atomic
+    * epoch, and return the maximal cross-document spans involving at
+    * least one new document. Replays of a committed `batchId` return
+    * the persisted report.
+    */
+  def processBatch(batch: DataFrame, indexPath: String,
+      batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    StreamingState.guardEpochLayout(spark, indexPath, "IncrementalSpanIndex")
+    if (StreamingState.isCommitted(spark, indexPath, batchId))
+      return spark.read.schema(spansSchema)
+        .parquet(StreamingState.epochRel(indexPath, batchId, "spans"))
+    val existing = readIndex(spark, indexPath)
+    val newDocs = batch.select(col("doc_id")).distinct()
+      .join(indexedDocs(spark, indexPath), Seq("doc_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fresh = windowRows(batch)
+      .join(newDocs, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // t82's seeding discipline from the FOLDED state — identical to
+    // re-aggregating index ∪ fresh (per-doc window sets are epoch-
+    // disjoint) without the per-drop corpus-sized shuffle
+    val caps = foldedCaps(spark, indexPath, fresh)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cold = caps
       .filter(col("docf") <= TrainingOps.SpanDfCap &&
         col("maxk") <= TrainingOps.SpanOccCap)
       .select(col("h64"))
 
     val freshC = fresh.join(cold, Seq("h64"))
       .select(col("h64"), col("doc_id").as("f_doc"), col("pos").as("f_pos"))
-    val allC = all.join(cold, Seq("h64"))
+    val allC = existing.unionByName(fresh).join(cold, Seq("h64"))
       .select(col("h64"), col("doc_id").as("t_doc"), col("pos").as("t_pos"))
     val m = freshC.join(allC, Seq("h64"))
       .filter(col("f_doc") =!= col("t_doc"))
@@ -116,10 +200,9 @@ object IncrementalSpanIndex {
 
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("d"))
       .orderBy(col("pa"))
-    // localCheckpoint (eager): the spans must be MATERIALIZED with
-    // lineage truncated before the append below — a lazy result would
-    // recompute against the post-append listing, where the batch's own
-    // windows are indexed and the anti-join empties `fresh`
+    // No localCheckpoint: the committed index is stable until the
+    // marker below, so the span plan materializes exactly once — by
+    // the epoch write — against an unmoving listing
     val spans = m.withColumn("isl", col("pa") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("d"), col("isl"))
       .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
@@ -128,11 +211,23 @@ object IncrementalSpanIndex {
       .filter(col("span_len") >= TrainingOps.MinSpan)
       .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
         col("span_len"))
-      .localCheckpoint(true)
-    fresh.write.mode("append").parquet(indexPath)
-    fresh.unpersist()
-    spans
+    StreamingState.commitAppend(spark, indexPath, batchId,
+      Map("windows" -> fresh, "docs" -> newDocs, "caps" -> caps,
+        "spans" -> spans))
+    // the cap state is full per epoch (each copy supersedes the last);
+    // window/doc deltas stay — their union IS the index
+    StreamingState.pruneRel(spark, indexPath, "caps")
+    caps.unpersist(); fresh.unpersist(); newDocs.unpersist()
+    spark.read.schema(spansSchema)
+      .parquet(StreamingState.epochRel(indexPath, batchId, "spans"))
   }
+
+  /** Batch-API convenience: commits under the next free epoch id
+    * (re-sent documents stay no-ops via the doc-id anti-join).
+    */
+  def probeAndUpdate(batch: DataFrame, indexPath: String): DataFrame =
+    processBatch(batch, indexPath,
+      StreamingState.currentEpoch(batch.sparkSession, indexPath) + 1L)
 
   /** Streaming surface: foreachBatch maintaining the index, handing
     * each micro-batch's maximal spans to the caller.
@@ -142,7 +237,7 @@ object IncrementalSpanIndex {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spans = probeAndUpdate(batch, indexPath)
+        val spans = processBatch(batch, indexPath, id)
         onBatch(spans, id)
         spans.unpersist()
         ()

@@ -99,6 +99,89 @@ object StreamingState {
     prune(fs, root)
   }
 
+  /** Has epoch `epoch` been published at `root`? */
+  def isCommitted(spark: SparkSession, root: String, epoch: Long): Boolean =
+    fsFor(spark, root).exists(new Path(s"${commitsDir(root)}/$epoch"))
+
+  /** All committed epoch ids at `root`, ascending. */
+  def committedEpochs(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsFor(spark, root)
+    val commits = new Path(commitsDir(root))
+    if (!fs.exists(commits)) Seq.empty
+    else fs.listStatus(commits).iterator
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .toSeq.sorted
+  }
+
+  /** Commit an APPEND-DELTA epoch: every epoch's relations stay live
+    * (the committed index IS the union of the deltas), so unlike
+    * [[commit]] nothing is pruned. Used by the incremental indexes
+    * (IncrementalDedup / IncrementalSpanIndex / IncrementalAnn), whose
+    * per-drop delta is the natural write unit — rewriting a 100 TB
+    * window index per monthly drop would be a corpus-sized write.
+    */
+  def commitAppend(spark: SparkSession, root: String, epoch: Long,
+      rels: Map[String, DataFrame]): Unit = {
+    rels.foreach { case (rel, df) =>
+      df.write.mode("overwrite").parquet(epochRel(root, epoch, rel))
+    }
+    val fs = fsFor(spark, root)
+    fs.mkdirs(new Path(commitsDir(root)))
+    val marker = new Path(s"${commitsDir(root)}/$epoch")
+    try fs.create(marker, false).close()
+    catch { case _: java.io.IOException => () } // already published (replay race)
+  }
+
+  /** Union of one relation across ALL committed epochs (the reader of
+    * the [[commitAppend]] layout). Uncommitted/partial epoch dirs are
+    * invisible by construction — only marker-published paths are read.
+    */
+  def readCommittedDeltas(spark: SparkSession, root: String, rel: String,
+      schema: StructType): DataFrame = {
+    val paths = committedEpochs(spark, root)
+      .map(e => epochRel(root, e, rel))
+      .filter(p => exists(spark, p))
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** Drop a FULL-STATE relation (one rewritten per epoch, each copy
+    * superseding the last — e.g. the span index's folded df-cap
+    * aggregate) from all but the `keep` newest committed epochs. The
+    * delta relations of those epochs stay untouched.
+    */
+  def pruneRel(spark: SparkSession, root: String, rel: String,
+      keep: Int = 2): Unit = {
+    val fs = fsFor(spark, root)
+    committedEpochs(spark, root).dropRight(keep).foreach { e =>
+      fs.delete(new Path(epochRel(root, e, rel)), true)
+      ()
+    }
+  }
+
+  /** Refuse a root that holds pre-epoch-layout data: non-hidden files
+    * or dirs but no commits log. Reading such an index through the
+    * committed-deltas resolver would silently see an EMPTY index (the
+    * same silent-miss class the dedup format-version marker guards),
+    * so it is a hard error at open time.
+    */
+  def guardEpochLayout(spark: SparkSession, root: String, what: String): Unit = {
+    val fs = fsFor(spark, root)
+    val p = new Path(root)
+    if (!fs.exists(p)) return
+    if (fs.exists(new Path(commitsDir(root)))) return
+    val foreign = fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (foreign)
+      throw new IllegalStateException(
+        s"$what at $root predates the epoch-committed layout (no commits/ " +
+        "log); reading it as committed deltas would silently treat it as " +
+        "empty. Rebuild the index (delete the directory and re-stream).")
+  }
+
   /** Keep the two newest committed epochs; drop older dirs + markers. */
   private def prune(fs: FileSystem, root: String): Unit = {
     val commits = new Path(commitsDir(root))

@@ -73,8 +73,10 @@ class GraftDropSpec extends AnyFunSuite {
       s"expected (200, rank 1) -> 50 @ ~1.0, got ${nbrs.mkString(", ")}")
 
     // both drops' documents are in the persisted indexes exactly once
-    assert(spark.read.parquet(s"$index/dedup").count() == drop1.size + drop2.size)
-    assert(spark.read.parquet(s"$index/ann/vectors").count() == drop1.size + drop2.size)
+    assert(graft.streaming.IncrementalDedup
+      .readIndex(spark, s"$index/dedup").count() == drop1.size + drop2.size)
+    assert(graft.streaming.IncrementalAnn
+      .readIndex(spark, s"$index/ann").count() == drop1.size + drop2.size)
 
     // replay with no new files: nothing is appended anywhere
     val (np, nn) = (spark.read.parquet(s"$index/reports/pairs").count(),
@@ -82,6 +84,7 @@ class GraftDropSpec extends AnyFunSuite {
     GraftDrop.run(spark, in, index)
     assert(spark.read.parquet(s"$index/reports/pairs").count() == np)
     assert(spark.read.parquet(s"$index/reports/neighbors").count() == nn)
-    assert(spark.read.parquet(s"$index/dedup").count() == drop1.size + drop2.size)
+    assert(graft.streaming.IncrementalDedup
+      .readIndex(spark, s"$index/dedup").count() == drop1.size + drop2.size)
   }
 }

@@ -58,7 +58,7 @@ class IncrementalAnnSpec extends AnyFunSuite {
 
     // index state: all vectors appended once; the plane model was
     // written by batch 1 and NOT rewritten by batch 2
-    val vectors = spark.read.parquet(s"$indexPath/vectors")
+    val vectors = IncrementalAnn.readIndex(spark, indexPath)
     assert(vectors.count() == b1.size + 2)
     assert(spark.read.parquet(s"$indexPath/planes").count() == 16)
 
@@ -66,7 +66,7 @@ class IncrementalAnnSpec extends AnyFunSuite {
     val replay = IncrementalAnn.probeAndUpdate(
       Seq((200L, Seq(10.0, 1.0, 0.0, 0.0))).toDF("vec_id", "v"), indexPath, cfg)
     assert(replay.count() == 0)
-    assert(spark.read.parquet(s"$indexPath/vectors").count() == b1.size + 2)
+    assert(IncrementalAnn.readIndex(spark, indexPath).count() == b1.size + 2)
     replay.unpersist()
   }
 
@@ -104,6 +104,6 @@ class IncrementalAnnSpec extends AnyFunSuite {
     val hit = topk.find { case (qid, rank, _, _) => qid == 200L && rank == 1 }
     assert(hit.exists { case (_, _, n, c) => n == 50L && math.abs(c - 1.0) < 1e-6 },
       s"expected (200, rank 1) -> 50 @ ~1.0, got ${topk.mkString(", ")}")
-    assert(spark.read.parquet(s"$indexPath/vectors").count() == drop1.size + 2)
+    assert(IncrementalAnn.readIndex(spark, indexPath).count() == drop1.size + 2)
   }
 }

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{IncrementalDedup, IncrementalSpanIndex, StreamingState}
+
+/** r12 crash-consistency of the incremental indexes (VERDICT #2) and
+  * the folded df-cap state (VERDICT #5 / r11 ADVICE medium).
+  *
+  * The r11 layout appended the index inside probeAndUpdate and wrote
+  * the report AFTER, so a crash between the two lost the batch's
+  * pairs/spans forever (the replay anti-joined away on the
+  * now-indexed doc ids), and a crash MID-append left some of a doc's
+  * windows on disk with the rest never indexed. Under the epoch
+  * layout both windows are closed: delta + report publish in ONE
+  * atomic marker, replays of a committed batch return the persisted
+  * report, and orphan (unmarked) epoch dirs are invisible and simply
+  * overwritten by the retry.
+  */
+class IncrementalCommitSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("index").toString
+
+  private val quote = (1 to 60).map(i => s"q$i").mkString(" ")
+  private val filler1 = (1 to 60).map(i => s"f$i").mkString(" ")
+  private val filler3 = (1 to 10).map(i => s"z$i").mkString(" ")
+
+  test("span index: crash after commit, before report copy — replay surfaces the spans exactly once") {
+    import spark.implicits._
+    val idx = tmp("crash_spans")
+    val drop1 = Seq((1L, s"$filler1 $quote")).toDF("doc_id", "text")
+    assert(IncrementalSpanIndex.processBatch(drop1, idx, 0L).count() === 0)
+
+    // batch 1 quotes doc 1; the driver "crashes" after processBatch
+    // (epoch committed) but BEFORE copying the report — under r11 the
+    // spans were gone forever at this point
+    val drop2 = Seq((3L, s"$filler3 $quote")).toDF("doc_id", "text")
+    val first = IncrementalSpanIndex.processBatch(drop2, idx, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(first === Set((1L, 3L, 61L, 11L, 60L)))
+
+    // the streaming retry re-runs batch 1 with the same id: it must
+    // return the PERSISTED report — identical rows, not empty — and
+    // append nothing to the index
+    val before = IncrementalSpanIndex.readIndex(spark, idx).count()
+    val replay = IncrementalSpanIndex.processBatch(drop2, idx, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(replay === first)
+    assert(IncrementalSpanIndex.readIndex(spark, idx).count() === before)
+
+    // the driver's per-batch report copy is overwrite-idempotent: two
+    // copies of the replayed batch land as ONE set of rows
+    replaySetCopy(idx, first)
+  }
+
+  private def replaySetCopy(idx: String,
+      expected: Set[(Long, Long, Long, Long, Long)]): Unit = {
+    val reports = s"$idx-reports"
+    val spans = IncrementalSpanIndex.processBatch(
+      { import spark.implicits._
+        Seq((3L, s"$filler3 $quote")).toDF("doc_id", "text") }, idx, 1L)
+    spans.write.mode("overwrite").parquet(s"$reports/batch=1")
+    spans.write.mode("overwrite").parquet(s"$reports/batch=1")
+    val copied = spark.read.parquet(reports)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("start_a"), r.getAs[Long]("start_b"),
+        r.getAs[Long]("span_len"))).toSet
+    assert(copied === expected)
+  }
+
+  test("span index: crash mid-commit (orphan epoch, no marker) — retry repairs, nothing double-indexed") {
+    import spark.implicits._
+    val idx = tmp("crash_partial")
+    val drop1 = Seq((1L, s"$filler1 $quote")).toDF("doc_id", "text")
+    IncrementalSpanIndex.processBatch(drop1, idx, 0L)
+
+    // simulate a crash MID-epoch-write for batch 1: some of doc 3's
+    // windows are on disk but the marker was never created (the r11
+    // ADVICE crash class: a partial parquet append)
+    val drop2 = Seq((3L, s"$filler3 $quote")).toDF("doc_id", "text")
+    IncrementalSpanIndex.windowRows(drop2.limit(1))
+      .write.parquet(StreamingState.epochRel(idx, 1L, "windows"))
+    // the orphan is invisible: committed readers see only epoch 0
+    assert(IncrementalSpanIndex.readIndex(spark, idx)
+      .select("doc_id").distinct().count() === 1)
+
+    // the retry of batch 1 overwrites the orphan and commits fully:
+    // the span IS reported (r11 would have anti-joined doc 3 away) and
+    // doc 3's windows exist exactly once
+    val spans = IncrementalSpanIndex.processBatch(drop2, idx, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(spans === Set((1L, 3L, 60L)))
+    val idxRows = IncrementalSpanIndex.readIndex(spark, idx)
+    assert(idxRows.count() === idxRows.select("doc_id", "pos").distinct().count())
+  }
+
+  test("dedup index: replay of a committed batch returns the persisted pairs, appends nothing") {
+    import spark.implicits._
+    val idx = tmp("crash_pairs")
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    IncrementalDedup.processBatch(
+      Seq((1L, textA)).toDF("doc_id", "text"), idx, 0L)
+    val first = IncrementalDedup.processBatch(
+      Seq((2L, textA)).toDF("doc_id", "text"), idx, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first === Set((1L, 2L)))
+    val replay = IncrementalDedup.processBatch(
+      Seq((2L, textA)).toDF("doc_id", "text"), idx, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replay === first)
+    assert(IncrementalDedup.readIndex(spark, idx).count() === 2)
+  }
+
+  // ---- VERDICT #5: folded df-cap state ----
+
+  test("folded caps equal the from-scratch aggregate across randomized multi-drop splits") {
+    import spark.implicits._
+    // overlapping phrases so window hashes repeat across docs and
+    // within docs (exercising both docf and maxk), incl. one doc
+    // breaching the occurrence cap
+    val phrase = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs: Seq[(Long, String)] =
+      (0L until 24L).map { i =>
+        val own = (1 to 30).map(j => s"d${i}w$j").mkString(" ")
+        (i, if (i % 3 == 0) s"$own $phrase" else s"$phrase $own $phrase")
+      } :+ (99L, Seq.fill(25)(phrase).mkString(" "))
+
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val idx = tmp(s"caps_fold_$seed")
+      val assigned = docs.map(d => (rnd.nextInt(3), d))
+      for (b <- 0 to 2) {
+        val part = assigned.filter(_._1 == b).map(_._2)
+        IncrementalSpanIndex.processBatch(
+          part.toDF("doc_id", "text"), idx, b.toLong)
+      }
+      val folded = IncrementalSpanIndex.currentCaps(spark, idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val scratch = IncrementalSpanIndex.windowRows(docs.toDF("doc_id", "text"))
+        .groupBy("h64", "doc_id").count()
+        .groupBy("h64")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("docf"),
+          org.apache.spark.sql.functions.max("count").as("maxk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(folded === scratch, s"seed $seed: fold diverged from recompute")
+    }
+  }
+
+  test("the cap fold never scans the window index (the per-drop full-index re-aggregation is gone)") {
+    import spark.implicits._
+    val idx = tmp("caps_plan")
+    IncrementalSpanIndex.processBatch(
+      Seq((1L, s"$filler1 $quote")).toDF("doc_id", "text"), idx, 0L)
+    val fresh = IncrementalSpanIndex.windowRows(
+      Seq((2L, s"$filler3 $quote")).toDF("doc_id", "text"))
+    val caps = IncrementalSpanIndex.foldedCaps(spark, idx, fresh)
+    val scanned = caps.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    assert(scanned.exists(_.contains("/caps")),
+      s"fold must read the persisted cap state, scanned: $scanned")
+    assert(!scanned.exists(_.contains("/windows")),
+      s"fold must not re-aggregate the token-sized window index, scanned: $scanned")
+  }
+}

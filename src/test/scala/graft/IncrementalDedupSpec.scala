@@ -90,7 +90,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
       Seq((1L, textA)).toDF("doc_id", "text"), idx1).unpersist()
     val marker = java.nio.file.Paths.get(idx1, "_graft_format_version")
     assert(java.nio.file.Files.exists(marker))
-    assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == "2")
+    assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == "3")
     // and re-opening the index it stamped is fine
     assert(IncrementalDedup.readIndex(spark, idx1).count() == 1)
 
