@@ -345,6 +345,25 @@ object GraftDrop {
         val pairs = graft.streaming.IncrementalDedup
           .processBatch(b, s"$index/dedup", id, threshold)
         pairs.write.mode("overwrite").parquet(s"$index/reports/pairs/batch=$id")
+        // r12: fold the drop's pairs into the persisted cluster +
+        // survivor state (the "which cluster, who survives" answer a
+        // recurring pipeline reads — no batch re-clustering of the
+        // accumulated corpus) and report this drop's label/survivor
+        // changes
+        // endpoint scores ride ON the pair report (computed at signing
+        // time), so an old endpoint paired drops later is still
+        // survivor-electable without re-reading its text
+        val endpointScores = pairs
+          .select(col("doc_a").as("doc_id"), col("score_a").as("score"))
+          .unionByName(pairs
+            .select(col("doc_b").as("doc_id"), col("score_b").as("score")))
+          .distinct()
+        val cl = graft.streaming.IncrementalCluster.update(
+          b.sparkSession, s"$index/clusters", id, pairs, endpointScores)
+        cl.labelChanges.write.mode("overwrite")
+          .parquet(s"$index/reports/cluster_labels/batch=$id")
+        cl.survivorChanges.write.mode("overwrite")
+          .parquet(s"$index/reports/cluster_survivors/batch=$id")
         // r11: cross-drop verbatim quotes (the t82 class — too little
         // whole-document overlap for the MinHash probe) surface from
         // the persisted window-hash index
@@ -361,7 +380,8 @@ object GraftDrop {
         topk.write.mode("overwrite").parquet(s"$index/reports/neighbors/batch=$id")
         println(s"drop batch $id: ${b.count()} docs, " +
           s"${pairs.count()} near-dup pairs, ${spans.count()} verbatim spans, " +
-          s"${topk.count()} neighbor rows")
+          s"${topk.count()} neighbor rows, " +
+          s"${cl.labelChanges.count()} cluster relabels")
         pairs.unpersist(); spans.unpersist(); topk.unpersist(); b.unpersist()
         ()
       }

@@ -92,17 +92,22 @@ object IncrementalDedup {
   val indexSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("shs", ArrayType(StringType), nullable = false),
-    StructField("n", LongType, nullable = false)) ++
+    StructField("n", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = true)) ++
     (1 to Bands).map(b => StructField(s"b$b", StringType, nullable = true)))
 
   /** Doc-level signature rows for a (doc_id, text) batch — in-row
     * shingling and array_min minhashing, no shuffle (see
-    * TextOps.qMinhashLsh for the formulation notes).
+    * TextOps.qMinhashLsh for the formulation notes). The t52 quality
+    * score is computed here too — at arrival, while the text is in
+    * hand — so a document paired in a LATER drop (its text long gone
+    * from the stream) can still be survivor-elected: the pair report
+    * carries both endpoints' scores into the cluster fold.
     */
   def docSignatures(docs: DataFrame): DataFrame = {
-    val base = docs
-      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
-      .select(col("doc_id"), array_distinct(
+    val base = graft.operators.TextOps.withQualityScore(
+        docs.withColumn("words", expr("filter(split(text, ' '), w -> w != '')")))
+      .select(col("doc_id"), col("score"), array_distinct(
         expr("case when size(words) < 3 then array() " +
           "else transform(sequence(1, size(words) - 2), " +
           "i -> array_join(slice(words, i, 3), ' ')) end")).as("shs"))
@@ -128,7 +133,9 @@ object IncrementalDedup {
   private[streaming] val pairsSchema: StructType = StructType(Seq(
     StructField("doc_a", LongType, nullable = true),
     StructField("doc_b", LongType, nullable = true),
-    StructField("jaccard", DoubleType, nullable = true)))
+    StructField("jaccard", DoubleType, nullable = true),
+    StructField("score_a", DoubleType, nullable = true),
+    StructField("score_b", DoubleType, nullable = true)))
 
   /** Current committed index contents ((session, path) may not exist
     * yet): the union of every marker-published epoch's signature
@@ -191,12 +198,12 @@ object IncrementalDedup {
         least(col("doc_id"), col("t_doc_id")).as("doc_a"),
         greatest(col("doc_id"), col("t_doc_id")).as("doc_b"))
       .distinct()
-    val payload = all.select(col("doc_id"), col("shs"), col("n"))
+    val payload = all.select(col("doc_id"), col("shs"), col("n"), col("score"))
     val cand = candIds
       .join(payload.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
-        col("n").as("n_a")), Seq("doc_a"))
+        col("n").as("n_a"), col("score").as("score_a")), Seq("doc_a"))
       .join(payload.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
-        col("n").as("n_b")), Seq("doc_b"))
+        col("n").as("n_b"), col("score").as("score_b")), Seq("doc_b"))
     // No localCheckpoint needed under the epoch layout: the committed
     // index `existing` is stable throughout (this batch's rows live in
     // an epoch dir no reader resolves until the marker), so the pair
@@ -208,7 +215,8 @@ object IncrementalDedup {
       .withColumn("jaccard",
         col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("score_a"), col("score_b"))
     StreamingState.commitAppend(spark, indexPath, batchId,
       Map("index" -> fresh, "pairs" -> pairs))
     fresh.unpersist()

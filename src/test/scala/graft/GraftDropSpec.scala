@@ -72,6 +72,22 @@ class GraftDropSpec extends AnyFunSuite {
     assert(hit.exists { case (_, _, n, c) => n == 50L && math.abs(c - 1.0) < 1e-6 },
       s"expected (200, rank 1) -> 50 @ ~1.0, got ${nbrs.mkString(", ")}")
 
+    // r12: the cluster state folded the cross-drop pair — both copies
+    // carry label 3 (component min), the tie on identical text breaks
+    // to the lower doc id as survivor, and the drop's relabel report
+    // landed under reports/
+    val members = graft.streaming.IncrementalCluster
+      .readMembers(spark, s"$index/clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(members === Map(3L -> 3L, 201L -> 3L), s"members: $members")
+    val surv = graft.streaming.IncrementalCluster
+      .readSurvivors(spark, s"$index/clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(surv === Set((3L, 3L, 2L)), s"survivors: $surv")
+    val relabels = spark.read.parquet(s"$index/reports/cluster_labels")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("new_label"))).toSet
+    assert(relabels === Set((3L, 3L), (201L, 3L)), s"relabels: $relabels")
+
     // both drops' documents are in the persisted indexes exactly once
     assert(graft.streaming.IncrementalDedup
       .readIndex(spark, s"$index/dedup").count() == drop1.size + drop2.size)

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.IncrementalCluster
+
+/** Incremental cluster/survivor state (r12, VERDICT #3): folding each
+  * drop's pairs into persisted component state must converge to the
+  * batch t40/t52 answer on the union corpus — verified against a
+  * spec-local union-find (the CcCheck discipline: straight-line code
+  * sharing nothing with the alternating-star loop) — including drops
+  * whose pairs BRIDGE previously-separate clusters; replays are
+  * no-ops.
+  */
+class IncrementalClusterSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).resolve("state").toString
+
+  private def pairsDf(ps: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    ps.toDF("doc_a", "doc_b")
+  }
+
+  private def scoresDf(ss: Seq[(Long, Double)]) = {
+    import spark.implicits._
+    ss.toDF("doc_id", "score")
+  }
+
+  // spec-local union-find: parent-toward-smaller, path halving — the
+  // independent oracle for component minimums
+  private def ufLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def collectMembers(path: String): Map[Long, Long] =
+    IncrementalCluster.readMembers(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a drop bridging two clusters converges to the batch answer; survivors re-elected") {
+    val path = tmp("cl_bridge")
+    // drop 0: {1,2} and {7,8} — two separate clusters
+    val c0 = IncrementalCluster.update(spark, path, 0L,
+      pairsDf(Seq((1L, 2L), (7L, 8L))),
+      scoresDf(Seq(1L -> 0.5, 2L -> 0.9, 7L -> 0.7, 8L -> 0.6)))
+    assert(collectMembers(path) === Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L))
+    val s0 = IncrementalCluster.readSurvivors(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cluster 1: doc 2 wins on score; cluster 7: doc 7 wins
+    assert(s0 === Set((1L, 2L, 2L), (7L, 7L, 2L)))
+    assert(c0.labelChanges.count() === 4) // all four docs newly labeled
+
+    // drop 1: doc 5 bridges 2 and 7 — everything merges into label 1
+    val c1 = IncrementalCluster.update(spark, path, 1L,
+      pairsDf(Seq((2L, 5L), (5L, 7L))), scoresDf(Seq(5L -> 0.95)))
+    val expect = ufLabels(Seq((1L, 2L), (7L, 8L), (2L, 5L), (5L, 7L)))
+    assert(collectMembers(path) === expect)
+    assert(expect.values.toSet === Set(1L))
+    // survivor of the merged cluster: doc 5 (highest score 0.95);
+    // the absorbed cluster 7's row is gone
+    val s1 = IncrementalCluster.readSurvivors(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s1 === Set((1L, 5L, 5L)))
+    // change report: 7 and 8 relabeled 7→1, 5 newly labeled; 1 and 2
+    // keep label 1 (no rows)
+    val lc = c1.labelChanges.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2))).toSet
+    assert(lc === Set((5L, -1L, 1L), (7L, 7L, 1L), (8L, 7L, 1L)))
+    val sc = c1.survivorChanges.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2))).toSet
+    assert(sc === Set((1L, 2L, 5L)))
+
+    // replay of drop 1: same report back, state untouched
+    val replay = IncrementalCluster.update(spark, path, 1L,
+      pairsDf(Seq((2L, 5L), (5L, 7L))), scoresDf(Seq(5L -> 0.95)))
+    assert(replay.labelChanges.collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(5L, 7L, 8L))
+    assert(collectMembers(path) === expect)
+
+    // a drop touching NOTHING: empty report, state carried over
+    val c2 = IncrementalCluster.update(spark, path, 2L,
+      pairsDf(Seq.empty), scoresDf(Seq(99L -> 0.1)))
+    assert(c2.labelChanges.count() === 0 && c2.survivorChanges.count() === 0)
+    assert(collectMembers(path) === expect)
+  }
+
+  test("randomized multi-drop folds converge to the union-find answer; survivors match direct election") {
+    for (seed <- Seq(11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val path = tmp(s"cl_rand_$seed")
+      // ~35 random edges over 30 nodes, random scores, split into 4 drops
+      val nodes = (0L until 30L)
+      val edges = Seq.fill(35) {
+        val a = nodes(rnd.nextInt(30)); var b = nodes(rnd.nextInt(30))
+        while (b == a) b = nodes(rnd.nextInt(30))
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+      val score = nodes.map(n => n -> (rnd.nextInt(1000) / 1000.0)).toMap
+      val drops = edges.zipWithIndex.groupBy(_._2 % 4)
+        .view.mapValues(_.map(_._1)).toMap
+      for (b <- 0 to 3) {
+        val es = drops.getOrElse(b, Seq.empty)
+        val ids = es.flatMap(e => Seq(e._1, e._2)).distinct
+        IncrementalCluster.update(spark, path, b.toLong,
+          pairsDf(es), scoresDf(ids.map(i => i -> score(i))))
+      }
+      val expect = ufLabels(edges)
+      assert(collectMembers(path) === expect, s"seed $seed labels diverged")
+      // survivors: direct election per component over the same scores
+      val expectSurv = expect.groupBy(_._2).map { case (label, ms) =>
+        val members = ms.keys.toSeq
+        val winner = members.maxBy(d => (score(d), -d))
+        (label, winner, members.size.toLong)
+      }.toSet
+      val got = IncrementalCluster.readSurvivors(spark, path)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expectSurv, s"seed $seed survivors diverged")
+    }
+  }
+}
