@@ -498,8 +498,13 @@ object GraftSnapshotDiff {
     val oldP = Cli.arg(args, "--old").getOrElse(sys.error("--old required"))
     val newP = Cli.arg(args, "--new").getOrElse(sys.error("--new required"))
     val spark = Cli.session("graft-snapshot-diff")
+    // coalesce: sum() over an empty report (both snapshots empty) is
+    // NULL — that is "nothing removed", not an NPE
     val removed = run(spark, oldP, newP)
-      .agg(org.apache.spark.sql.functions.sum("n_removed")).collect()(0).getLong(0)
+      .agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("n_removed"),
+        org.apache.spark.sql.functions.lit(0L)))
+      .collect()(0).getLong(0)
     spark.stop()
     if (removed > 0) sys.exit(2)
   }

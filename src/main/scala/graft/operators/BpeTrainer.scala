@@ -88,6 +88,59 @@ object BpeTrainer {
   def train(docs: DataFrame, nMerges: Int): Seq[Merge] =
     trainWc(wordCounts(docs), nMerges)
 
+  // ---- Multibyte training augmentation (r12, VERDICT #4) ----
+  //
+  // The synthetic corpus is all-ASCII, where byte-level and char-level
+  // BPE coincide by construction — so the t86 gate trained the SAME
+  // table as t51 and the byte-vs-char divergence was pinned only in a
+  // spec, invisible to CORRECTNESS. The corpus itself is
+  // driver-generated (read-only), so the gates inject a deterministic
+  // multibyte WORD-COUNT table into training instead: accented
+  // Spanish, German ß, CJK, and a 4-byte emoji, with counts scaled to
+  // the corpus token volume so the injected pairs stay top-k at every
+  // SF (a constant injection would drown at sf10). Both the Spark
+  // gates and the driver-side VALUES-oracle construction apply the
+  // identical augmentation — the shared piece is raw INPUT DATA, the
+  // two training implementations remain independent. Training-only:
+  // t59/t74 still encode the real corpus documents (with merges
+  // trained on the augmented counts), so no synthetic doc ids appear
+  // in any output.
+
+  /** The injected multibyte vocabulary: (word, base count). Disjoint
+    * from the ASCII corpus by construction (every word carries a
+    * non-ASCII char).
+    */
+  private[graft] val MultibyteWords: Seq[(String, Long)] = Seq(
+    "año" -> 8L, "niño" -> 6L, "señal" -> 5L, "mañana" -> 4L, // ñ = C3 B1
+    "straße" -> 3L, "groß" -> 3L,                             // ß = C3 9F
+    "数据" -> 3L, "模型" -> 2L, "训练" -> 2L,                   // 3-byte CJK
+    "🚀🎉" -> 2L, "café" -> 2L)                                // 4-byte emoji, é
+
+  /** Base counts multiply by max(1, totalTokens/100) so injected pair
+    * frequencies track the corpus and stay rank-stable across SFs —
+    * sized so the ñ byte-pair (23 base occurrences → ~23% of the
+    * token volume in pair mass) outranks the densest ASCII pair
+    * (~17%) and the divergence reaches the 10-merge gate table.
+    */
+  private[graft] def multibyteReps(totalTokens: Long): Long =
+    math.max(1L, totalTokens / 100L)
+
+  private def augmentWordCounts(wc: DataFrame): DataFrame = {
+    val s = wc.sparkSession
+    import s.implicits._
+    val row = wc.agg(sum(col("n"))).head()
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val reps = multibyteReps(total)
+    wc.unionByName(
+      MultibyteWords.map { case (w, c) => (w, c * reps) }.toDF("w", "n"))
+  }
+
+  /** The gates' training word counts: corpus frequencies plus the
+    * multibyte injection.
+    */
+  private def gateWordCounts(s: SparkSession, dir: String): DataFrame =
+    augmentWordCounts(wordCounts(Tables.documents(s, dir)))
+
   /** Regime dispatch over an already-built (w, n) frequency frame —
     * shared by the char-level and byte-level entry points (the two
     * differ ONLY in what the initial symbols of a word are; byte mode
@@ -271,16 +324,19 @@ object BpeTrainer {
 
   /** Byte-level training gate (t86) — the GPT-2/tiktoken-shaped
     * variant: initial symbols are remapped UTF-8 bytes, merges are
-    * byte-pair merges. On a multibyte corpus the trained table
-    * DIFFERS from t51's char-level one (a 2-byte char is two byte
-    * symbols but one char symbol); the spec pins the disagreement and
-    * the byte round-trip, the VALUES oracle pins the table against
-    * the code-independent reference.
+    * byte-pair merges. The multibyte training injection
+    * ([[MultibyteWords]]) makes the trained table DIFFER from t51's
+    * char-level one IN THE GATE itself (a 2-byte ñ is two byte
+    * symbols but one char symbol) — r12 closed the all-ASCII
+    * coincidence where t86 == t51 and the divergence was spec-only.
+    * The VALUES oracle pins the table against the code-independent
+    * reference with its OWN remap and augmentation arithmetic.
     */
   def qBpeByteTrain(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
     import s.implicits._
     SessionMemo.memo(s"bpe:byte-merges:$nMerges", s, dir) {
-      trainBytes(Tables.documents(s, dir), nMerges)
+      val remap = udf((w: String) => byteEncodeWord(w))
+      trainWc(gateWordCounts(s, dir).withColumn("w", remap(col("w"))), nMerges)
     }.toDF()
       .select(col("rank"), col("left"), col("right"), col("count"))
       .orderBy(col("rank"))
@@ -371,7 +427,7 @@ object BpeTrainer {
     */
   private def trainedMerges(s: SparkSession, dir: String, nMerges: Int): Seq[Merge] =
     SessionMemo.memo(s"bpe:merges:$nMerges", s, dir) {
-      train(Tables.documents(s, dir), nMerges)
+      trainWc(gateWordCounts(s, dir), nMerges)
     }
 
   /** Gate surface for encode (driver smoke: rows > 0; iterative — no
@@ -473,11 +529,23 @@ object BpeTrainer {
     wc.toSeq
   }
 
+  /** The oracle's view of the gates' training counts: corpus
+    * frequencies plus the SAME multibyte injection, re-derived in
+    * plain Scala (only the [[MultibyteWords]] data and the reps rule
+    * are shared; the counting itself is independent).
+    */
+  private def augmentedPureWordCounts(
+      docs: Seq[(Long, Array[String])]): Seq[(String, Long)] = {
+    val base = pureWordCounts(docs)
+    val reps = multibyteReps(base.iterator.map(_._2).sum)
+    base ++ MultibyteWords.map { case (w, c) => w -> c * reps }
+  }
+
   private def sqlStr(x: String): String = "'" + x.replace("'", "''") + "'"
 
   def trainOracle(nMerges: Int = 10): Option[String] =
     withOracleContext(s"train:$nMerges") { (s, dir) =>
-      val merges = BpeReference.train(pureWordCounts(collectedDocs(s, dir)), nMerges)
+      val merges = BpeReference.train(augmentedPureWordCounts(collectedDocs(s, dir)), nMerges)
       val rows = merges.map { case (rank, l, r, c) =>
         s"($rank, ${sqlStr(l)}, ${sqlStr(r)}, $c)" }
       require(rows.nonEmpty, "empty corpus")
@@ -496,7 +564,7 @@ object BpeTrainer {
     */
   def byteTrainOracle(nMerges: Int = 10): Option[String] =
     withOracleContext(s"byte-train:$nMerges") { (s, dir) =>
-      val words = pureWordCounts(collectedDocs(s, dir))
+      val words = augmentedPureWordCounts(collectedDocs(s, dir))
         .map { case (w, c) => BpeReference.byteRemap(w) -> c }
       val merges = BpeReference.train(words, nMerges)
       val rows = merges.map { case (rank, l, r, c) =>
@@ -511,7 +579,7 @@ object BpeTrainer {
   def encodeOracle(nMerges: Int = 10): Option[String] =
     withOracleContext(s"encode:$nMerges") { (s, dir) =>
       val docs = collectedDocs(s, dir)
-      val ranks = BpeReference.train(pureWordCounts(docs), nMerges)
+      val ranks = BpeReference.train(augmentedPureWordCounts(docs), nMerges)
         .map { case (rank, l, r, _) => (l, r) -> rank }.toMap
       val encLen = scala.collection.mutable.HashMap.empty[String, Long]
       def len(w: String): Long =
@@ -543,7 +611,7 @@ object BpeTrainer {
       val langOf = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang")).collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
-      val ranks = BpeReference.train(pureWordCounts(docs), nMerges)
+      val ranks = BpeReference.train(augmentedPureWordCounts(docs), nMerges)
         .map { case (rank, l, r, _) => (l, r) -> rank }.toMap
       val encLen = scala.collection.mutable.HashMap.empty[String, Long]
       def len(w: String): Long =

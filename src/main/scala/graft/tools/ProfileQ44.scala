@@ -1,4 +1,6 @@
-package graft.operators
+package graft.tools
+
+import graft.operators.Analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -8,7 +10,7 @@ import org.apache.spark.sql.expressions.Window
   * measured a 2.30 s floor (~10× its DuckDB oracle) and demanded
   * attribution between the vals exchange, the two cumulative
   * windows, and the three joins. Usage:
-  * runMain graft.operators.ProfileQ44 <dir> [passes]
+  * runMain graft.tools.ProfileQ44 <dir> [passes]
   */
 object ProfileQ44 {
   private def time[T](label: String)(f: => T): T = {

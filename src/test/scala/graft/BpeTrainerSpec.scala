@@ -190,7 +190,9 @@ class BpeTrainerSpec extends AnyFunSuite {
         assert(BpeTrainer.byteDecodeTokens(Seq(BpeTrainer.byteEncodeWord(w))) === w)
         assert(BpeReference.byteUnmap(List(BpeReference.byteRemap(w))) === w)
       }
-    // gate-vs-reference differential for the byte mode on the real corpus
+    // gate-vs-reference differential for the byte mode on the real
+    // corpus, reproducing the r12 multibyte injection independently
+    // (same MultibyteWords data, spec-local counting + reps arithmetic)
     val spark2 = spark
     val gate = BpeTrainer.qBpeByteTrain(spark2, dir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
@@ -198,9 +200,29 @@ class BpeTrainerSpec extends AnyFunSuite {
       .selectExpr("filter(split(text, ' '), w -> w != '') as ws").collect()
       .flatMap(_.getSeq[String](0))
     val wc = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val reps = math.max(1L, docs.length.toLong / 100L)
+    val augmented = wc.toSeq ++
+      BpeTrainer.MultibyteWords.map { case (w, c) => w -> c * reps }
     val ref = BpeReference.train(
-      wc.toSeq.map { case (w, c) => BpeReference.byteRemap(w) -> c }, 10)
+      augmented.map { case (w, c) => BpeReference.byteRemap(w) -> c }, 10)
     assert(gate.toList === ref.map(t => (t._1, t._2, t._3, t._4)))
     assert(gate.nonEmpty)
+  }
+
+  test("t86's gate table diverges from t51's on the augmented corpus (r12: non-vacuous in CORRECTNESS)") {
+    val charT = BpeTrainer.qBpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val byteT = BpeTrainer.qBpeByteTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(charT.toSeq !== byteT.toSeq,
+      "byte-level and char-level gates trained the same table — the multibyte injection is not reaching the top-k merges")
+    // char level sees ñ as ONE symbol; byte level must carry its two
+    // remapped UTF-8 bytes as separate symbols somewhere in the table
+    assert(charT.exists(t => (t._2 + t._3).exists(_ > 127.toChar)),
+      s"char table has no multibyte symbol: ${charT.mkString(", ")}")
+    assert(byteT.exists(t => (t._2 + t._3).contains('Ã')),
+      s"byte table never merges a remapped UTF-8 lead byte: ${byteT.mkString(", ")}")
+    assert(!byteT.exists(t => (t._2 + t._3).contains('ñ')),
+      "byte table must never contain a raw multibyte char as one symbol")
   }
 }

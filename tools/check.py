@@ -46,13 +46,18 @@ def main(sf_dir, out_dir, skip=(), only=(), timeout_sec=None):
             continue
         timer = None
         timed_out = [False]
+        done = [False]  # guards the kill-after-completion race
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{pq}/*.parquet')").df()
             if timeout_sec:
                 def kill(c=con):
-                    timed_out[0] = True
-                    c.interrupt()
+                    # the timer can fire in the window after the query
+                    # completes but before cancel(); an interrupt there
+                    # would poison the connection for the NEXT oracle
+                    if not done[0]:
+                        timed_out[0] = True
+                        c.interrupt()
                 timer = threading.Timer(timeout_sec, kill)
                 timer.start()
             t0 = time.perf_counter()
@@ -68,8 +73,11 @@ def main(sf_dir, out_dir, skip=(), only=(), timeout_sec=None):
                 n_fail += 1
             continue
         finally:
+            done[0] = True
             if timer:
                 timer.cancel()
+            if timed_out[0]:
+                con = connect()  # a fired timer means the old conn is suspect
         sys.stdout.flush()
         ok, msg = compare(got, exp)
         if ok:
@@ -84,7 +92,10 @@ def main(sf_dir, out_dir, skip=(), only=(), timeout_sec=None):
     print(f"== {n_pass} pass / {n_fail} fail{to} == duckdb oracle total "
           f"{total:.1f}s, top: "
           + ", ".join(f"{n} {s:.1f}s" for n, s in top))
-    return 1 if n_fail else 0
+    # exit 1 = mismatches; exit 2 = clean except timeouts — scripts
+    # treating 0 as "all verified" must not silently skip a timed-out
+    # gate
+    return 1 if n_fail else (2 if n_timeout else 0)
 
 
 def compare(got, exp):
