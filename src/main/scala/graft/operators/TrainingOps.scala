@@ -1069,8 +1069,13 @@ object TrainingOps {
     * shuffled the corpus-sized position relation three times to
     * produce the same pairs).
     */
-  def qSelfRepetition(s: SparkSession, dir: String): DataFrame = {
-    val sp = selfSpanRelation(s, dir)
+  def qSelfRepetition(s: SparkSession, dir: String): DataFrame =
+    selfRepetitionSpans(selfSpanRelation(s, dir))
+
+  /** t83's span construction over any seeding relation — shared with
+    * the sampled companion gate (t87), so the two cannot drift.
+    */
+  private def selfRepetitionSpans(sp: DataFrame): DataFrame = {
     val m = sp.groupBy(col("doc_id"), col("h"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
       .filter(size(col("ps")).between(2, SelfOccCap))
@@ -1089,6 +1094,78 @@ object TrainingOps {
       .select(col("doc_id"), col("start_a"), col("start_b"), col("span_len"))
       .orderBy(col("doc_id"), col("start_a"), col("start_b"))
   }
+
+  // ---- Sampled self-repetition (t87, r12 VERDICT #6) ----
+
+  /** Documents whose md5 first byte falls under this (of 256) are in
+    * the t87 sample — rate 1/8, the t33 hash-bucket idiom (engine-
+    * portable, no RNG, stable under partitioning and scale).
+    */
+  private val SelfSampleBucket = 32
+
+  /** Sampled self-repetition (t87) — t83's bounded companion for the
+    * 100 TB regime, where full-fidelity within-doc span extraction is
+    * a luxury: t83 is linear in trigram-window volume BY CONTRACT
+    * (its sf10 cost is the suite's heaviest Spark gate), and
+    * self-repetition is a PER-DOCUMENT statistic, so the natural
+    * bounded estimator samples documents, not windows (window/seed
+    * sampling would fragment islands and break span maximality).
+    * Documents are chosen by the deterministic md5-bucket rule at
+    * rate [[SelfSampleBucket]]/256; each sampled document's spans are
+    * EXACT — identical rows to t83's for that doc (a spec pins the
+    * restriction equality) — so corpus-level repetition rates
+    * estimate from the sample with zero within-sample approximation.
+    * Cost: one corpus scan to apply the hash filter, then window
+    * explode + shuffle at r× volume.
+    */
+  def qSelfRepetitionSampled(s: SparkSession, dir: String): DataFrame = {
+    val sp = SessionMemo.persist("training:selfspans:sampled", s, dir) {
+      Tables.documents(s, dir)
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int") < SelfSampleBucket)
+        .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+        .withColumn("n", size(col("words")))
+        .filter(col("n") >= SelfSpanL)
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(1, n - $SelfSpanL + 1),
+                i -> cast(conv(substring(
+                       md5(array_join(slice(words, i, $SelfSpanL), ' ')),
+                       1, 15), 16, 10) as bigint))"""))
+          .as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    }
+    selfRepetitionSpans(sp)
+  }
+
+  val qSelfRepetitionSampledOracle: String = s"""
+    WITH f AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '') AS words
+      FROM documents
+      WHERE CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+              < $SelfSampleBucket),
+    g AS (SELECT doc_id, words, LEN(words) AS n FROM f WHERE LEN(words) >= $SelfSpanL),
+    sp AS (
+      SELECT doc_id, i AS pos, CAST('0x' ||
+               SUBSTR(MD5(ARRAY_TO_STRING(words[i:i + $SelfSpanL - 1], ' ')), 1, 15)
+               AS BIGINT) AS h
+      FROM (SELECT doc_id, words, UNNEST(RANGE(1, n - $SelfSpanL + 2)) AS i FROM g)),
+    occ AS (SELECT doc_id, h FROM sp GROUP BY doc_id, h HAVING COUNT(*) <= $SelfOccCap),
+    spc AS (SELECT sp.* FROM sp JOIN occ USING (doc_id, h)),
+    m AS (
+      SELECT a.doc_id, a.pos AS pa, b.pos AS pb, b.pos - a.pos AS d
+      FROM spc a JOIN spc b
+        ON a.doc_id = b.doc_id AND a.h = b.h AND a.pos < b.pos),
+    isl AS (
+      SELECT *, pa - ROW_NUMBER() OVER (PARTITION BY doc_id, d ORDER BY pa) AS isl
+      FROM m),
+    spans AS (
+      SELECT doc_id, MIN(pa) AS start_a, MIN(pb) AS start_b,
+             MAX(pa) - MIN(pa) + $SelfSpanL AS span_len
+      FROM isl GROUP BY doc_id, d, isl)
+    SELECT doc_id, CAST(start_a AS BIGINT) AS start_a,
+           CAST(start_b AS BIGINT) AS start_b, CAST(span_len AS BIGINT) AS span_len
+    FROM spans WHERE span_len >= $SelfMinSpan
+    ORDER BY doc_id, start_a, start_b"""
 
   val qSelfRepetitionOracle: String = s"""
     WITH f AS (
@@ -1549,6 +1626,8 @@ object TrainingOps {
     GateQuery("t68_span_decontaminate", qSpanDecontaminate, Some(qSpanDecontaminateOracle)),
     GateQuery("t82_exact_substring", qExactSubstring, Some(qExactSubstringOracle)),
     GateQuery("t83_self_repetition", qSelfRepetition, Some(qSelfRepetitionOracle)),
+    GateQuery("t87_self_repetition_sampled", qSelfRepetitionSampled,
+      Some(qSelfRepetitionSampledOracle)),
     GateQuery("t84_substring_cut_plan", qSubstringCutPlan, Some(qSubstringCutPlanOracle)),
     GateQuery("t85_substring_apply", qSubstringApply, Some(qSubstringApplyOracle)),
     GateQuery("t76_contamination_report", qContaminationReport, Some(qContaminationReportOracle)),

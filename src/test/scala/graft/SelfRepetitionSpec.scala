@@ -109,4 +109,23 @@ class SelfRepetitionSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(rows == Seq((2L, 11L, 76L, 55L)), s"got $rows")
   }
+
+  test("t87 sampled companion: exactly t83's rows restricted to the md5-bucket sample (r12)") {
+    // the real corpus, not a planted one: the restriction equality must
+    // hold on arbitrary data, and the sample must be non-empty
+    val real = "/root/testdata/sf0.001"
+    val sampledIds = graft.Tables.documents(spark, real)
+      .filter(org.apache.spark.sql.functions.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int) < 32"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampledIds.nonEmpty, "sample is empty — rate too low for this corpus")
+    val full = TrainingOps.qSelfRepetition(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = full.filter(t => sampledIds.contains(t._1)).toSeq
+    val sampled = TrainingOps.qSelfRepetitionSampled(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(sampled === expected,
+      s"sampled gate diverged from t83's restriction: got ${sampled.take(5)}…")
+    assert(sampled.nonEmpty, "sampled spans empty at sf0.001 — gate is vacuous")
+  }
 }
