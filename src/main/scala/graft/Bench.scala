@@ -127,6 +127,20 @@ object Bench {
       .config("spark.network.timeout", "800s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Wait for machine quiet before timing (r12, VERDICT #7): the
+    // artifact IS the number the round is judged on, and r11's was
+    // captured at warm tier while the prose quoted a separate quiet
+    // run. Poll until the 1-min load is under the steady threshold,
+    // bounded (default 300 s, SPARK_GRAFT_QUIET_WAIT_SEC; 0 disables);
+    // if the bound expires, run anyway and record the tier honestly.
+    val quietBound = math.max(0.5, cpus.toDouble / 16)
+    val waitSec = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "300").toInt
+    val waitDeadline = System.nanoTime() + waitSec * 1000000000L
+    while (loadavg() > quietBound && System.nanoTime() < waitDeadline) {
+      System.err.println(f"[bench] loadavg ${loadavg()}%.2f > $quietBound%.2f — " +
+        "waiting for quiet")
+      Thread.sleep(10000)
+    }
     val loadBefore = loadavg()
     // Optional subset filter (comma-separated gate names or unique id
     // prefixes): the sf10 heavy-gate scale point (r9 VERDICT #5) runs
@@ -240,8 +254,7 @@ object Bench {
     // field: "quiet" (steady), "warm" (under cores/4 — usable but
     // possibly ~5–15% inflated), "loaded" (contention-dominated).
     val loadAfter = loadavg()
-    val steady = loadBefore >= 0 &&
-      loadBefore <= math.max(0.5, cpus.toDouble / 16)
+    val steady = loadBefore >= 0 && loadBefore <= quietBound
     val loadTier =
       if (steady) "quiet"
       else if (loadBefore >= 0 && loadBefore <= math.max(2.0, cpus.toDouble / 4)) "warm"

@@ -498,6 +498,16 @@ object GraftSnapshotDiff {
     val oldP = Cli.arg(args, "--old").getOrElse(sys.error("--old required"))
     val newP = Cli.arg(args, "--new").getOrElse(sys.error("--new required"))
     val spark = Cli.session("graft-snapshot-diff")
+    // optional provenance (r12): with the corpus dir in hand, attribute
+    // each rewritten/removed doc to the stage whose artifact claims it
+    Cli.arg(args, "--dir").foreach { d =>
+      graft.operators.SnapshotDiff.provenance(spark, d, oldP, newP)
+        .groupBy(org.apache.spark.sql.functions.col("status"),
+          org.apache.spark.sql.functions.col("cause"))
+        .count().orderBy("status", "cause").collect()
+        .foreach(r => println(
+          s"provenance ${r.getString(0)}/${r.getString(1)}: ${r.getLong(2)} docs"))
+    }
     // coalesce: sum() over an empty report (both snapshots empty) is
     // NULL — that is "nothing removed", not an NPE
     val removed = run(spark, oldP, newP)

@@ -48,6 +48,56 @@ object SnapshotDiff {
         col("chars_old"), col("chars_new"))
   }
 
+  /** Provenance for the promotion review (r12, VERDICT #8): WHICH
+    * stage touched each rewritten/removed document, answered by
+    * joining the diff to the pipeline's own memoized stage artifacts
+    * over `dir` — no new corpus pass:
+    *
+    *  - `substring_cut`    — the doc has merged t84 cut intervals, so
+    *    the --cut-substrings stage rewrote its bytes;
+    *  - `near_dup_loser`   — the doc sits in a MinHash cluster whose
+    *    elected survivor is another doc (t52), so the survivor
+    *    restriction dropped it;
+    *  - `curation_filtered`— the doc is outside t47's curated set
+    *    (quality floor / exact-dedup canonical / benchmark
+    *    contamination — the chain's own filters);
+    *  - `budget_or_external` — none of the above: the token budget's
+    *    per-source prefix cut, or a change outside this corpus dir.
+    *
+    * One row per rewritten/removed doc: (doc_id, status, cause).
+    * Causes are checked in the order above (a cut loser reports the
+    * cut for rewrites, the loss for removals — the removal is what
+    * promotion review audits).
+    */
+  def provenance(s: SparkSession, dir: String, oldPath: String,
+      newPath: String): DataFrame = {
+    val diff = docDiff(s, oldPath, newPath)
+      .filter(col("status").isin("rewritten", "removed"))
+      .select(col("doc_id"), col("status"))
+    val cut = TrainingOps.mergedCutIntervals(s, dir)
+      .select(col("doc_id")).distinct()
+      .withColumn("is_cut", lit(true))
+    val losers = TextOps.qDedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(TextOps.qDedupSurvivors(s, dir)
+        .select(col("cluster_id"), col("survivor_id")), Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("survivor_id"))
+      .select(col("doc_id")).withColumn("is_loser", lit(true))
+    val curated = CurationOps.curatedDocs(s, dir)
+      .select(col("doc_id")).withColumn("is_curated", lit(true))
+    diff
+      .join(cut, Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .join(curated, Seq("doc_id"), "left")
+      .withColumn("cause",
+        when(col("status") === "rewritten" && col("is_cut"), lit("substring_cut"))
+          .when(col("is_loser"), lit("near_dup_loser"))
+          .when(col("is_curated").isNull, lit("curation_filtered"))
+          .otherwise(lit("budget_or_external")))
+      .select(col("doc_id"), col("status"), col("cause"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The promotion-review summary: per NEW-side (split, source)
     * partition (removed docs report under their OLD partition with a
     * null-filled new side), counts by status and the char volume

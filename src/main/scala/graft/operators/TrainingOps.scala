@@ -1218,7 +1218,7 @@ object TrainingOps {
     * the cut-plan report and the t85 apply step, so the plan a user
     * reviews and the cuts the engine makes are the same facts.
     */
-  private def mergedCutIntervals(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def mergedCutIntervals(s: SparkSession, dir: String): DataFrame = {
     val iv = exactSpanRelation(s, dir)
       .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
         (col("start_b") + col("span_len") - 1).as("e"))

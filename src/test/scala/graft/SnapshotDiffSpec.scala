@@ -65,4 +65,29 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(rep.map(_.getAs[Long]("n_added")).sum === 0L)
     assert(rep.map(_.getAs[Long]("n_rewritten")).sum === 0L)
   }
+
+  test("provenance attributes every rewrite to the cut stage and budget removals past the artifacts (r12)") {
+    // cut snapshot: every rewritten doc must attribute to substring_cut
+    val a = fresh("p1"); val b = fresh("p2")
+    CurationOps.writeCuratedFull(spark, dir, a)
+    CurationOps.writeCuratedFull(spark, dir, b, cutSubstrings = true)
+    val provCut = SnapshotDiff.provenance(spark, dir, a, b).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(provCut.nonEmpty)
+    assert(provCut.forall { case (_, st, cause) =>
+      st == "rewritten" && cause == "substring_cut" },
+      s"unexpected attribution: ${provCut.take(5).mkString(", ")}")
+
+    // budgeted snapshot: removed docs were written deliberately by the
+    // budget stage — they are curated survivors, so no artifact claims
+    // them and they fall through to budget_or_external
+    val c = fresh("p3")
+    CurationOps.writeCuratedFull(spark, dir, c, budget = Some(500L))
+    val provBud = SnapshotDiff.provenance(spark, dir, a, c).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(provBud.nonEmpty)
+    assert(provBud.forall { case (st, cause) =>
+      st == "removed" && cause == "budget_or_external" },
+      s"unexpected attribution: ${provBud.take(5).mkString(", ")}")
+  }
 }
