@@ -31,10 +31,11 @@ import org.apache.spark.storage.StorageLevel
   * the per-band signature equi-join (with a bucket-occupancy cap so a
   * degenerate signature region cannot reintroduce the quadratic
   * stage), score exact cosine on candidates, emit per-new-vector
-  * top-k, and commit the delta + report atomically. At 100 TB the
-  * occupancy counts would be maintained incrementally as their own
-  * state relation (the span index's folded-caps pattern); here they
-  * are a map-side-combinable aggregate per batch.
+  * top-k, and commit the delta + report + occupancy state atomically.
+  * The occupancy counts ARE maintained incrementally (r12): the batch
+  * delta folds into the persisted per-(band, sig) state — exact, since
+  * a vector's band rows enter exactly one committed delta — instead of
+  * re-aggregating every indexed vector's banded view per batch.
   */
 object IncrementalAnn {
 
@@ -65,6 +66,11 @@ object IncrementalAnn {
     StructField("rank", IntegerType, nullable = true),
     StructField("neighbor_id", LongType, nullable = true),
     StructField("cosine", DoubleType, nullable = true)))
+
+  private[graft] val occSchema: StructType = StructType(Seq(
+    StructField("band_id", IntegerType, nullable = true),
+    StructField("sig", LongType, nullable = true),
+    StructField("bn", LongType, nullable = true)))
 
   /** Current committed vectors (union of every published epoch's
     * delta; empty if never written). Existence resolves through
@@ -117,7 +123,35 @@ object IncrementalAnn {
         explode(expr(s"sequence(0, ${cfg.bands - 1})")).as("band_id"))
       .withColumn("sig",
         expr(s"shiftright(bucket, ${cfg.bits} * band_id) & ${(1 << cfg.bits) - 1}"))
+      .withColumn("band_id", col("band_id").cast("int"))
       .drop("bucket")
+
+  /** Persisted per-(band, sig) occupancy of the CURRENT epoch. */
+  private[graft] def currentOcc(spark: SparkSession, indexPath: String): DataFrame = {
+    val root = statePath(indexPath)
+    val e = StreamingState.currentEpoch(spark, root)
+    if (e < 0L)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], occSchema)
+    else StreamingState.readOr(spark,
+      StreamingState.epochRel(root, e, "occ"), occSchema)
+  }
+
+  /** Fold a batch's band rows into the persisted occupancy state (r12,
+    * the span index's caps-fold pattern): the r11 layout re-aggregated
+    * the banded view of EVERY indexed vector per batch; the fold is
+    * exact because a vector's band rows enter exactly one committed
+    * delta (the vec-id anti-join guarantees it), so counts add. The
+    * state is signature-space bounded (≤ bands × 2^bits rows).
+    * Exposed for the spec that pins fold == recompute and that the
+    * plan never scans the vectors relation.
+    */
+  private[graft] def foldedOcc(spark: SparkSession, indexPath: String,
+      fresh: DataFrame, cfg: Config): DataFrame =
+    currentOcc(spark, indexPath)
+      .unionByName(bandRows(fresh, cfg)
+        .groupBy(col("band_id"), col("sig")).agg(count(lit(1)).as("bn")))
+      .groupBy(col("band_id"), col("sig"))
+      .agg(sum(col("bn")).as("bn"))
 
   /** Probe the batch's vectors against the index (and the batch
     * itself), commit the new signatures AND the batch's top-k report
@@ -144,12 +178,14 @@ object IncrementalAnn {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val all = existing.unionByName(fresh)
 
-    // occupancy cap over the combined banded view (see scaladoc)
-    val bands = bandRows(all, cfg)
-    val occ = bands.groupBy(col("band_id"), col("sig"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") > cfg.cap)
+    // occupancy cap from the FOLDED state (r12): counts over index ∪
+    // fresh without re-aggregating every indexed vector's band rows
+    val occState = foldedOcc(spark, indexPath, fresh, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val over = occState.filter(col("bn") > cfg.cap)
       .select(col("band_id"), col("sig"))
-    val capped = bands.join(broadcast(occ), Seq("band_id", "sig"), "left_anti")
+    val capped = bandRows(all, cfg)
+      .join(broadcast(over), Seq("band_id", "sig"), "left_anti")
     val target = capped.select(col("vec_id").as("t_vec_id"),
       col("band_id").as("t_band_id"), col("sig").as("t_sig"))
 
@@ -174,8 +210,10 @@ object IncrementalAnn {
       .filter(col("rank") <= cfg.k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
     StreamingState.commitAppend(spark, statePath(indexPath), batchId,
-      Map("vectors" -> fresh, "neighbors" -> topk))
-    fresh.unpersist()
+      Map("vectors" -> fresh, "neighbors" -> topk, "occ" -> occState))
+    // occupancy is full state per epoch; each copy supersedes the last
+    StreamingState.pruneRel(spark, statePath(indexPath), "occ")
+    occState.unpersist(); fresh.unpersist()
     spark.read.schema(neighborsSchema)
       .parquet(StreamingState.epochRel(statePath(indexPath), batchId, "neighbors"))
   }

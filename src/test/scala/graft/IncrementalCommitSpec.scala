@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, explode, expr, lit}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.{IncrementalDedup, IncrementalSpanIndex, StreamingState}
@@ -154,12 +155,52 @@ class IncrementalCommitSpec extends AnyFunSuite {
       val scratch = IncrementalSpanIndex.windowRows(docs.toDF("doc_id", "text"))
         .groupBy("h64", "doc_id").count()
         .groupBy("h64")
-        .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("docf"),
+        .agg(count(lit(1)).as("docf"),
           org.apache.spark.sql.functions.max("count").as("maxk"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(folded === scratch, s"seed $seed: fold diverged from recompute")
     }
+  }
+
+  test("ANN occupancy fold equals the from-scratch aggregate and never scans the vectors relation") {
+    import spark.implicits._
+    import graft.streaming.IncrementalAnn
+    val cfg = IncrementalAnn.Config()
+    def vecs(ids: Seq[Long]) = ids.map { i =>
+      (i, Seq(math.sin(i * 1.7) + 1.5, math.cos(i * 0.9), (i % 7).toDouble / 7,
+        math.sin(i * 0.31))) }.toDF("vec_id", "v")
+    val idx = java.nio.file.Files.createTempDirectory("ann_occ")
+      .resolve("index").toString
+    // three drops; fold state after the last must equal a from-scratch
+    // aggregate over ALL indexed vectors' band rows
+    val drops = Seq((0L until 16L), (16L until 24L), (24L until 29L))
+    drops.zipWithIndex.foreach { case (ids, b) =>
+      IncrementalAnn.processBatch(vecs(ids), idx, b.toLong, cfg)
+    }
+    val folded = IncrementalAnn.currentOcc(spark, idx)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val scratch = IncrementalAnn.readIndex(spark, idx)
+      .select(col("vec_id"), col("bucket"),
+        explode(expr(s"sequence(0, ${cfg.bands - 1})")).as("band_id"))
+      .withColumn("sig", expr(
+        s"shiftright(bucket, ${cfg.bits} * band_id) & ${(1 << cfg.bits) - 1}"))
+      .groupBy(col("band_id").cast("int").as("band_id"), col("sig"))
+      .agg(count(lit(1)).as("bn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(folded === scratch, "occupancy fold diverged from recompute")
+    // and the fold plan reads only the persisted occ state, never the
+    // vector deltas (fresh arrives in-memory from the batch)
+    val freshB = Seq((100L, 123L), (101L, 456L)).toDF("vec_id", "bucket")
+    val occ = IncrementalAnn.foldedOcc(spark, idx, freshB, cfg)
+    val scanned = occ.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    assert(scanned.exists(_.contains("/occ")), s"must read occ state: $scanned")
+    assert(!scanned.exists(_.contains("/vectors")),
+      s"fold must not re-aggregate the vector deltas, scanned: $scanned")
   }
 
   test("the cap fold never scans the window index (the per-drop full-index re-aggregation is gone)") {
