@@ -397,6 +397,16 @@ object GraftDrop {
     val spark = Cli.session("graft-drop")
     run(spark, in, index, threshold = threshold,
       cfg = graft.streaming.IncrementalAnn.Config(k = k))
+    // --compact (r12): fold each index's per-drop delta log into one
+    // copy after draining — markers and reports stay, so replay
+    // detection and report reads survive; run it occasionally (e.g.
+    // yearly on a monthly cadence)
+    if (args.contains("--compact")) {
+      graft.streaming.IncrementalDedup.compact(spark, s"$index/dedup")
+      graft.streaming.IncrementalSpanIndex.compact(spark, s"$index/spans")
+      graft.streaming.IncrementalAnn.compact(spark, s"$index/ann")
+      println("drop indexes compacted")
+    }
     spark.stop()
   }
 }

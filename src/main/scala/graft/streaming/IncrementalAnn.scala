@@ -227,6 +227,17 @@ object IncrementalAnn {
       StreamingState.currentEpoch(batch.sparkSession, statePath(indexPath)) + 1L,
       cfg)
 
+  /** Compact the vector delta log into one copy and drop the
+    * superseded per-drop dirs (crash-safe: see
+    * [[StreamingState.checkpointDeltas]]). Markers, neighbor reports,
+    * the occupancy state, and the plane model stay untouched.
+    */
+  def compact(spark: SparkSession, indexPath: String): Unit = {
+    StreamingState.checkpointDeltas(spark, statePath(indexPath),
+      Map("vectors" -> vectorsSchema))
+    StreamingState.vacuum(spark, statePath(indexPath), Seq("vectors"))
+  }
+
   /** Streaming surface: foreachBatch maintaining the index, handing
     * each micro-batch's top-k neighbor frame to the caller.
     */

@@ -235,6 +235,20 @@ object IncrementalDedup {
       StreamingState.currentEpoch(batch.sparkSession, indexPath) + 1L,
       threshold)
 
+  /** Compact the signature delta log into one copy and drop the
+    * superseded per-drop dirs (crash-safe: see
+    * [[StreamingState.checkpointDeltas]]). Epoch markers and pair
+    * reports stay, so replay detection and report reads keep working
+    * for the whole history. Run lazily, e.g. yearly on a monthly-drop
+    * cadence.
+    */
+  def compact(spark: SparkSession, indexPath: String): Unit = {
+    checkOrStampVersion(spark, indexPath)
+    StreamingState.checkpointDeltas(spark, indexPath,
+      Map("index" -> indexSchema))
+    StreamingState.vacuum(spark, indexPath, Seq("index"))
+  }
+
   /** Streaming surface: foreachBatch maintaining the index, handing
     * each micro-batch's verified near-dup pairs to the caller.
     */

@@ -229,6 +229,17 @@ object IncrementalSpanIndex {
     processBatch(batch, indexPath,
       StreamingState.currentEpoch(batch.sparkSession, indexPath) + 1L)
 
+  /** Compact the window/doc delta log into one copy each and drop the
+    * superseded per-drop dirs (crash-safe: see
+    * [[StreamingState.checkpointDeltas]]). Markers, span reports, and
+    * the cap state stay untouched.
+    */
+  def compact(spark: SparkSession, indexPath: String): Unit = {
+    StreamingState.checkpointDeltas(spark, indexPath,
+      Map("windows" -> indexSchema, "docs" -> docsSchema))
+    StreamingState.vacuum(spark, indexPath, Seq("windows", "docs"))
+  }
+
   /** Streaming surface: foreachBatch maintaining the index, handing
     * each micro-batch's maximal spans to the caller.
     */

@@ -132,18 +132,88 @@ object StreamingState {
     catch { case _: java.io.IOException => () } // already published (replay race)
   }
 
-  /** Union of one relation across ALL committed epochs (the reader of
-    * the [[commitAppend]] layout). Uncommitted/partial epoch dirs are
-    * invisible by construction — only marker-published paths are read.
+  private def checkpointsDir(root: String) = s"$root/checkpoints"
+  private def compactRel(root: String, cp: Long, rel: String) =
+    s"$root/compact-$cp/$rel"
+
+  /** Highest published checkpoint id, or -1 if never checkpointed. */
+  def currentCheckpoint(spark: SparkSession, root: String): Long = {
+    val fs = fsFor(spark, root)
+    val cps = new Path(checkpointsDir(root))
+    if (!fs.exists(cps)) -1L
+    else fs.listStatus(cps).iterator
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Union of one relation across the committed epochs (the reader of
+    * the [[commitAppend]] layout): the newest checkpoint's compacted
+    * copy plus every committed delta AFTER it. Uncommitted/partial
+    * epoch or compact dirs are invisible by construction — only
+    * marker-published paths are read.
     */
   def readCommittedDeltas(spark: SparkSession, root: String, rel: String,
       schema: StructType): DataFrame = {
-    val paths = committedEpochs(spark, root)
-      .map(e => epochRel(root, e, rel))
+    val cp = currentCheckpoint(spark, root)
+    val paths = ((if (cp >= 0L) Seq(compactRel(root, cp, rel)) else Seq.empty) ++
+      committedEpochs(spark, root).filter(_ > cp).map(e => epochRel(root, e, rel)))
       .filter(p => exists(spark, p))
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** Compact the delta log (r12) — the epoch-layout analogue of a log
+    * checkpoint: after years of monthly drops the committed union
+    * reads one fragment per drop, so fold everything committed so far
+    * into ONE `compact-<id>/` copy per relation and publish it with a
+    * single atomic marker under `checkpoints/<id>`. Readers switch
+    * atomically: before the marker the orphan compact dir is invisible
+    * (a retried compaction overwrites it); after it they read the
+    * compacted copy plus only the deltas newer than it. Epoch MARKERS
+    * are never deleted — replay detection by batch id keeps working
+    * for the whole history — and the superseded delta DIRS are removed
+    * by [[vacuum]], a separate lazily-run step, so no crash point can
+    * lose data. Returns the checkpoint id (-1 if nothing committed).
+    */
+  def checkpointDeltas(spark: SparkSession, root: String,
+      rels: Map[String, StructType]): Long = {
+    val cp = currentEpoch(spark, root)
+    if (cp < 0L) return -1L
+    rels.foreach { case (rel, schema) =>
+      readCommittedDeltas(spark, root, rel, schema)
+        .write.mode("overwrite").parquet(compactRel(root, cp, rel))
+    }
+    val fs = fsFor(spark, root)
+    fs.mkdirs(new Path(checkpointsDir(root)))
+    try fs.create(new Path(s"${checkpointsDir(root)}/$cp"), false).close()
+    catch { case _: java.io.IOException => () } // already published
+    cp
+  }
+
+  /** Delete the delta copies superseded by the newest checkpoint (the
+    * heavy content; tiny epoch markers and any non-listed relations —
+    * per-batch reports — stay). Safe to run any time after
+    * [[checkpointDeltas]]; a crash mid-vacuum just leaves some
+    * already-superseded dirs for the next run. Prior checkpoints'
+    * compact dirs are removed too.
+    */
+  def vacuum(spark: SparkSession, root: String, rels: Seq[String]): Unit = {
+    val cp = currentCheckpoint(spark, root)
+    if (cp < 0L) return
+    val fs = fsFor(spark, root)
+    committedEpochs(spark, root).filter(_ <= cp).foreach { e =>
+      rels.foreach { rel => fs.delete(new Path(epochRel(root, e, rel)), true); () }
+    }
+    val cps = new Path(checkpointsDir(root))
+    fs.listStatus(cps).iterator
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .filter(_ < cp)
+      .foreach { old =>
+        fs.delete(new Path(s"$root/compact-$old"), true)
+        fs.delete(new Path(s"${checkpointsDir(root)}/$old"), false)
+        ()
+      }
   }
 
   /** Drop a FULL-STATE relation (one rewritten per epoch, each copy

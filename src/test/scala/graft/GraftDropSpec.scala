@@ -102,5 +102,16 @@ class GraftDropSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$index/reports/neighbors").count() == nn)
     assert(graft.streaming.IncrementalDedup
       .readIndex(spark, s"$index/dedup").count() == drop1.size + drop2.size)
+
+    // r12: compacting all three delta logs preserves the committed
+    // views and the per-batch reports
+    graft.streaming.IncrementalDedup.compact(spark, s"$index/dedup")
+    graft.streaming.IncrementalSpanIndex.compact(spark, s"$index/spans")
+    graft.streaming.IncrementalAnn.compact(spark, s"$index/ann")
+    assert(graft.streaming.IncrementalDedup
+      .readIndex(spark, s"$index/dedup").count() == drop1.size + drop2.size)
+    assert(graft.streaming.IncrementalAnn
+      .readIndex(spark, s"$index/ann").count() == drop1.size + drop2.size)
+    assert(spark.read.parquet(s"$index/reports/pairs").count() == np)
   }
 }
