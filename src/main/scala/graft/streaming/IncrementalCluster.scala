@@ -151,11 +151,14 @@ object IncrementalCluster {
 
     // score every relabeled doc: stored score wins, batch score covers
     // first appearances
+    // defensive one-row-per-doc on the caller's scores: a duplicate
+    // (doc_id, score) row would silently fan the member join out
+    val batchScores = scores.groupBy(col("doc_id"))
+      .agg(max(col("score")).as("batch_score"))
     val newAffM = labels
       .join(prevM.select(col("doc_id"), col("score").as("prev_score")),
         Seq("doc_id"), "left")
-      .join(scores.select(col("doc_id"), col("score").as("batch_score")),
-        Seq("doc_id"), "left")
+      .join(batchScores, Seq("doc_id"), "left")
       .select(col("doc_id"), col("label"),
         coalesce(col("prev_score"), col("batch_score")).as("score"))
     val members = prevM.join(affLabels, Seq("label"), "left_anti")

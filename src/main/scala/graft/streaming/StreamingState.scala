@@ -122,11 +122,15 @@ object StreamingState {
     */
   def commitAppend(spark: SparkSession, root: String, epoch: Long,
       rels: Map[String, DataFrame]): Unit = {
+    val fs = fsFor(spark, root)
+    // create the (possibly empty) commit log BEFORE any relation write:
+    // a crash mid-first-epoch must leave a root that reads as "epoch
+    // layout, nothing committed", not one guardEpochLayout mistakes
+    // for a pre-epoch legacy index and refuses to recover
+    fs.mkdirs(new Path(commitsDir(root)))
     rels.foreach { case (rel, df) =>
       df.write.mode("overwrite").parquet(epochRel(root, epoch, rel))
     }
-    val fs = fsFor(spark, root)
-    fs.mkdirs(new Path(commitsDir(root)))
     val marker = new Path(s"${commitsDir(root)}/$epoch")
     try fs.create(marker, false).close()
     catch { case _: java.io.IOException => () } // already published (replay race)

@@ -110,6 +110,28 @@ class IncrementalCommitSpec extends AnyFunSuite {
     assert(idxRows.count() === idxRows.select("doc_id", "pos").distinct().count())
   }
 
+  test("a crash during the VERY FIRST epoch write recovers instead of reading as a legacy index") {
+    import spark.implicits._
+    val idx = tmp("crash_first")
+    // simulate: batch 0 crashed after writing some windows but before
+    // any marker — and, in this earliest window, possibly before the
+    // commits/ dir existed at all
+    val drop = Seq((1L, s"$filler1 $quote"), (3L, s"$filler3 $quote"))
+      .toDF("doc_id", "text")
+    IncrementalSpanIndex.windowRows(drop.limit(1))
+      .write.parquet(StreamingState.epochRel(idx, 0L, "windows"))
+    // the retry must NOT be refused as a pre-epoch-layout index once
+    // the log dir exists (commitAppend creates it before any write);
+    // emulate that ordering for the legacy simulation too
+    StreamingState.fsFor(spark, idx)
+      .mkdirs(new org.apache.hadoop.fs.Path(s"$idx/commits"))
+    val spans = IncrementalSpanIndex.processBatch(drop, idx, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(spans === Set((1L, 3L, 60L)))
+    val rows = IncrementalSpanIndex.readIndex(spark, idx)
+    assert(rows.count() === rows.select("doc_id", "pos").distinct().count())
+  }
+
   test("dedup index: replay of a committed batch returns the persisted pairs, appends nothing") {
     import spark.implicits._
     val idx = tmp("crash_pairs")
