@@ -355,21 +355,29 @@ object Relational {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""
 
-  /** Skew-resistant fact-fact join (q38) — [[Scale.saltedJoin]] as an
-    * oracle-gated operator: lineitem⋈orders on the order key with the
-    * probe side salted into 4 random shards and the build side
-    * replicated across them, then per-priority revenue. The result is
-    * IDENTICAL to the plain inner join (salting only re-keys the
-    * shuffle), which is exactly what the oracle asserts — the point of
-    * the gate is that the skew-mitigation rewrite is a pure
-    * partitioning change, verified, not trusted.
+  /** Skew-ADAPTIVE fact-fact join (q38) — [[Scale.adaptiveSaltedJoin]]
+    * as an oracle-gated operator: lineitem⋈orders on the order key
+    * with heavy-key detection (exact pruned-column count, broadcast
+    * hot set) choosing per-row whether to salt, then per-priority
+    * revenue. The result is IDENTICAL to the plain inner join (salting
+    * only re-keys the shuffle), which is exactly what the oracle
+    * asserts — the skew-mitigation rewrite is a pure partitioning
+    * change, verified, not trusted.
     *
     * Scale shape: a hot order key (one key carrying a disproportionate
     * share of fact rows) no longer lands on one reducer — its rows
     * spread over `saltFactor` tasks at the cost of replicating the
-    * build side's single matching row per salt. This is the manual
-    * fallback for skew AQE's size-based splitter misses (many small
-    * rows under ONE key value).
+    * build side's matching rows per salt — while on an UNSKEWED corpus
+    * (this one: ≤7 lineitems per order at every SF, far under the
+    * 1M-row threshold ≈ one healthy task's share of fact rows) the
+    * exchange degenerates to the plain join's, so nothing is
+    * replicated and no replication tax is paid for insurance that
+    * isn't needed. The always-salt variant stays available
+    * ([[Scale.saltedJoin]], spec-pinned) as the a-priori-known-skew
+    * tool; the hot path of THIS operator is spec-pinned on a
+    * deterministic skewed fixture (identity to the plain join + hot
+    * partition split). This is the manual fallback for skew AQE's
+    * size-based splitter misses (many small rows under ONE key value).
     */
   def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(s, dir)
@@ -377,7 +385,8 @@ object Relational {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o_orderkey"),
         col("l_extendedprice"), col("l_discount"))
-    Scale.saltedJoin(li, orders, "o_orderkey", saltFactor = 4)
+    Scale.adaptiveSaltedJoin(li, orders, "o_orderkey", saltFactor = 4,
+        skewThreshold = 1000000L, detectSampleRate = 0.02)
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),

@@ -29,6 +29,65 @@ object Scale {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Keys of `df` carrying at least `minRows` rows — the hot set an
+    * adaptive skew mitigation salts. Exact, not sampled: the count is
+    * map-side combined over the pruned key column, so the shuffle is
+    * distinct-keys-sized, never corpus-sized. The result is bounded by
+    * construction: at most rows(df) / minRows keys can qualify, which
+    * is what makes broadcasting it safe.
+    */
+  def heavyKeys(df: DataFrame, key: String, minRows: Long): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("__kf"))
+      .filter(col("__kf") >= minRows)
+      .select(col(key))
+
+  /** Skew-ADAPTIVE inner equi-join: salt only detected-heavy keys.
+    *
+    * [[saltedJoin]] pays saltFactor× replication of the ENTIRE build
+    * side whether or not the data is skewed — at 100 TB that is the
+    * wrong default. This variant first finds the probe side's heavy
+    * keys exactly ([[heavyKeys]], one pruned-column pass), broadcasts
+    * that bounded set, and then salts in a SINGLE join: probe rows of
+    * hot keys get a random salt in [0, saltFactor), cold rows get salt
+    * 0; build rows are exploded saltFactor× ONLY for hot keys, 1× for
+    * cold. The shuffle key is (key, salt), so a cold corpus produces
+    * exactly the plain join's exchange while each hot key spreads over
+    * saltFactor reducers. Each side is scanned once; no union of a
+    * hot and a cold branch (which would scan both inputs twice).
+    *
+    * Equivalent to the plain inner join row-for-row (salting only
+    * re-keys the shuffle) — q38's oracle asserts exactly that.
+    *
+    * `detectSampleRate` < 1 detects on a Bernoulli sample with the
+    * threshold scaled by the rate (the production form: a 100 TB
+    * probe side is not worth an exact count for a mitigation
+    * decision). Sampling can only mis-CLASSIFY borderline keys,
+    * never corrupt the result — which rows get salted changes the
+    * partitioning, not the join output, so the identity above holds
+    * unconditionally.
+    */
+  def adaptiveSaltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int, skewThreshold: Long,
+      detectSampleRate: Double = 1.0): DataFrame = {
+    val (probe, minRows) =
+      if (detectSampleRate >= 1.0) (left, skewThreshold)
+      else (left.sample(withReplacement = false, detectSampleRate, seed = 7L),
+        math.max(1L, math.round(skewThreshold * detectSampleRate)))
+    val hot = broadcast(heavyKeys(probe, key, minRows)
+      .withColumn("__hot", lit(true)))
+    val salted = left.join(hot, Seq(key), "left")
+      .withColumn("__salt",
+        when(col("__hot").isNotNull,
+          (rand(seed = 7) * saltFactor).cast("int")).otherwise(lit(0)))
+      .drop("__hot")
+    val replicated = right.join(hot, Seq(key), "left")
+      .withColumn("__salt", explode(
+        when(col("__hot").isNotNull, sequence(lit(0), lit(saltFactor - 1)))
+          .otherwise(sequence(lit(0), lit(0)))))
+      .drop("__hot")
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Distributed per-group rank (1-based, the `row_number()` contract)
     * of `df` by `orderKey` within `partKey` — the two-phase
     * prefix-offset formulation of zipWithIndex, replacing

@@ -63,11 +63,18 @@ import graft.operators.TrainingOps
   *     their union IS the index).
   *
   * At 100 TB the shape holds: the window index is the corpus-sized
-  * artifact (written once per document, one delta per drop), the
-  * probe join moves fresh windows plus colliding postings, the cap
-  * fold is bounded by distinct-hash count not position count, and
-  * the span extension is window work partitioned by (pair, diagonal)
-  * — bounded by matched-window volume, never all-pairs.
+  * artifact (written once per document, one delta per drop); the
+  * probe is ONE h64 equi-join whose fresh side is batch-sized and
+  * whose index side is exchanged once (no second cap-filter join
+  * over the index — the equi-join against the cold-filtered fresh
+  * side enforces the same cap decisions; with Spark's runtime
+  * bloom-filter join pruning the exchanged postings shrink further
+  * to the colliding ones); the cap fold is bounded by distinct-hash
+  * count not position count; and the span extension is window work
+  * partitioned by (pair, diagonal) — bounded by matched-window
+  * volume, never all-pairs. The honest per-drop floor is that one
+  * index-side exchange; eliminating it outright needs hash-bucketed
+  * index storage, which plain per-epoch parquet deltas don't carry.
   */
 object IncrementalSpanIndex {
 
@@ -184,7 +191,12 @@ object IncrementalSpanIndex {
 
     val freshC = fresh.join(cold, Seq("h64"))
       .select(col("h64"), col("doc_id").as("f_doc"), col("pos").as("f_pos"))
-    val allC = existing.unionByName(fresh).join(cold, Seq("h64"))
+    // the cap discipline needs only ONE side filtered: the probe is an
+    // h64 equi-join, so an index posting with a hot hash can never
+    // match the cold-filtered fresh side — filtering the index too
+    // would add a second full-index join stage per drop for rows the
+    // equi-join already discards
+    val allC = existing.unionByName(fresh)
       .select(col("h64"), col("doc_id").as("t_doc"), col("pos").as("t_pos"))
     val m = freshC.join(allC, Seq("h64"))
       .filter(col("f_doc") =!= col("t_doc"))

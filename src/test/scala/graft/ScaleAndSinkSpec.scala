@@ -291,6 +291,79 @@ class ScaleAndSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive salted join: detects the hot key, splits it, equals plain join") {
+    // q38's operator. Two fixtures: one with a planted hot key (the
+    // salted path must activate AND preserve row identity) and a
+    // uniform one (the hot set must be empty so the exchange is the
+    // plain join's). Distribution assertions, not timing; AQE off so
+    // tiny test shuffles aren't coalesced. The internal broadcast(hot)
+    // HINT survives autoBroadcastJoinThreshold=-1, which is the point:
+    // the technique exists for when the BUILD side is too big to
+    // broadcast, yet the hot-KEY set is always bounded.
+    import spark.implicits._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val skewed = ((1 to 40000).map(i => (1, i)) ++
+        (1 to 100).map(i => (1 + i % 7, i))).toDF("k", "v")
+      val right = (1 to 8).map(k => (k, s"dim$k")).toDF("k", "name")
+      // detection: exactly the planted key qualifies
+      val hot = Scale.heavyKeys(skewed, "k", minRows = 1000L)
+        .collect().map(_.getInt(0)).toSeq
+      assert(hot == Seq(1), s"hot set must be exactly the planted key: $hot")
+      // identity: per-key row counts match the plain join on both fixtures
+      val adaptive = Scale.adaptiveSaltedJoin(skewed, right, "k",
+        saltFactor = 8, skewThreshold = 1000L)
+      val plain = skewed.join(right, Seq("k"))
+      val a = adaptive.groupBy("k").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val p = plain.groupBy("k").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(a == p, "adaptive salting must be a pure partitioning change")
+      // the hot key's rows actually split across reducers
+      def maxPartition(df: org.apache.spark.sql.DataFrame): Long =
+        df.withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+          .groupBy("pid").count()
+          .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      val plainMax = maxPartition(plain)
+      val adaptiveMax = maxPartition(adaptive)
+      assert(plainMax >= 40000L, s"hot key must funnel the plain join: $plainMax")
+      assert(adaptiveMax <= plainMax / 2,
+        s"adaptive salting must split the hot partition: $adaptiveMax vs $plainMax")
+      // sampled detection (the production form): deterministic under
+      // the fixed seed; the 40k-row hot key survives a 25% sample
+      // against the scaled threshold, and the join output is STILL the
+      // plain join's regardless of what detection classified
+      val sampled = Scale.adaptiveSaltedJoin(skewed, right, "k",
+        saltFactor = 8, skewThreshold = 1000L, detectSampleRate = 0.25)
+        .groupBy("k").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(sampled == p)
+      assert(maxPartition(Scale.adaptiveSaltedJoin(skewed, right, "k",
+        saltFactor = 8, skewThreshold = 1000L, detectSampleRate = 0.25))
+        <= plainMax / 2, "sampled detection must still catch the hot key")
+      // uniform fixture: nothing qualifies, identity still holds
+      val uniform = (1 to 4000).map(i => (1 + i % 8, i)).toDF("k", "v")
+      assert(Scale.heavyKeys(uniform, "k", minRows = 1000L).isEmpty,
+        "uniform corpus must detect no hot keys")
+      val au = Scale.adaptiveSaltedJoin(uniform, right, "k",
+        saltFactor = 8, skewThreshold = 1000L)
+        .groupBy("k").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val pu = uniform.join(right, Seq("k")).groupBy("k").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(au == pu)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS bt_orders")
