@@ -88,6 +88,7 @@ class AnalysisSmokeSpec extends AnyFunSuite {
     //   m43 pdf layout        — words × 4-row region dictionary, range-containment join
     //   t34 source mix        — per-source frame × 1-row totals
     //   t64 temperature mix   — per-source frame × 1-row totals
+    //   q45 zorder layout     — ranked frame × 1-row max-rank total (×2, one per dimension)
     //   t71 lang divergence   — language pairs × 256-row bucket range (langs²×256 contract)
     //   v33/v43               — 10-row query frame × corpus (the documented brute baseline)
     //   v34/v35               — corpus × 4-row hyperplane array
@@ -100,8 +101,8 @@ class AnalysisSmokeSpec extends AnyFunSuite {
     //                           (its two fused backends are v33's and
     //                           v44's own whitelisted probe scans)
     val whitelist = Set(
-      "m43_pdf_layout", "t34_source_mix", "t64_temperature_mix",
-      "t71_lang_divergence",
+      "m43_pdf_layout", "q45_zorder_layout", "t34_source_mix",
+      "t64_temperature_mix", "t71_lang_divergence",
       "v33_ann_bruteforce", "v34_ann_lsh", "v35_cosine_dedup",
       "v36_vector_stats", "v37_ann_ivf", "v38_ann_quantized",
       "v39_cluster_assign", "v40_ann_ivf_sq8", "v41_ann_ivf_pq",
