@@ -51,6 +51,12 @@ object GraftExtensions {
       info("dot_product", classOf[DotProduct], "dot_product(a, b) - sequential IEEE dot product of two numeric arrays"),
       (es: Seq[Expression]) => DotProduct(
         Cast(es(0), ArrayType(DoubleType)), Cast(es(1), ArrayType(DoubleType)))),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", classOf[graft.functions.UnicodeNormalize], "nfc_normalize(s) - Unicode canonical (NFC) normalization"),
+      (es: Seq[Expression]) => graft.functions.UnicodeNormalize(es(0), "NFC")),
+    (FunctionIdentifier("nfkc_normalize"),
+      info("nfkc_normalize", classOf[graft.functions.UnicodeNormalize], "nfkc_normalize(s) - Unicode compatibility (NFKC) normalization"),
+      (es: Seq[Expression]) => graft.functions.UnicodeNormalize(es(0), "NFKC")),
     (FunctionIdentifier("top_bigram_count"),
       info("top_bigram_count", classOf[TopBigramCount], "top_bigram_count(words) - count of the most frequent adjacent pair"),
       (es: Seq[Expression]) => TopBigramCount(es(0))),

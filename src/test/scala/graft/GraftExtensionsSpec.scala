@@ -50,6 +50,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head().getDouble(0) == 11.0)
       assert(s.sql("SELECT top_bigram_count(array('a', 'b', 'a', 'b')) AS c")
         .head().getLong(0) >= 1L)
+      // unicode normalization: decomposed e+COMBINING ACUTE composes
+      assert(s.sql("SELECT nfc_normalize('café') AS n").head().getString(0)
+        == "café")
+      assert(s.sql("SELECT nfkc_normalize('ﬁle Ａ') AS n").head().getString(0)
+        == "file A")
+      // ...and inside a higher-order-function lambda (the reason it is
+      // a Catalyst expression, not a UDF)
+      assert(s.sql("SELECT transform(array('café', 'ok'), x -> nfc_normalize(x)) AS a")
+        .head().getSeq[String](0) == Seq("café", "ok"))
       // bounded top-k aggregate, with its (value desc, id asc) contract
       val top = s.sql(
         """SELECT top_k_by_value(v, id, 2) AS t FROM VALUES
