@@ -439,7 +439,7 @@ object GraftTransformLoad {
 
 /** One-command corpus curation — `--in <tablesDir> --out <dir>
   * [--budget N] [--span-decontaminate] [--cluster-split]
-  * [--cut-substrings]`: the
+  * [--cut-substrings] [--zorder]`: the
   * LLM-pipeline counterpart
   * of the FIC drivers above. Runs the full corpus-production chain
   * ([[graft.operators.CurationOps.writeCuratedFull]]): exact-canonical
@@ -450,18 +450,22 @@ object GraftTransformLoad {
   * inherits its cluster representative's split, so duplicates never
   * straddle train/eval), optional t84/t85 exact-substring cutting
   * (cross-document verbatim spans removed from the written text, the
-  * manifest recording tokens removed), then the partitioned (split,
-  * source) parquet write + release manifest. Prints the manifest as
-  * the run summary.
+  * manifest recording tokens removed), optional z-ordered file layout
+  * (rows clustered on interleaved (n_chars, doc_id) buckets within
+  * each partition dir, so footer stats prune length-bounded AND
+  * id-range reads — [[graft.operators.DataLayout]]), then the
+  * partitioned (split, source) parquet write + release manifest.
+  * Prints the manifest as the run summary.
   */
 object GraftCurate {
 
   def run(spark: SparkSession, in: String, out: String,
       budget: Option[Long], spanDecontaminate: Boolean = false,
-      clusterSplit: Boolean = false, cutSubstrings: Boolean = false): DataFrame = {
+      clusterSplit: Boolean = false, cutSubstrings: Boolean = false,
+      zorderCluster: Boolean = false): DataFrame = {
     val manifest = graft.operators.CurationOps
       .writeCuratedFull(spark, in, out, budget, spanDecontaminate,
-        clusterSplit, cutSubstrings)
+        clusterSplit, cutSubstrings, zorderCluster)
     manifest.collect().foreach { r =>
       println(s"curated ${r.getAs[String]("split")}/${r.getAs[String]("source")}: " +
         s"${r.getAs[Long]("n_docs")} docs, ${r.getAs[Long]("n_chars")} chars")
@@ -476,8 +480,9 @@ object GraftCurate {
     val spanDecon = args.contains("--span-decontaminate")
     val clusterSplit = args.contains("--cluster-split")
     val cutSubstrings = args.contains("--cut-substrings")
+    val zorder = args.contains("--zorder")
     val spark = Cli.session("graft-curate")
-    run(spark, in, out, budget, spanDecon, clusterSplit, cutSubstrings)
+    run(spark, in, out, budget, spanDecon, clusterSplit, cutSubstrings, zorder)
     spark.stop()
   }
 }

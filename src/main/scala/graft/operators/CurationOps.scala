@@ -533,7 +533,8 @@ object CurationOps {
       budget: Option[Long] = None,
       spanDecontaminate: Boolean = false,
       clusterSplit: Boolean = false,
-      cutSubstrings: Boolean = false): DataFrame = {
+      cutSubstrings: Boolean = false,
+      zorderCluster: Boolean = false): DataFrame = {
     val survivors = TextOps.qDedupSurvivors(s, dir)
       .select(col("survivor_id").as("doc_id"))
     val deduped0 = curatedDocs(s, dir).join(survivors, Seq("doc_id"), "left_semi")
@@ -582,7 +583,33 @@ object CurationOps {
     val toWrite =
       if (!cutSubstrings) selected
       else applySubstringCuts(selected, s, dir)
-    toWrite.write.mode("overwrite")
+    // opt-in z-ordered layout (r12, `graft-curate --zorder`): cluster
+    // the written rows on interleaved (n_chars, doc_id) equi-depth
+    // buckets WITHIN the (split, source) partition dirs, so parquet
+    // min/max footer stats prune BOTH length-bounded reads (sequence
+    // packing, batching by length) and doc_id-range reads (provenance
+    // joins from span/dedup/snapshot reports) — a pure layout change
+    // (row identity pinned by spec) costing one range exchange, the
+    // price any clustering write pays. Rank memo keys carry every
+    // upstream flag: the ranked frame bakes in the doc set, and two
+    // calls differing in any flag must not share it.
+    val clustered =
+      if (!zorderCluster) toWrite
+      else {
+        val flagKey = s"$budget:$spanDecontaminate:$clusterSplit:$cutSubstrings"
+        val bl = DataLayout.rankBucket(toWrite, col("n_chars"), col("doc_id"),
+          DataLayout.Bits, "__bl",
+          df => SessionMemo.persist(s"curate:zrank-len:$flagKey", s, dir)(df))
+        DataLayout.rankBucket(bl, col("doc_id"), col("doc_id"),
+            DataLayout.Bits, "__bi",
+            df => SessionMemo.persist(s"curate:zrank-id:$flagKey", s, dir)(df))
+          .withColumn("__z",
+            DataLayout.zValue(Seq(col("__bl"), col("__bi")), DataLayout.Bits))
+          .repartitionByRange(col("split"), col("source"), col("__z"))
+          .sortWithinPartitions(col("split"), col("source"), col("__z"))
+          .drop("__bl", "__bi", "__z")
+      }
+    clustered.write.mode("overwrite")
       .partitionBy("split", "source").parquet(s"$outPath/docs")
     writeManifest(s, outPath, cutSubstrings)
   }

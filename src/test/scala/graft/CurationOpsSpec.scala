@@ -540,4 +540,45 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(uncut.nonEmpty)
     uncut.foreach(r => assert(r.getAs[String]("m0") === r.getAs[String]("m1")))
   }
+
+  test("full curation driver: --zorder is a pure layout change and bounds per-file length extents") {
+    val plainOut = java.nio.file.Files.createTempDirectory("curate_nz").toString
+    val zOut = java.nio.file.Files.createTempDirectory("curate_z").toString
+    CurationOps.writeCuratedFull(spark, dir, plainOut)
+    CurationOps.writeCuratedFull(spark, dir, zOut, zorderCluster = true)
+    // row identity: same (doc_id, md5(text), split, source) multiset —
+    // clustering must change LAYOUT only
+    def rows(p: String) = spark.read.parquet(s"$p/docs")
+      .select(col("doc_id"), md5(col("text")).as("m"), col("split"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(rows(plainOut) == rows(zOut), "--zorder changed row content")
+    // layout payoff: the expected number of FILES a length-point query
+    // touches is (sum of per-file n_chars extents) / range — the
+    // statistic footer-stats pruning actually pays (a mean extent would
+    // reward the plain write's many near-empty task-scattered files).
+    // The z-layout concentrates the same rows into z-contiguous files,
+    // so its total length coverage must be a strict fraction of the
+    // plain write's.
+    def sumExtent(p: String): (Double, Int) = {
+      val per = spark.read.parquet(s"$p/docs")
+        .withColumn("f", input_file_name())
+        .groupBy("f").agg((max("n_chars") - min("n_chars")).cast("double").as("d"))
+        .select("d").collect().map(_.getDouble(0))
+      (per.sum, per.length)
+    }
+    val (zSum, zFiles) = sumExtent(zOut)
+    val (pSum, pFiles) = sumExtent(plainOut)
+    assert(zFiles >= 3, s"z write produced too few files to measure: $zFiles")
+    // measured 1.8x at sf0.01 (z=14254/55 files vs plain=25716/151);
+    // the margin is 1.4x — at this corpus size files hold only a few
+    // rows each, so bucket granularity caps the gap (the 2-D layout
+    // spends half its bits on doc_id locality by design; the
+    // asymptotic win grows with rows per file, cf. DataLayoutSpec's
+    // dense fixture where the worst-dim extent drops to ~1/4)
+    assert(zSum * 1.4 < pSum,
+      s"a length predicate must touch far fewer z files: " +
+        s"z=$zSum over $zFiles files vs plain=$pSum over $pFiles files")
+    SessionMemo.release(spark)
+  }
 }
