@@ -589,25 +589,32 @@ object CurationOps {
     // min/max footer stats prune BOTH length-bounded reads (sequence
     // packing, batching by length) and doc_id-range reads (provenance
     // joins from span/dedup/snapshot reports) — a pure layout change
-    // (row identity pinned by spec) costing one range exchange, the
-    // price any clustering write pays. Rank memo keys carry every
+    // (row identity pinned by spec). The ranks run over a NARROW
+    // (doc_id, n_chars) projection and the z-key joins back by
+    // doc_id: the heavy text column crosses the wire exactly twice
+    // (the join's exchange + the final range exchange any clustering
+    // write pays), never through the rank passes' range exchanges or
+    // their persisted boundary frames. Rank memo keys carry every
     // upstream flag: the ranked frame bakes in the doc set, and two
     // calls differing in any flag must not share it.
     val clustered =
       if (!zorderCluster) toWrite
       else {
         val flagKey = s"$budget:$spanDecontaminate:$clusterSplit:$cutSubstrings"
-        val bl = DataLayout.rankBucket(toWrite, col("n_chars"), col("doc_id"),
+        val narrow = toWrite.select(col("doc_id"), col("n_chars"))
+        val bl = DataLayout.rankBucket(narrow, col("n_chars"), col("doc_id"),
           DataLayout.Bits, "__bl",
           df => SessionMemo.persist(s"curate:zrank-len:$flagKey", s, dir)(df))
-        DataLayout.rankBucket(bl, col("doc_id"), col("doc_id"),
+        val zKey = DataLayout.rankBucket(bl, col("doc_id"), col("doc_id"),
             DataLayout.Bits, "__bi",
             df => SessionMemo.persist(s"curate:zrank-id:$flagKey", s, dir)(df))
-          .withColumn("__z",
-            DataLayout.zValue(Seq(col("__bl"), col("__bi")), DataLayout.Bits))
+          .select(col("doc_id"),
+            DataLayout.zValue(Seq(col("__bl"), col("__bi")), DataLayout.Bits)
+              .as("__z"))
+        toWrite.join(zKey, Seq("doc_id"))
           .repartitionByRange(col("split"), col("source"), col("__z"))
           .sortWithinPartitions(col("split"), col("source"), col("__z"))
-          .drop("__bl", "__bi", "__z")
+          .drop("__z")
       }
     clustered.write.mode("overwrite")
       .partitionBy("split", "source").parquet(s"$outPath/docs")
