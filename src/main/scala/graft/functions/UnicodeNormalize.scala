@@ -3,6 +3,7 @@ package graft.functions
 import java.text.Normalizer
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -32,6 +33,14 @@ case class UnicodeNormalize(child: Expression, form: String)
 
   private val jform = Normalizer.Form.valueOf(form)
 
+  // a non-string argument is an analysis error, not a runtime
+  // ClassCastException mid-job (the house pattern of the sibling
+  // expressions)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
 

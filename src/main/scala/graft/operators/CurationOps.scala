@@ -610,11 +610,10 @@ object CurationOps {
             df => SessionMemo.persist(s"curate:zrank-id:$flagKey", s, dir)(df))
           .select(col("doc_id"),
             DataLayout.zValue(Seq(col("__bl"), col("__bi")), DataLayout.Bits)
-              .as("__z"))
-        toWrite.join(zKey, Seq("doc_id"))
-          .repartitionByRange(col("split"), col("source"), col("__z"))
-          .sortWithinPartitions(col("split"), col("source"), col("__z"))
-          .drop("__z")
+              .as("__zv"))
+        DataLayout.clusterWrite(toWrite.join(zKey, Seq("doc_id")),
+            col("__zv"), Seq(col("split"), col("source")))
+          .drop("__zv")
       }
     clustered.write.mode("overwrite")
       .partitionBy("split", "source").parquet(s"$outPath/docs")

@@ -86,6 +86,22 @@ object DataLayout {
       .drop("__zk", "__zo", "__zr", "__zn")
   }
 
+  /** Cluster `df`'s layout on a precomputed z-value column (plus
+    * optional prefix columns — e.g. the write's partitionBy keys, so
+    * clustering happens WITHIN each partition dir): ONE range exchange
+    * + an in-partition sort, the shared recipe behind [[zorderWrite]]
+    * and `graft-curate --zorder`.
+    */
+  def clusterWrite(df: DataFrame, z: Column, prefix: Seq[Column] = Nil,
+      numFiles: Option[Int] = None): DataFrame = {
+    val tagged = df.withColumn("__z", z)
+    val keys = prefix :+ col("__z")
+    numFiles.map(n => tagged.repartitionByRange(n, keys: _*))
+      .getOrElse(tagged.repartitionByRange(keys: _*))
+      .sortWithinPartitions(keys: _*)
+      .drop("__z")
+  }
+
   /** Re-layout `df` so files are z-clustered on `dims` (already
     * bucketed integer columns, e.g. from [[rankBucket]]): ONE range
     * exchange on the z-value + an in-partition sort. Writers that cap
@@ -94,10 +110,7 @@ object DataLayout {
     */
   def zorderWrite(df: DataFrame, dims: Seq[String], bits: Int,
       numFiles: Int): DataFrame =
-    df.withColumn("__z", zValue(dims.map(col), bits))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    clusterWrite(df, zValue(dims.map(col), bits), Nil, Some(numFiles))
 
   /** q45: the z-layout computation oracle-pinned end-to-end on events —
     * per event, its (user, time) equi-depth buckets and the interleaved
@@ -112,13 +125,15 @@ object DataLayout {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("tus"))
+    // the second rank CHAINS over the first's output (rankBucket
+    // carries the other columns through), so the two bucket columns
+    // meet without an event_id re-join — the only corpus exchanges are
+    // the two range re-sorts equi-depth bucketing inherently costs
     val bu = rankBucket(ev, col("user_id"), col("event_id"), Bits, "bu",
-        df => SessionMemo.persist("layout:rank-user", s, dir)(df))
-      .select(col("event_id"), col("bu"))
-    val bt = rankBucket(ev, col("tus"), col("event_id"), Bits, "bt",
+      df => SessionMemo.persist("layout:rank-user", s, dir)(df))
+    rankBucket(bu, col("tus"), col("event_id"), Bits, "bt",
         df => SessionMemo.persist("layout:rank-time", s, dir)(df))
-      .select(col("event_id"), col("bt"))
-    bu.join(bt, Seq("event_id"))
+      .select(col("event_id"), col("bu"), col("bt"))
       .withColumn("z", zValue(Seq(col("bu"), col("bt")), Bits))
       .orderBy(col("event_id"))
   }

@@ -132,6 +132,13 @@ object DropCheck {
     if (errs.isEmpty)
       println(s"[drop-check] $dir drops=$drops verified: ${inc.size} pairs, " +
         s"${members.size} members, ${surv.size} clusters — incremental == batch == union-find")
+    // checker scratch must not outlive the check: drop the temp index
+    // state and release the memoized batch relations (a shared suite
+    // session would otherwise keep minhash-sig/cc-labels frames cached
+    // for every later spec)
+    graft.streaming.StreamingState.fsFor(spark, root)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.operators.SessionMemo.release(spark)
     errs.toSeq
   }
 

@@ -310,7 +310,12 @@ class ScaleAndSinkSpec extends AnyFunSuite {
     try {
       val skewed = ((1 to 40000).map(i => (1, i)) ++
         (1 to 100).map(i => (1 + i % 7, i))).toDF("k", "v")
-      val right = (1 to 8).map(k => (k, s"dim$k")).toDF("k", "name")
+      // THREE build rows per key: hot-key replication must fan each
+      // probe row out to all three matches exactly once per salt —
+      // a single-row build side (like orders' unique key) would let a
+      // duplicate-or-drop bug in the explode-based replication pass
+      val right = (for { k <- 1 to 8; j <- 1 to 3 }
+        yield (k, s"dim$k-$j")).toDF("k", "name")
       // detection: exactly the planted key qualifies
       val hot = Scale.heavyKeys(skewed, "k", minRows = 1000L)
         .collect().map(_.getInt(0)).toSeq
