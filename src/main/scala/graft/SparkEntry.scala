@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Analytics, CurationOps, DataLayout, FicGate, GateQuery, MediaGate, Relational, Scalar, TextOps, TrainingOps, VectorOps}
+import graft.operators.{Analytics, CurationOps, DataLayout, Expectations, FicGate, GateQuery, MediaGate, Relational, Scalar, TextOps, TrainingOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ object SparkEntry {
   private def packs: Seq[GateQuery] =
     Relational.all ++ Scalar.all ++ Analytics.all ++ TextOps.all ++
     TrainingOps.all ++ CurationOps.all ++ VectorOps.all ++ FicGate.all ++
-    MediaGate.all ++ DataLayout.all
+    MediaGate.all ++ DataLayout.all ++ Expectations.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

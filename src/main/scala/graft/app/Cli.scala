@@ -535,6 +535,36 @@ object GraftSnapshotDiff {
   }
 }
 
+/** Data-quality expectations over the documents table —
+  * `--in <tablesDir> [--fail-on-violation]`: evaluates the release
+  * rule set ([[graft.operators.Expectations.documentRules]]) in one
+  * aggregation pass and prints the per-rule report; with
+  * `--fail-on-violation` exits 2 when any rule bites — the promotion
+  * firewall a cron wires BEFORE graft-curate publishes a snapshot.
+  */
+object GraftExpect {
+
+  def run(spark: SparkSession, in: String): Long = {
+    val rep = graft.operators.Expectations.qExpectations(spark, in)
+    var failing = 0L
+    rep.collect().foreach { r =>
+      val n = r.getAs[Long]("n_violations")
+      if (n > 0L) failing += 1L
+      println(s"expect ${r.getAs[String]("rule")}: " +
+        (if (n == 0L) "pass" else s"FAIL ($n violations)"))
+    }
+    failing
+  }
+
+  def main(args: Array[String]): Unit = {
+    val in = Cli.arg(args, "--in").getOrElse(sys.error("--in required"))
+    val spark = Cli.session("graft-expect")
+    val failing = run(spark, in)
+    spark.stop()
+    if (failing > 0 && args.contains("--fail-on-violation")) sys.exit(2)
+  }
+}
+
 /** One-command event-stream analytics report — `--in <tablesDir> --out
   * <dir>`: the monitoring counterpart of graft-curate, composing the
   * oracle-gated analytics operators into one report directory:
