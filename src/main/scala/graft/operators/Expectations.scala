@@ -22,14 +22,36 @@ import graft.Tables
   */
 object Expectations {
 
+  /** Rule severity (r13, closing the r12 ADVICE finding): an INVARIANT
+    * is a schema/consistency contract whose violation means the data is
+    * broken — the promotion firewall blocks on it; a SCREEN is a
+    * curation-policy rule DESIGNED to bite on real corpora (language
+    * allow-lists, length ceilings) — its count is report material, not
+    * a release blocker. Without the split, `graft-expect
+    * --fail-on-violation` exited 2 on every real corpus and could not
+    * distinguish broken invariants from intended screening.
+    */
+  sealed trait Severity
+  case object Invariant extends Severity
+  case object Screen extends Severity
+
   /** One expectation: `violations` must be an AGGREGATE expression
     * counting violating rows (0 = pass).
     */
-  final case class Rule(name: String, violations: Column)
+  final case class Rule(name: String, violations: Column,
+      severity: Severity = Invariant) {
+    // names are interpolated into a stack() expr string (quoted and
+    // back-quoted) and into oracle SQL — restrict to identifier chars
+    // so a quote/backtick can neither break the parse nor smuggle an
+    // expression in through a rule name
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"expectation name must match [A-Za-z0-9_]+, got: $name")
+  }
 
   /** Row-predicate rule: counts rows where `violation` holds. */
-  def rowRule(name: String, violation: Column): Rule =
-    Rule(name, sum(when(violation, 1L).otherwise(0L)))
+  def rowRule(name: String, violation: Column,
+      severity: Severity = Invariant): Rule =
+    Rule(name, sum(when(violation, 1L).otherwise(0L)), severity)
 
   /** Column-uniqueness rule: counts surplus rows beyond the distinct
     * key count (0 = unique).
@@ -37,22 +59,51 @@ object Expectations {
   def unique(name: String, c: Column): Rule =
     Rule(name, count(c) - countDistinct(c))
 
+  /** Approximate uniqueness for the 100 TB regime: surplus estimate
+    * from HLL (`approx_count_distinct`) instead of the exact
+    * count-distinct, whose Expand doubles the scanned rows for the
+    * pass (the price documented on [[unique]]). The HLL estimate
+    * carries relative standard deviation `rsd`, so treat a small
+    * surplus as noise: this is a monitoring rule (Screen), never an
+    * exact gate — the swap is exactness for a single-scan sketch, the
+    * q43/q30 trade. ExpectationsSpec pins the estimate against the
+    * exact count within the configured rsd.
+    */
+  def uniqueApprox(name: String, c: Column, rsd: Double = 0.02): Rule =
+    Rule(name, count(c) - approx_count_distinct(c, rsd), Screen)
+
   /** Evaluate all rules in one aggregation pass:
     * (rule, n_violations, pass) sorted by rule name.
     */
-  def evaluate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+  def evaluate(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    evaluateBy(df, rules, Nil)
+
+  /** Evaluate all rules at the grain of `groupCols` in ONE groupBy
+    * pass (r13, VERDICT #4): the release firewall's per-(split, source)
+    * form — a rule can pass globally while one source is 100%
+    * violating, and the global report cannot say WHICH partition to
+    * block. The report is (groupCols..., rule, n_violations, pass),
+    * sized rules × groups, never the corpus; uniqueness rules count
+    * surplus WITHIN each group (per-partition key uniqueness — the
+    * grain a partitioned snapshot actually promotes on).
+    */
+  def evaluateBy(df: DataFrame, rules: Seq[Rule],
+      groupCols: Seq[String]): DataFrame = {
     require(rules.nonEmpty, "no expectations declared")
     require(rules.map(_.name).distinct.size == rules.size,
       "duplicate expectation names")
-    val wide = df.agg(
-      coalesce(rules.head.violations, lit(0L)).cast("long").as(rules.head.name),
-      rules.tail.map(r =>
-        coalesce(r.violations, lit(0L)).cast("long").as(r.name)): _*)
+    require(groupCols.forall(g => rules.forall(_.name != g)),
+      "a group column shares a name with a rule")
+    val aggs = rules.map(r =>
+      coalesce(r.violations, lit(0L)).cast("long").as(r.name))
+    val wide =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val stacked = rules.map(r => s"'${r.name}', `${r.name}`").mkString(", ")
-    wide.select(expr(
-        s"stack(${rules.size}, $stacked) as (rule, n_violations)"))
+    wide.select(groupCols.map(col) :+ expr(
+        s"stack(${rules.size}, $stacked) as (rule, n_violations)"): _*)
       .withColumn("pass", col("n_violations") === 0L)
-      .orderBy(col("rule"))
+      .orderBy(groupCols.map(col) :+ col("rule"): _*)
   }
 
   /** The documents-table release rule set (t88): schema invariants that
@@ -68,8 +119,14 @@ object Expectations {
     rowRule("text_not_null", col("text").isNull),
     rowRule("n_chars_consistent", col("n_chars") =!= length(col("text"))),
     rowRule("source_naming", !col("source").startsWith("src")),
-    rowRule("lang_allowed", !col("lang").isin("en", "es", "de")),
-    rowRule("length_ceiling", col("n_chars") > 400))
+    rowRule("lang_allowed", !col("lang").isin("en", "es", "de"), Screen),
+    rowRule("length_ceiling", col("n_chars") > 400, Screen))
+
+  /** The promotion-blocking subset of [[documentRules]] — what
+    * `graft-expect --fail-on-violation` actually gates on.
+    */
+  def invariantDocumentRules: Seq[Rule] =
+    documentRules.filter(_.severity == Invariant)
 
   def qExpectations(s: SparkSession, dir: String): DataFrame =
     evaluate(Tables.documents(s, dir), documentRules)
@@ -97,6 +154,41 @@ object Expectations {
       UNION ALL SELECT 'length_ceiling', COALESCE(length_ceiling, 0) FROM a)
     ORDER BY rule"""
 
+  /** t89: the same release rule set at the SOURCE grain (r13, VERDICT
+    * #4) — one groupBy pass, report sized rules × sources. The corpus
+    * makes this non-vacuous the same way t88 is: the screening rules'
+    * violation counts differ per source, so the gate pins that the
+    * grouped aggregation routes each violation to the right partition,
+    * not just the right total.
+    */
+  def qExpectationsBySource(s: SparkSession, dir: String): DataFrame =
+    evaluateBy(Tables.documents(s, dir), documentRules, Seq("source"))
+
+  val qExpectationsBySourceOracle: String = """
+    WITH a AS (
+      SELECT source,
+        SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS doc_id_not_null,
+        COUNT(doc_id) - COUNT(DISTINCT doc_id) AS doc_id_unique,
+        SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_not_null,
+        SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END) AS n_chars_consistent,
+        SUM(CASE WHEN source NOT LIKE 'src%' THEN 1 ELSE 0 END) AS source_naming,
+        SUM(CASE WHEN lang NOT IN ('en', 'es', 'de') THEN 1 ELSE 0 END) AS lang_allowed,
+        SUM(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) AS length_ceiling
+      FROM documents GROUP BY source)
+    SELECT source, rule, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS pass
+    FROM (
+      SELECT source, 'doc_id_not_null' AS rule, COALESCE(doc_id_not_null, 0) AS n_violations FROM a
+      UNION ALL SELECT source, 'doc_id_unique', COALESCE(doc_id_unique, 0) FROM a
+      UNION ALL SELECT source, 'text_not_null', COALESCE(text_not_null, 0) FROM a
+      UNION ALL SELECT source, 'n_chars_consistent', COALESCE(n_chars_consistent, 0) FROM a
+      UNION ALL SELECT source, 'source_naming', COALESCE(source_naming, 0) FROM a
+      UNION ALL SELECT source, 'lang_allowed', COALESCE(lang_allowed, 0) FROM a
+      UNION ALL SELECT source, 'length_ceiling', COALESCE(length_ceiling, 0) FROM a)
+    ORDER BY source, rule"""
+
   val all: Seq[GateQuery] = Seq(
-    GateQuery("t88_expectations", qExpectations, Some(qExpectationsOracle)))
+    GateQuery("t88_expectations", qExpectations, Some(qExpectationsOracle)),
+    GateQuery("t89_expectations_by_source", qExpectationsBySource,
+      Some(qExpectationsBySourceOracle)))
 }

@@ -69,10 +69,17 @@ object Scale {
   def adaptiveSaltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int, skewThreshold: Long,
       detectSampleRate: Double = 1.0): DataFrame = {
+    // a sample rate so small that the scaled threshold rounds below 1
+    // would make EVERY sampled key "hot" — the broadcast set would no
+    // longer be bounded by rows/minRows and the build side would be
+    // saltFactor-replicated for most keys. Detection falls back to
+    // exact in that regime: the caller asked for a mitigation decision
+    // the sample cannot support.
     val (probe, minRows) =
-      if (detectSampleRate >= 1.0) (left, skewThreshold)
+      if (detectSampleRate >= 1.0 || skewThreshold * detectSampleRate < 1.0)
+        (left, skewThreshold)
       else (left.sample(withReplacement = false, detectSampleRate, seed = 7L),
-        math.max(1L, math.round(skewThreshold * detectSampleRate)))
+        math.round(skewThreshold * detectSampleRate))
     val hot = broadcast(heavyKeys(probe, key, minRows)
       .withColumn("__hot", lit(true)))
     val salted = left.join(hot, Seq(key), "left")

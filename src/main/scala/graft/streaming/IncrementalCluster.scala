@@ -7,34 +7,47 @@ import org.apache.spark.storage.StorageLevel
 import graft.operators.Scale
 
 /** Incremental near-dup cluster + survivor state (r12, VERDICT #1 of
-  * "What's missing"): the operator a recurring 100 TB pipeline
-  * actually reads after each monthly drop — "which cluster is this
-  * document in, and who survives" — maintained ACROSS drops instead
-  * of re-running batch t40/t52 over the accumulated corpus.
+  * "What's missing"; r13 delta layout, VERDICT #2): the operator a
+  * recurring 100 TB pipeline actually reads after each monthly drop —
+  * "which cluster is this document in, and who survives" — maintained
+  * ACROSS drops instead of re-running batch t40/t52 over the
+  * accumulated corpus.
   *
-  * State (epoch-committed, [[StreamingState]] layout; each copy
-  * supersedes the last and older copies are pruned):
+  * State ([[StreamingState]] append-delta epoch layout, r13): each
+  * drop commits only its AFFECTED rows, resolved latest-epoch-wins on
+  * read — the r12 layout rewrote the complete duplication-bounded
+  * state per drop, a multi-TB read+rewrite per monthly drop at
+  * Lee-et-al-level duplication for a fold whose touched set is
+  * batch-bounded. Relations:
   *
-  *  - `members`   — (doc_id, label, score) for every document that has
-  *    ever appeared in a near-dup pair. label = component MINIMUM doc
-  *    id, the t40 convention. Docs never paired are implicit
-  *    singletons (exactly t40's contract: labels exist only for
-  *    edge-touched docs), so the state is duplication-bounded — a few
-  *    percent of the corpus — not corpus-sized.
-  *  - `survivors` — (cluster_id, survivor_id, cluster_size, score):
-  *    per cluster, the member maximizing (score, then lowest doc_id)
-  *    over the SAME quality score t52 elects with.
+  *  - `members`   — delta rows (doc_id, label, score, epoch) for every
+  *    document of a component touched by this drop's edges. A doc's
+  *    CURRENT row is its highest-epoch row; docs never paired stay
+  *    implicit singletons (exactly t40's contract), so even the
+  *    resolved state is duplication-bounded, never corpus-sized.
+  *    Member rows are never deleted — a merge relabels, so the new
+  *    row supersedes.
+  *  - `survivors` — delta rows (cluster_id, survivor_id, cluster_size,
+  *    score, epoch): the affected clusters' fresh elections, plus
+  *    TOMBSTONES (null survivor_id) for labels absorbed away by a
+  *    merge. Resolution: highest-epoch row per cluster_id, tombstones
+  *    dropped.
   *
   * Per drop, [[update]] folds the batch's verified pairs in
   * LOCALLY: only components touched by a new edge are re-solved —
   * the new edges plus one (doc → label) star edge per member of an
   * affected component feed [[Scale.connectedComponents]]; untouched
-  * components are carried over unchanged. Label correctness is
-  * inductive: a state label is its component's min and participates
-  * as a node of the local graph, so the merged component's new label
-  * is the min over everything it absorbed — identical to batch t40
-  * over the union of all drops' pairs. Per-drop cost is
-  * O(new pairs + affected members), never state-sized.
+  * components are NOT read, NOT rewritten, NOT touched. Label
+  * correctness is inductive: a state label is its component's min and
+  * participates as a node of the local graph, so the merged
+  * component's new label is the min over everything it absorbed —
+  * identical to batch t40 over the union of all drops' pairs
+  * (differentialed on real corpora by tools/DropCheck). Per-drop
+  * WRITE cost is O(new pairs + affected members) — change-bounded,
+  * spec-pinned by IncrementalClusterSpec's per-epoch row-count test;
+  * the per-drop READ floor is one resolution aggregate over the
+  * committed deltas (the same one-exchange floor the span/ANN indexes
+  * pay), compacted by [[compact]] on the usual lazy cadence.
   *
   * Each epoch also publishes the drop's change report atomically with
   * the state (the VERDICT #2 discipline — no crash point can apply
@@ -54,6 +67,45 @@ import graft.operators.Scale
   */
 object IncrementalCluster {
 
+  /** On-disk layout version. 1 (r12) = full members/survivors state
+    * rewritten per epoch, resolved newest-epoch-only, older copies
+    * pruned; 2 (r13) = append-delta rows with an `epoch` column,
+    * resolved latest-epoch-wins. A v1 directory read through the v2
+    * resolver would silently mis-resolve (no epoch column), so it is
+    * a hard error at open time — rebuild by re-running the drops.
+    */
+  private val FormatVersion = 2
+
+  private def versionPath(path: String) = s"$path/_graft_format_version"
+
+  private def checkOrStampVersion(spark: SparkSession, path: String): Unit = {
+    val fs = StreamingState.fsFor(spark, path)
+    val vp = new org.apache.hadoop.fs.Path(versionPath(path))
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(vp)) {
+      val in = fs.open(vp)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (v != FormatVersion.toString)
+        throw new IllegalStateException(
+          s"IncrementalCluster state at $path has layout version $v but this " +
+          s"build reads version $FormatVersion (append-delta rows); resolving " +
+          "it would silently mis-assign labels. Rebuild the state (delete the " +
+          "directory and re-run the drops).")
+    } else if (fs.exists(root) &&
+        fs.listStatus(root).exists(st =>
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))) {
+      throw new IllegalStateException(
+        s"IncrementalCluster state at $path predates layout versioning " +
+        s"(no ${versionPath(path)} marker); refusing to resolve it as version-" +
+        s"$FormatVersion deltas. Rebuild the state.")
+    } else {
+      fs.mkdirs(root)
+      val out = fs.create(vp, true)
+      try out.write(FormatVersion.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   val membersSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = true),
     StructField("label", LongType, nullable = true),
@@ -64,6 +116,12 @@ object IncrementalCluster {
     StructField("survivor_id", LongType, nullable = true),
     StructField("cluster_size", LongType, nullable = true),
     StructField("score", DoubleType, nullable = true)))
+
+  private val membersDeltaSchema: StructType =
+    StructType(membersSchema.fields :+ StructField("epoch", LongType, nullable = true))
+
+  private val survivorsDeltaSchema: StructType =
+    StructType(survivorsSchema.fields :+ StructField("epoch", LongType, nullable = true))
 
   val labelChangesSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = true),
@@ -80,25 +138,36 @@ object IncrementalCluster {
   /** The drop's change report, read back from the committed epoch. */
   final case class Changes(labelChanges: DataFrame, survivorChanges: DataFrame)
 
-  private def currentFull(spark: SparkSession, path: String, rel: String,
-      schema: StructType): DataFrame = {
-    val e = StreamingState.currentEpoch(spark, path)
-    if (e < 0L)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else StreamingState.readOr(spark,
-      StreamingState.epochRel(path, e, rel), schema)
+  /** Latest-epoch-wins resolution: one row per key — the one from the
+    * highest committed epoch (a key appears at most once per epoch, so
+    * the struct max is decided by its leading epoch field alone).
+    */
+  private def resolve(deltas: DataFrame, key: String,
+      payload: Seq[String]): DataFrame = {
+    val packed = struct((col("epoch") +: payload.map(col)): _*)
+    deltas.groupBy(col(key)).agg(max(packed).as("__cur"))
+      .select(col(key) +: payload.map(f => col(s"__cur.$f").as(f)): _*)
   }
 
   /** Current (doc_id, label, score) state — every doc ever paired. */
   def readMembers(spark: SparkSession, path: String): DataFrame = {
+    checkOrStampVersion(spark, path)
     StreamingState.guardEpochLayout(spark, path, "IncrementalCluster")
-    currentFull(spark, path, "members", membersSchema)
+    resolve(
+      StreamingState.readCommittedDeltas(spark, path, "members", membersDeltaSchema),
+      "doc_id", Seq("label", "score"))
   }
 
-  /** Current per-cluster survivor election. */
+  /** Current per-cluster survivor election (tombstoned clusters —
+    * labels absorbed by a merge — resolve away).
+    */
   def readSurvivors(spark: SparkSession, path: String): DataFrame = {
+    checkOrStampVersion(spark, path)
     StreamingState.guardEpochLayout(spark, path, "IncrementalCluster")
-    currentFull(spark, path, "survivors", survivorsSchema)
+    resolve(
+      StreamingState.readCommittedDeltas(spark, path, "survivors", survivorsDeltaSchema),
+      "cluster_id", Seq("survivor_id", "cluster_size", "score"))
+      .filter(col("survivor_id").isNotNull)
   }
 
   /** t52's quality score for a (doc_id, text) batch — the per-doc
@@ -118,8 +187,8 @@ object IncrementalCluster {
       .parquet(StreamingState.epochRel(path, batchId, "survivor_changes")))
 
   /** Fold one drop's verified near-dup pairs into the persisted
-    * cluster state and publish state + change report as one atomic
-    * epoch.
+    * cluster state and publish the change-bounded delta + change
+    * report as one atomic epoch.
     *
     * @param pairs  this drop's verified pairs — (doc_a, doc_b), the
     *               IncrementalDedup report (extra columns ignored)
@@ -129,19 +198,19 @@ object IncrementalCluster {
     */
   def update(spark: SparkSession, path: String, batchId: Long,
       pairs: DataFrame, scores: DataFrame): Changes = {
+    checkOrStampVersion(spark, path)
     StreamingState.guardEpochLayout(spark, path, "IncrementalCluster")
     if (StreamingState.isCommitted(spark, path, batchId))
       return readChanges(spark, path, batchId)
-    val prevM = currentFull(spark, path, "members", membersSchema)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val prevS = currentFull(spark, path, "survivors", survivorsSchema)
+    val prevM = readMembers(spark, path).persist(StorageLevel.MEMORY_AND_DISK)
+    val prevS = readSurvivors(spark, path)
 
     val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
     val touched = e.select(col("u").as("doc_id"))
       .union(e.select(col("v").as("doc_id"))).distinct()
     // components holding any endpoint of a new edge; everything else
-    // is carried over untouched — the fold never scans an unaffected
-    // cluster
+    // is carried implicitly by the delta layout — the fold neither
+    // scans nor rewrites an unaffected cluster
     val affLabels = prevM.join(touched, Seq("doc_id"), "left_semi")
       .select(col("label")).distinct()
     val affMembers = prevM.join(affLabels, Seq("label"), "left_semi")
@@ -161,9 +230,6 @@ object IncrementalCluster {
       .join(batchScores, Seq("doc_id"), "left")
       .select(col("doc_id"), col("label"),
         coalesce(col("prev_score"), col("batch_score")).as("score"))
-    val members = prevM.join(affLabels, Seq("label"), "left_anti")
-      .select(col("doc_id"), col("label"), col("score"))
-      .unionByName(newAffM)
 
     val affSurv = newAffM
       .groupBy(col("label").as("cluster_id"))
@@ -171,10 +237,13 @@ object IncrementalCluster {
         count(lit(1)).as("cluster_size"))
       .select(col("cluster_id"), (-col("best.neg_id")).as("survivor_id"),
         col("cluster_size"), col("best.score").as("score"))
-    val survivors = prevS
-      .join(affLabels.select(col("label").as("cluster_id")),
-        Seq("cluster_id"), "left_anti")
-      .unionByName(affSurv)
+    // labels absorbed by a merge no longer name a cluster: tombstone
+    // them so the resolved survivor view drops their stale election
+    val tombstones = affLabels.select(col("label").as("cluster_id"))
+      .join(affSurv.select(col("cluster_id")), Seq("cluster_id"), "left_anti")
+      .select(col("cluster_id"), lit(null).cast("long").as("survivor_id"),
+        lit(null).cast("long").as("cluster_size"),
+        lit(null).cast("double").as("score"))
 
     val labelChanges = newAffM
       .join(prevM.select(col("doc_id"), col("label").as("old_label")),
@@ -191,13 +260,28 @@ object IncrementalCluster {
         col("score"))
 
     StreamingState.commitAppend(spark, path, batchId,
-      Map("members" -> members, "survivors" -> survivors,
+      Map(
+        "members" -> newAffM.withColumn("epoch", lit(batchId)),
+        "survivors" -> affSurv.unionByName(tombstones)
+          .withColumn("epoch", lit(batchId)),
         "label_changes" -> labelChanges,
         "survivor_changes" -> survivorChanges))
-    // full-state rels: each epoch's copy supersedes the last
-    StreamingState.pruneRel(spark, path, "members")
-    StreamingState.pruneRel(spark, path, "survivors")
     prevM.unpersist()
     readChanges(spark, path, batchId)
+  }
+
+  /** Compact the member/survivor delta logs into one copy each and
+    * drop the superseded per-drop dirs (crash-safe: see
+    * [[StreamingState.checkpointDeltas]]). Epoch markers and change
+    * reports stay, so replay detection and report reads keep working.
+    * Resolution is unchanged — the epoch column rides in the rows, so
+    * the compacted copy resolves exactly like the fragments it
+    * replaced.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    checkOrStampVersion(spark, path)
+    StreamingState.checkpointDeltas(spark, path,
+      Map("members" -> membersDeltaSchema, "survivors" -> survivorsDeltaSchema))
+    StreamingState.vacuum(spark, path, Seq("members", "survivors"))
   }
 }

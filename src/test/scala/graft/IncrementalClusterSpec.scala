@@ -108,6 +108,46 @@ class IncrementalClusterSpec extends AnyFunSuite {
     assert(collectMembers(path) === expect)
   }
 
+  test("per-epoch writes are change-bounded, not state-bounded; compaction preserves resolution") {
+    val path = tmp("cl_delta")
+    // drop 0: one large component {1..10} and one unrelated pair {100,101}
+    val bigChain = (1L until 10L).map(i => (i, i + 1))
+    IncrementalCluster.update(spark, path, 0L,
+      pairsDf(bigChain :+ ((100L, 101L))),
+      scoresDf((1L to 10L).map(i => i -> i * 0.01) ++ Seq(100L -> 0.5, 101L -> 0.6)))
+    // drop 1 touches ONLY the 2-doc component: its epoch delta must
+    // hold the affected component's rows (3 docs after 102 joins),
+    // never the 12-doc state (the r12 layout rewrote all 12 per drop)
+    IncrementalCluster.update(spark, path, 1L,
+      pairsDf(Seq((101L, 102L))), scoresDf(Seq(102L -> 0.7)))
+    val epoch1Members = spark.read
+      .parquet(graft.streaming.StreamingState.epochRel(path, 1L, "members"))
+    assert(epoch1Members.count() === 3,
+      "epoch 1 member delta must cover only the touched component")
+    assert(epoch1Members.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(100L, 101L, 102L))
+    val epoch1Surv = spark.read
+      .parquet(graft.streaming.StreamingState.epochRel(path, 1L, "survivors"))
+    assert(epoch1Surv.count() === 1) // re-election of cluster 100, no tombstone
+    // resolved views still cover the full state
+    assert(collectMembers(path).keySet === (1L to 10L).toSet ++ Set(100L, 101L, 102L))
+
+    // compaction folds the delta log into one copy; resolution unchanged
+    val before = collectMembers(path)
+    val survBefore = IncrementalCluster.readSurvivors(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    IncrementalCluster.compact(spark, path)
+    assert(collectMembers(path) === before)
+    assert(IncrementalCluster.readSurvivors(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === survBefore)
+    // post-compaction drops keep folding correctly
+    IncrementalCluster.update(spark, path, 2L,
+      pairsDf(Seq((10L, 100L))), scoresDf(Seq.empty))
+    val expect = ufLabels(bigChain ++ Seq((100L, 101L), (101L, 102L), (10L, 100L)))
+    assert(collectMembers(path) === expect)
+  }
+
   test("randomized multi-drop folds converge to the union-find answer; survivors match direct election") {
     for (seed <- Seq(11, 42)) {
       val rnd = new scala.util.Random(seed)
