@@ -13,8 +13,8 @@ import org.apache.spark.sql.SparkSession
   * exactly the contract fields (metric/value/unit/queries/sf), keyed by
   * the unique per-query id prefix so two copies (bare + BENCHJSON
   * sentinel) fit in the tail together; the diagnostics (full names,
-  * per-query min, small-SF scale point, super-linearity flags) live in
-  * the file artifact.
+  * per-query min and max−min spread, small-SF scale point,
+  * super-linearity flags) live in the file artifact.
   *
   * Harness design (r4): every query is timed once per PASS and the
   * passes are interleaved round-robin across the whole suite, so a
@@ -156,9 +156,17 @@ object Bench {
     val samples = timeSuite(spark, queries, sfDir, TimedPasses, errors)
     val medians = samples.map(s => s.sorted.apply(s.size / 2))
     val mins = samples.map(_.min)
+    // per-query spread = max − min over the timed passes (r13, VERDICT
+    // #6): quiet-tier totals still drift several seconds round-to-round
+    // from ambient load; with min AND median AND spread in the artifact
+    // a reader can attribute a delta to contention (median ≫ min, wide
+    // spread, uniform across floor rows) vs code without re-measuring.
+    val spreads = samples.map(s => s.max - s.min)
     val qs = jsonMap(queries.indices.map(i => queries(i)._1 -> r4(medians(i))))
     val qmins = jsonMap(queries.indices.map(i => queries(i)._1 -> r4(mins(i))))
+    val qspread = jsonMap(queries.indices.map(i => queries(i)._1 -> r4(spreads(i))))
     val total = medians.sum
+    val totalMin = mins.sum
 
     // Shared assembly for a second scale point: per-query time ratio,
     // flags above 1.5× the data ratio (10× data → flag > 15), and the
@@ -281,7 +289,9 @@ object Bench {
     val names = jsonMap(queries.indices.map(i => keys(i) -> ("\"" + queries(i)._1 + "\"")))
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
-      s""""queries":$qs,"queries_min":$qmins,"query_names":$names,""" +
+      s""""total_min":${r4(totalMin)},""" +
+      s""""queries":$qs,"queries_min":$qmins,"queries_spread":$qspread,""" +
+      s""""query_names":$names,""" +
       s""""errors":$errJson,$loadJson,"sf":"$sfDir"""" +
       scaling.map(s => s""","scaling":$s""").getOrElse("") +
       scaleUp.map(s => s""","scale_up":$s""").getOrElse("") + "}"

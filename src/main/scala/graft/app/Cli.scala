@@ -282,7 +282,8 @@ object GraftPipeline {
 }
 
 /** One-command monthly-drop driver — `--in <folder> --index <dir>
-  * [--threshold 0.5] [--k 3]`: the streaming story as a user-facing
+  * [--threshold 0.5] [--k 3] [--normalize-nfc] [--compact]`: the
+  * streaming story as a user-facing
   * entry point (r7, VERDICT #8). The drop folder holds JSON-lines
   * documents `{doc_id, text}`; each invocation streams ONLY the files
   * not seen by a previous run (file-source checkpoint under
@@ -319,7 +320,8 @@ object GraftDrop {
       embedder: graft.llm.Embedder = new graft.llm.StubEmbedder(),
       threshold: Double = 0.5,
       cfg: graft.streaming.IncrementalAnn.Config =
-        graft.streaming.IncrementalAnn.Config()): Unit = {
+        graft.streaming.IncrementalAnn.Config(),
+      normalizeNfc: Boolean = false): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val docs = spark.readStream
       .schema(dropSchema)
@@ -342,8 +344,11 @@ object GraftDrop {
         // r11 append-then-write sequence could). `batch=<id>` is a
         // partition-discovery key: reading `reports/pairs` yields one
         // table with batch provenance attached.
+        // --normalize-nfc (r13): sign over NFC-normalized text so
+        // composed/decomposed spellings of the same content pair up;
+        // the index format marker pins the mode for the index lifetime
         val pairs = graft.streaming.IncrementalDedup
-          .processBatch(b, s"$index/dedup", id, threshold)
+          .processBatch(b, s"$index/dedup", id, threshold, normalizeNfc)
         pairs.write.mode("overwrite").parquet(s"$index/reports/pairs/batch=$id")
         // r12: fold the drop's pairs into the persisted cluster +
         // survivor state (the "which cluster, who survives" answer a
@@ -396,7 +401,8 @@ object GraftDrop {
     val k = Cli.arg(args, "--k").map(_.toInt).getOrElse(3)
     val spark = Cli.session("graft-drop")
     run(spark, in, index, threshold = threshold,
-      cfg = graft.streaming.IncrementalAnn.Config(k = k))
+      cfg = graft.streaming.IncrementalAnn.Config(k = k),
+      normalizeNfc = args.contains("--normalize-nfc"))
     // --compact (r12): fold each index's per-drop delta log into one
     // copy after draining — markers and reports stay, so replay
     // detection and report reads survive; run it occasionally (e.g.

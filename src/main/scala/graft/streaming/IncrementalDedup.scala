@@ -52,29 +52,71 @@ object IncrementalDedup {
     * open time. v2 indexes carry compatible signatures but a flat
     * layout with no per-batch commit log, so their crash window
     * (appended-but-unreported batches) is unrecoverable — rebuild.
+    *
+    * The stamp also records the signing normalization (r13): an index
+    * signed over NFC-normalized text probed with raw-text signatures
+    * (or vice versa) silently misses exactly the cross-spelling
+    * duplicates the normalization exists to catch, so the mode is
+    * part of the format — `3` vs `3+nfc`, mismatches refuse at open.
     */
   private[streaming] val FormatVersion = 3
 
   private def versionPath(path: String) = s"$path/_graft_format_version"
 
-  /** Refuse an index written under a different signature scheme; stamp
-    * the version on first creation. The marker filename starts with
-    * '_' so the parquet reader treats it as hidden metadata.
+  private def versionStamp(normalizeNfc: Boolean): String =
+    if (normalizeNfc) s"$FormatVersion+nfc" else FormatVersion.toString
+
+  /** Refuse an index written under a different signature scheme or
+    * signing normalization; stamp both on first creation. The marker
+    * filename starts with '_' so the parquet reader treats it as
+    * hidden metadata.
     */
-  private def checkOrStampVersion(spark: SparkSession, path: String): Unit = {
+  private def readStamp(fs: org.apache.hadoop.fs.FileSystem,
+      vp: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(vp)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Mode-insensitive check for readers that only consume stored rows
+    * (readIndex / compact): any current-version stamp is fine — the
+    * signing normalization only matters when NEW signatures must be
+    * comparable to stored ones.
+    */
+  private def checkVersionOnly(spark: SparkSession, path: String): Unit = {
     val fs = StreamingState.fsFor(spark, path)
     val vp = new org.apache.hadoop.fs.Path(versionPath(path))
     val root = new org.apache.hadoop.fs.Path(path)
     if (fs.exists(vp)) {
-      val in = fs.open(vp)
-      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      if (v != FormatVersion.toString)
+      val v = readStamp(fs, vp)
+      if (v != versionStamp(false) && v != versionStamp(true))
         throw new IllegalStateException(
           s"IncrementalDedup index at $path has signature-scheme version $v " +
-          s"but this build writes version $FormatVersion; its band signatures " +
-          "can never match newly signed documents. Rebuild the index (delete " +
-          "the directory and re-stream the corpus).")
+          s"but this build reads version $FormatVersion. Rebuild the index.")
+    } else if (fs.exists(root) &&
+        fs.listStatus(root).exists(st =>
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))) {
+      throw new IllegalStateException(
+        s"IncrementalDedup index at $path predates signature-scheme versioning " +
+        s"(no ${versionPath(path)} marker); refusing to read it as a version-" +
+        s"$FormatVersion index. Rebuild the index.")
+    }
+  }
+
+  private def checkOrStampVersion(spark: SparkSession, path: String,
+      normalizeNfc: Boolean = false): Unit = {
+    val fs = StreamingState.fsFor(spark, path)
+    val vp = new org.apache.hadoop.fs.Path(versionPath(path))
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(vp)) {
+      val v = readStamp(fs, vp)
+      if (v != versionStamp(normalizeNfc))
+        throw new IllegalStateException(
+          s"IncrementalDedup index at $path has signature-scheme version $v " +
+          s"but this probe signs ${versionStamp(normalizeNfc)}; mixed schemes " +
+          "silently miss true near-duplicates. Rebuild the index (delete the " +
+          "directory and re-stream the corpus) or match the --normalize-nfc " +
+          "setting it was created with.")
     } else if (fs.exists(root) &&
         fs.listStatus(root).exists(st =>
           !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))) {
@@ -85,7 +127,7 @@ object IncrementalDedup {
     } else {
       fs.mkdirs(root)
       val out = fs.create(vp, true)
-      try out.write(FormatVersion.toString.getBytes("UTF-8")) finally out.close()
+      try out.write(versionStamp(normalizeNfc).getBytes("UTF-8")) finally out.close()
     }
   }
 
@@ -103,10 +145,24 @@ object IncrementalDedup {
     * hand — so a document paired in a LATER drop (its text long gone
     * from the stream) can still be survivor-elected: the pair report
     * carries both endpoints' scores into the cluster fold.
+    *
+    * `normalizeNfc` (r13, the documented use case at
+    * [[graft.functions.UnicodeNormalize]]): NFC-normalize the text
+    * BEFORE shingling, so composed and decomposed spellings of the
+    * same word ("café" as U+00E9 vs e+U+0301 — different byte
+    * strings, disjoint shingle sets) sign identically and the dedup
+    * family pairs them. Opt-in: signatures are only comparable within
+    * one normalization mode, which the index format marker enforces.
     */
-  def docSignatures(docs: DataFrame): DataFrame = {
+  def docSignatures(docs: DataFrame, normalizeNfc: Boolean = false): DataFrame = {
+    val text =
+      if (!normalizeNfc) docs
+      else {
+        graft.functions.UnicodeNormalize.register(docs.sparkSession)
+        docs.withColumn("text", expr("nfc_normalize(text)"))
+      }
     val base = graft.operators.TextOps.withQualityScore(
-        docs.withColumn("words", expr("filter(split(text, ' '), w -> w != '')")))
+        text.withColumn("words", expr("filter(split(text, ' '), w -> w != '')")))
       .select(col("doc_id"), col("score"), array_distinct(
         expr("case when size(words) < 3 then array() " +
           "else transform(sequence(1, size(words) - 2), " +
@@ -144,7 +200,7 @@ object IncrementalDedup {
     * format version.
     */
   def readIndex(spark: SparkSession, path: String): DataFrame = {
-    if (StreamingState.exists(spark, path)) checkOrStampVersion(spark, path)
+    if (StreamingState.exists(spark, path)) checkVersionOnly(spark, path)
     StreamingState.readCommittedDeltas(spark, path, "index", indexSchema)
   }
 
@@ -171,14 +227,14 @@ object IncrementalDedup {
     * the r11 append-index-then-write-report sequence could.
     */
   def processBatch(batch: DataFrame, indexPath: String, batchId: Long,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, normalizeNfc: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
-    checkOrStampVersion(spark, indexPath)
+    checkOrStampVersion(spark, indexPath, normalizeNfc)
     if (StreamingState.isCommitted(spark, indexPath, batchId))
       return spark.read.schema(pairsSchema)
         .parquet(StreamingState.epochRel(indexPath, batchId, "pairs"))
     val existing = readIndex(spark, indexPath)
-    val fresh = docSignatures(batch)
+    val fresh = docSignatures(batch, normalizeNfc)
       .join(existing.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val all = existing.unionByName(fresh)
@@ -230,10 +286,10 @@ object IncrementalDedup {
     * engine's batch id so REPLAYS resolve to the committed report.
     */
   def probeAndUpdate(batch: DataFrame, indexPath: String,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5, normalizeNfc: Boolean = false): DataFrame =
     processBatch(batch, indexPath,
       StreamingState.currentEpoch(batch.sparkSession, indexPath) + 1L,
-      threshold)
+      threshold, normalizeNfc)
 
   /** Compact the signature delta log into one copy and drop the
     * superseded per-drop dirs (crash-safe: see
@@ -243,7 +299,7 @@ object IncrementalDedup {
     * cadence.
     */
   def compact(spark: SparkSession, indexPath: String): Unit = {
-    checkOrStampVersion(spark, indexPath)
+    checkVersionOnly(spark, indexPath)
     StreamingState.checkpointDeltas(spark, indexPath,
       Map("index" -> indexSchema))
     StreamingState.vacuum(spark, indexPath, Seq("index"))
@@ -252,12 +308,13 @@ object IncrementalDedup {
   /** Streaming surface: foreachBatch maintaining the index, handing
     * each micro-batch's verified near-dup pairs to the caller.
     */
-  def sink(docs: DataFrame, indexPath: String, threshold: Double = 0.5)
+  def sink(docs: DataFrame, indexPath: String, threshold: Double = 0.5,
+      normalizeNfc: Boolean = false)
       (onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val pairs = processBatch(batch, indexPath, id, threshold)
+        val pairs = processBatch(batch, indexPath, id, threshold, normalizeNfc)
         onBatch(pairs, id)
         pairs.unpersist()
         ()

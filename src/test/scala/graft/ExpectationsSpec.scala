@@ -52,6 +52,51 @@ class ExpectationsSpec extends AnyFunSuite {
     rep.foreach(r => assert(r.getLong(1) == 0L && r.getBoolean(2)))
   }
 
+  test("grouped evaluation routes each violation to its group; matches composed global counts") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", 1L, Some("a")), ("s1", 2L, None), ("s1", 2L, Some("b")),
+      ("s2", 3L, Some("c")), ("s2", 3L, Some("d")), ("s2", 3L, None))
+      .toDF("src", "id", "name")
+    val rules = Seq(
+      Expectations.rowRule("name_not_null", col("name").isNull),
+      Expectations.unique("id_unique", col("id")))
+    val rep = Expectations.evaluateBy(df, rules, Seq("src"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rep(("s1", "name_not_null")) == 1L && rep(("s2", "name_not_null")) == 1L)
+    // uniqueness is WITHIN the group: s1 has one surplus id row, s2 two
+    assert(rep(("s1", "id_unique")) == 1L && rep(("s2", "id_unique")) == 2L)
+    // per-group counts compose to the global row-rule answer
+    val global = Expectations.evaluate(df, rules.take(1)).head().getLong(1)
+    assert(rep.filter(_._1._2 == "name_not_null").values.sum == global)
+  }
+
+  test("uniqueApprox tracks the exact surplus within HLL error; severity is Screen") {
+    import spark.implicits._
+    // 10k ids, ~1k duplicated rows
+    val df = ((1 to 10000) ++ (1 to 1000)).map(_.toLong).toDF("id")
+    val rule = Expectations.uniqueApprox("id_unique_approx", col("id"), rsd = 0.02)
+    assert(rule.severity == Expectations.Screen)
+    val approx = Expectations.evaluate(df, Seq(rule)).head().getLong(1)
+    val exact = Expectations.evaluate(df,
+      Seq(Expectations.unique("id_unique", col("id")))).head().getLong(1)
+    assert(exact == 1000L)
+    // surplus = rows - estimate(distinct): a 2% rsd on 10k distinct
+    // keys bounds the estimate error ~3 sigma at ~600
+    assert(math.abs(approx - exact) <= 600L,
+      s"HLL surplus $approx too far from exact $exact")
+  }
+
+  test("rule names are locked to identifier characters") {
+    intercept[IllegalArgumentException] {
+      Expectations.rowRule("bad'name", col("id").isNull)
+    }
+    intercept[IllegalArgumentException] {
+      Expectations.rowRule("bad`name", col("id").isNull)
+    }
+  }
+
   test("document rule set on the real corpus: invariants pass, screens bite") {
     val rep = Expectations
       .qExpectations(spark, "/root/testdata/sf0.001")

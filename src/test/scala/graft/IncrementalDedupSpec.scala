@@ -117,4 +117,56 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("predates"))
   }
+
+  test("normalize-nfc signing pairs composed/decomposed duplicates; mode is pinned to the index") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dedup_nfc")
+    // the same sentence spelled composed (U+00E9 etc.) and decomposed
+    // (e + U+0301): different byte strings, so every shingle differs
+    // and raw-text signing can never pair them
+    val composed =
+      "el café está cerca del río según la señora que pasó ayer por aquí camino al mercado"
+    val decomposed = java.text.Normalizer.normalize(composed,
+      java.text.Normalizer.Form.NFD)
+    assert(composed != decomposed)
+
+    // raw signing: no pair (the leak the normalization closes)
+    val rawIdx = base.resolve("raw").toString
+    IncrementalDedup.probeAndUpdate(
+      Seq((1L, composed)).toDF("doc_id", "text"), rawIdx).unpersist()
+    val rawPairs = IncrementalDedup.probeAndUpdate(
+      Seq((2L, decomposed)).toDF("doc_id", "text"), rawIdx)
+    assert(rawPairs.count() == 0,
+      "raw signatures should NOT pair cross-normalization duplicates")
+
+    // NFC signing: exact pair, jaccard 1.0
+    val nfcIdx = base.resolve("nfc").toString
+    IncrementalDedup.probeAndUpdate(
+      Seq((1L, composed)).toDF("doc_id", "text"), nfcIdx,
+      normalizeNfc = true).unpersist()
+    val nfcPairs = IncrementalDedup.probeAndUpdate(
+      Seq((2L, decomposed)).toDF("doc_id", "text"), nfcIdx,
+      normalizeNfc = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(nfcPairs.toSeq == Seq((1L, 2L, 1.0)),
+      s"NFC signatures must pair the spellings exactly: ${nfcPairs.toSeq}")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(nfcIdx, "_graft_format_version")), "UTF-8").trim
+      == "3+nfc")
+
+    // probing an NFC index with raw signatures (or vice versa) refuses:
+    // mixed modes would silently miss exactly these duplicates
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.probeAndUpdate(
+        Seq((3L, composed)).toDF("doc_id", "text"), nfcIdx)
+    }
+    assert(e.getMessage.contains("normalize-nfc"))
+    val e2 = intercept[IllegalStateException] {
+      IncrementalDedup.probeAndUpdate(
+        Seq((3L, composed)).toDF("doc_id", "text"), rawIdx,
+        normalizeNfc = true)
+    }
+    assert(e2.getMessage.contains("normalize-nfc"))
+  }
 }
