@@ -301,7 +301,11 @@ object GraftPipeline {
   *     neighbor reports into per-batch partition dirs under
   *     `<index>/reports/` (overwrite — idempotent under replay; each
   *     batch's rows were already committed atomically WITH its index
-  *     delta, so no crash point loses them).
+  *     delta, so no crash point loses them);
+  *  4. folds the drop's data-quality expectations + volume profile
+  *     into `<index>/quality` epoch state
+  *     ([[graft.streaming.IncrementalQuality]]) — the feed-health
+  *     trend publishes per drop, no batch re-scan.
   *
   * `Trigger.AvailableNow` drains the pending files then exits, so the
   * command is cron-able per monthly drop while keeping exactly-once
@@ -383,10 +387,17 @@ object GraftDrop {
         val topk = graft.streaming.IncrementalAnn
           .processBatch(vecs, s"$index/ann", id, cfg)
         topk.write.mode("overwrite").parquet(s"$index/reports/neighbors/batch=$id")
+        // r13: the drop's quality expectations + volume profile fold
+        // into epoch state too — the monthly pipeline publishes its
+        // feed-health trend without a batch re-scan
+        val quality = graft.streaming.IncrementalQuality
+          .processBatch(b, s"$index/quality", id)
+        val qualityFailing = quality.filter(!col("pass")).count()
         println(s"drop batch $id: ${b.count()} docs, " +
           s"${pairs.count()} near-dup pairs, ${spans.count()} verbatim spans, " +
           s"${topk.count()} neighbor rows, " +
-          s"${cl.labelChanges.count()} cluster relabels")
+          s"${cl.labelChanges.count()} cluster relabels, " +
+          s"$qualityFailing quality rules biting")
         pairs.unpersist(); spans.unpersist(); topk.unpersist(); b.unpersist()
         ()
       }

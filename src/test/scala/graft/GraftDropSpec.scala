@@ -103,6 +103,29 @@ class GraftDropSpec extends AnyFunSuite {
     assert(graft.streaming.IncrementalDedup
       .readIndex(spark, s"$index/dedup").count() == drop1.size + drop2.size)
 
+    // r13: the quality trend folded per drop — one report row set and
+    // one volume row per epoch, totals additive across drops
+    val trend = graft.streaming.IncrementalQuality
+      .readTrend(spark, s"$index/quality")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val epochs = trend.map(_._1).distinct.sorted
+    assert(epochs.length == 2, s"one quality epoch per drop: ${epochs.toSeq}")
+    assert(trend.count(_._1 == epochs.head)
+      == graft.streaming.IncrementalQuality.dropRules.size)
+    // every planted doc is well-formed: invariants pass, and the
+    // short_doc screen counts the genuinely short filler docs
+    val totals = graft.streaming.IncrementalQuality
+      .readTotals(spark, s"$index/quality")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals("doc_id_not_null") == 0L && totals("text_not_null") == 0L &&
+      totals("doc_id_unique_in_batch") == 0L, s"invariant totals: $totals")
+    assert(totals("text_not_empty") == 0L)
+    val profile = graft.streaming.IncrementalQuality
+      .readProfile(spark, s"$index/quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(profile == Map(0L -> drop1.size.toLong, 1L -> drop2.size.toLong),
+      s"profile: $profile")
+
     // r12: compacting all three delta logs preserves the committed
     // views and the per-batch reports
     graft.streaming.IncrementalDedup.compact(spark, s"$index/dedup")
@@ -113,5 +136,17 @@ class GraftDropSpec extends AnyFunSuite {
     assert(graft.streaming.IncrementalAnn
       .readIndex(spark, s"$index/ann").count() == drop1.size + drop2.size)
     assert(spark.read.parquet(s"$index/reports/pairs").count() == np)
+
+    // r13: quality state survives replay too — same trend rows after
+    // the no-op rerun above, and a direct replayed processBatch
+    // resolves to the persisted report
+    val replayRep = graft.streaming.IncrementalQuality.processBatch(
+      spark.range(1).selectExpr("cast(id as long) as doc_id",
+        "'ignored replay text' as text"),
+      s"$index/quality", 0L)
+    assert(replayRep.count()
+      == graft.streaming.IncrementalQuality.dropRules.size.toLong)
+    assert(graft.streaming.IncrementalQuality
+      .readProfile(spark, s"$index/quality").count() == 2L)
   }
 }
