@@ -190,6 +190,83 @@ class IncrementalCommitSpec extends AnyFunSuite {
     // the newest checkpoint
   }
 
+  test("cluster delta state: orphan epoch invisible, retry repairs; tombstones resolve merged-away clusters") {
+    import spark.implicits._
+    import graft.streaming.IncrementalCluster
+    val path = tmp("crash_cluster")
+    IncrementalCluster.update(spark, path, 0L,
+      Seq((1L, 2L), (7L, 8L)).toDF("doc_a", "doc_b"),
+      Seq(1L -> 0.5, 2L -> 0.9, 7L -> 0.7, 8L -> 0.6).toDF("doc_id", "score"))
+
+    // crash mid-epoch-1: a partial members delta lands with NO marker —
+    // the orphan must be invisible to resolution
+    Seq((99L, 99L, 0.1, 1L)).toDF("doc_id", "label", "score", "epoch")
+      .write.parquet(StreamingState.epochRel(path, 1L, "members"))
+    assert(IncrementalCluster.readMembers(spark, path).count() === 4)
+
+    // the retry of batch 1 (bridging the two clusters) overwrites the
+    // orphan and commits; resolution is latest-epoch-wins
+    IncrementalCluster.update(spark, path, 1L,
+      Seq((2L, 7L)).toDF("doc_a", "doc_b"),
+      Seq.empty[(Long, Double)].toDF("doc_id", "score"))
+    val members = IncrementalCluster.readMembers(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(members === Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 8L -> 1L))
+    assert(!members.contains(99L), "orphan row leaked into resolution")
+
+    // the absorbed cluster 7 was tombstoned in epoch 1 (null survivor
+    // row on disk) and resolves AWAY; only cluster 1 survives
+    val surv = IncrementalCluster.readSurvivors(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(surv === Set((1L, 2L)), s"survivors: $surv") // doc 2: score 0.9
+    val epoch1Surv = spark.read
+      .parquet(StreamingState.epochRel(path, 1L, "survivors"))
+    assert(epoch1Surv.filter(col("survivor_id").isNull)
+      .collect().map(_.getLong(0)).toSeq === Seq(7L),
+      "merged-away label 7 must carry a tombstone row in its epoch")
+
+    // replay of committed batch 1: persisted report back, state untouched
+    val replay = IncrementalCluster.update(spark, path, 1L,
+      Seq((2L, 7L)).toDF("doc_a", "doc_b"),
+      Seq.empty[(Long, Double)].toDF("doc_id", "score"))
+    assert(replay.labelChanges.collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(7L, 8L))
+    assert(IncrementalCluster.readMembers(spark, path).count() === 4)
+  }
+
+  test("quality state: replay returns the persisted report; orphan epoch invisible") {
+    import spark.implicits._
+    import graft.streaming.IncrementalQuality
+    val path = tmp("crash_quality")
+    val batch0 = Seq((1L, "a sufficiently long first document text"),
+      (2L, "short")).toDF("doc_id", "text")
+    val rep0 = IncrementalQuality.processBatch(batch0, path, 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep0("short_doc") === 1L && rep0("doc_id_not_null") === 0L)
+
+    // crash mid-epoch-1: report rows on disk, no marker — invisible
+    Seq((1L, "ghost_rule", 9L, false)).toDF("epoch", "rule", "n_violations", "pass")
+      .write.parquet(StreamingState.epochRel(path, 1L, "report"))
+    assert(IncrementalQuality.readTrend(spark, path)
+      .select("epoch").distinct().count() === 1)
+
+    // commit batch 1, then replay it with a DIFFERENT frame: the
+    // persisted counts come back, not a recomputation
+    val batch1 = Seq((3L, "another long enough document here"))
+      .toDF("doc_id", "text")
+    val rep1 = IncrementalQuality.processBatch(batch1, path, 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val replay = IncrementalQuality.processBatch(
+        Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"), path, 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(replay === rep1, "replay must return the persisted report")
+    assert(replay("text_not_null") === 0L)
+    val totals = IncrementalQuality.readTotals(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals("short_doc") === 1L)
+    assert(!totals.contains("ghost_rule"), "orphan epoch leaked into totals")
+  }
+
   // ---- VERDICT #5: folded df-cap state ----
 
   test("folded caps equal the from-scratch aggregate across randomized multi-drop splits") {
