@@ -97,6 +97,24 @@ class ExpectationsSpec extends AnyFunSuite {
     }
   }
 
+  test("the promotion firewall gates on invariants only: screens never count, broken invariants do") {
+    import spark.implicits._
+    // real corpus: both screens bite (non-allowed langs, length ceiling)
+    // but no invariant does — the firewall must report ZERO failing
+    // rules (the r12 ADVICE finding: it used to exit 2 on every corpus)
+    assert(graft.app.GraftExpect.run(spark, "/root/testdata/sf0.001") === 0L)
+    assert(graft.app.GraftExpect.run(spark, "/root/testdata/sf0.001",
+      bySource = true) === 0L)
+
+    // plant a duplicate doc_id: the uniqueness INVARIANT breaks and the
+    // firewall counts it
+    val dir = java.nio.file.Files.createTempDirectory("expect_fw").toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    docs.union(docs.limit(1)).write.parquet(s"$dir/documents.parquet")
+    assert(graft.app.GraftExpect.run(spark, dir) === 1L)
+  }
+
   test("document rule set on the real corpus: invariants pass, screens bite") {
     val rep = Expectations
       .qExpectations(spark, "/root/testdata/sf0.001")
