@@ -313,19 +313,153 @@ object GraftPipeline {
   */
 object GraftDrop {
 
+  /** Drop-file schema: (doc_id, text) plus an optional `source`
+    * provenance tag (r14) — records without it read as null, and the
+    * quality leg can group on it (`--quality-by source`). The index
+    * steps project (doc_id, text) explicitly, so extra fields never
+    * leak into the persisted signatures/windows/vectors.
+    */
   val dropSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("source",
         org.apache.spark.sql.types.StringType, nullable = true)))
+
+  /** The step names of [[processDrop]], in execution order — the kill
+    * points tools/CrashCheck cuts between.
+    */
+  val stepNames: Seq[String] = Seq(
+    "dedup_commit", "pairs_report", "cluster_commit", "cluster_reports",
+    "span_commit", "spans_report", "ann_commit", "neighbors_report",
+    "quality_commit")
+
+  /** One drop's composed fold — the exact sequence the streaming
+    * driver runs per micro-batch, exposed as an ORDERED atomic step
+    * list so the kill-anywhere crash differential
+    * ([[graft.tools.CrashCheck]], r14 VERDICT #3) can stop it between
+    * any two steps and assert that replaying the batch id converges
+    * every state to an uninterrupted run's answer. Each step is
+    * individually crash-safe (index commits are marker-published
+    * epochs keyed by the batch id; report copies are
+    * overwrite-idempotent per-batch partition dirs), so the composed
+    * contract is: a crash ANYWHERE is repaired by replay.
+    *
+    * `stopAfter` = number of leading steps to run (the crash point);
+    * the wired driver passes everything. Returns headline counts of
+    * the steps that ran, for the drop log line.
+    */
+  def processDrop(b: DataFrame, index: String, id: Long,
+      embedder: graft.llm.Embedder = new graft.llm.StubEmbedder(),
+      threshold: Double = 0.5,
+      cfg: graft.streaming.IncrementalAnn.Config =
+        graft.streaming.IncrementalAnn.Config(),
+      normalizeNfc: Boolean = false,
+      qualityRules: Seq[graft.operators.Expectations.Rule] =
+        graft.streaming.IncrementalQuality.dropRules,
+      qualityBy: Seq[String] = Nil,
+      stopAfter: Int = Int.MaxValue): Map[String, Long] = {
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var pairs: DataFrame = null
+    var cl: graft.streaming.IncrementalCluster.Changes = null
+    var spans: DataFrame = null
+    var topk: DataFrame = null
+    val steps: Seq[(String, () => Unit)] = Seq(
+      // r12 exactly-once reports (VERDICT #2): each index commits its
+      // delta AND the batch's report rows in ONE atomic epoch keyed by
+      // the streaming batch id; a replayed batch resolves to the
+      // PERSISTED report, and the report copies land in per-batch
+      // partition dirs written with overwrite — so a crash anywhere
+      // between index commit and report copy is repaired by the replay
+      // instead of losing the batch's rows forever (the r11
+      // append-then-write sequence could). `batch=<id>` is a
+      // partition-discovery key: reading `reports/pairs` yields one
+      // table with batch provenance attached.
+      // --normalize-nfc (r13): sign over NFC-normalized text so
+      // composed/decomposed spellings of the same content pair up; the
+      // index format marker pins the mode for the index lifetime.
+      "dedup_commit" -> (() => {
+        pairs = graft.streaming.IncrementalDedup
+          .processBatch(b.select(col("doc_id"), col("text")),
+            s"$index/dedup", id, threshold, normalizeNfc)
+        counts("pairs") = pairs.count()
+      }),
+      "pairs_report" -> (() =>
+        pairs.write.mode("overwrite").parquet(s"$index/reports/pairs/batch=$id")),
+      // r12: fold the drop's pairs into the persisted cluster +
+      // survivor state (the "which cluster, who survives" answer a
+      // recurring pipeline reads — no batch re-clustering of the
+      // accumulated corpus). Endpoint scores ride ON the pair report
+      // (computed at signing time), so an old endpoint paired drops
+      // later is still survivor-electable without re-reading its text.
+      "cluster_commit" -> (() => {
+        val endpointScores = pairs
+          .select(col("doc_a").as("doc_id"), col("score_a").as("score"))
+          .unionByName(pairs
+            .select(col("doc_b").as("doc_id"), col("score_b").as("score")))
+          .distinct()
+        cl = graft.streaming.IncrementalCluster.update(
+          b.sparkSession, s"$index/clusters", id, pairs, endpointScores)
+        counts("relabels") = cl.labelChanges.count()
+      }),
+      "cluster_reports" -> (() => {
+        cl.labelChanges.write.mode("overwrite")
+          .parquet(s"$index/reports/cluster_labels/batch=$id")
+        cl.survivorChanges.write.mode("overwrite")
+          .parquet(s"$index/reports/cluster_survivors/batch=$id")
+      }),
+      // r11: cross-drop verbatim quotes (the t82 class — too little
+      // whole-document overlap for the MinHash probe) surface from the
+      // persisted window-hash index
+      "span_commit" -> (() => {
+        spans = graft.streaming.IncrementalSpanIndex
+          .processBatch(b.select(col("doc_id"), col("text")),
+            s"$index/spans", id)
+        counts("spans") = spans.count()
+      }),
+      "spans_report" -> (() =>
+        spans.write.mode("overwrite").parquet(s"$index/reports/spans/batch=$id")),
+      "ann_commit" -> (() => {
+        val vecs = LlmOperators.embed(b.select(col("doc_id"), col("text")),
+            embedder, backoffMs = _ => 0L)
+          .filter(col("error").isNull)
+          .select(col("doc_id").as("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        topk = graft.streaming.IncrementalAnn
+          .processBatch(vecs, s"$index/ann", id, cfg)
+        counts("neighbors") = topk.count()
+      }),
+      "neighbors_report" -> (() =>
+        topk.write.mode("overwrite").parquet(s"$index/reports/neighbors/batch=$id")),
+      // r13: the drop's quality expectations + volume profile fold into
+      // epoch state too — the monthly pipeline publishes its feed-health
+      // trend without a batch re-scan. r14: the rule set and grain are
+      // caller-supplied (--rules / --quality-by), and the log splits
+      // invariants from screens — screens are DESIGNED to bite on real
+      // corpora, so only invariant counts signal breakage.
+      "quality_commit" -> (() => {
+        val quality = graft.streaming.IncrementalQuality
+          .processBatch(b, s"$index/quality", id, qualityRules, qualityBy)
+        counts("quality_invariants_biting") = quality
+          .filter(!col("pass") && col("severity") === "invariant").count()
+        counts("quality_screens_biting") = quality
+          .filter(!col("pass") && col("severity") === "screen").count()
+      }))
+    steps.take(stopAfter).foreach { case (_, run) => run() }
+    counts.toMap
+  }
 
   def run(spark: SparkSession, in: String, index: String,
       embedder: graft.llm.Embedder = new graft.llm.StubEmbedder(),
       threshold: Double = 0.5,
       cfg: graft.streaming.IncrementalAnn.Config =
         graft.streaming.IncrementalAnn.Config(),
-      normalizeNfc: Boolean = false): Unit = {
+      normalizeNfc: Boolean = false,
+      qualityRules: Seq[graft.operators.Expectations.Rule] =
+        graft.streaming.IncrementalQuality.dropRules,
+      qualityBy: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val docs = spark.readStream
       .schema(dropSchema)
@@ -338,71 +472,49 @@ object GraftDrop {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val b = batch.persist(StorageLevel.MEMORY_AND_DISK)
-        // r12 exactly-once reports (VERDICT #2): each index commits
-        // its delta AND the batch's report rows in ONE atomic epoch
-        // keyed by the streaming batch id; a replayed batch resolves
-        // to the PERSISTED report, and the copies below land in
-        // per-batch partition dirs written with overwrite — so a crash
-        // anywhere between index commit and report copy is repaired by
-        // the replay instead of losing the batch's rows forever (the
-        // r11 append-then-write sequence could). `batch=<id>` is a
-        // partition-discovery key: reading `reports/pairs` yields one
-        // table with batch provenance attached.
-        // --normalize-nfc (r13): sign over NFC-normalized text so
-        // composed/decomposed spellings of the same content pair up;
-        // the index format marker pins the mode for the index lifetime
-        val pairs = graft.streaming.IncrementalDedup
-          .processBatch(b, s"$index/dedup", id, threshold, normalizeNfc)
-        pairs.write.mode("overwrite").parquet(s"$index/reports/pairs/batch=$id")
-        // r12: fold the drop's pairs into the persisted cluster +
-        // survivor state (the "which cluster, who survives" answer a
-        // recurring pipeline reads — no batch re-clustering of the
-        // accumulated corpus) and report this drop's label/survivor
-        // changes
-        // endpoint scores ride ON the pair report (computed at signing
-        // time), so an old endpoint paired drops later is still
-        // survivor-electable without re-reading its text
-        val endpointScores = pairs
-          .select(col("doc_a").as("doc_id"), col("score_a").as("score"))
-          .unionByName(pairs
-            .select(col("doc_b").as("doc_id"), col("score_b").as("score")))
-          .distinct()
-        val cl = graft.streaming.IncrementalCluster.update(
-          b.sparkSession, s"$index/clusters", id, pairs, endpointScores)
-        cl.labelChanges.write.mode("overwrite")
-          .parquet(s"$index/reports/cluster_labels/batch=$id")
-        cl.survivorChanges.write.mode("overwrite")
-          .parquet(s"$index/reports/cluster_survivors/batch=$id")
-        // r11: cross-drop verbatim quotes (the t82 class — too little
-        // whole-document overlap for the MinHash probe) surface from
-        // the persisted window-hash index
-        val spans = graft.streaming.IncrementalSpanIndex
-          .processBatch(b, s"$index/spans", id)
-        spans.write.mode("overwrite").parquet(s"$index/reports/spans/batch=$id")
-        val vecs = LlmOperators.embed(b.select(col("doc_id"), col("text")),
-            embedder, backoffMs = _ => 0L)
-          .filter(col("error").isNull)
-          .select(col("doc_id").as("vec_id"),
-            expr("transform(embedding, x -> cast(x as double))").as("v"))
-        val topk = graft.streaming.IncrementalAnn
-          .processBatch(vecs, s"$index/ann", id, cfg)
-        topk.write.mode("overwrite").parquet(s"$index/reports/neighbors/batch=$id")
-        // r13: the drop's quality expectations + volume profile fold
-        // into epoch state too — the monthly pipeline publishes its
-        // feed-health trend without a batch re-scan
-        val quality = graft.streaming.IncrementalQuality
-          .processBatch(b, s"$index/quality", id)
-        val qualityFailing = quality.filter(!col("pass")).count()
+        val c = processDrop(b, index, id, embedder, threshold, cfg,
+          normalizeNfc, qualityRules, qualityBy)
         println(s"drop batch $id: ${b.count()} docs, " +
-          s"${pairs.count()} near-dup pairs, ${spans.count()} verbatim spans, " +
-          s"${topk.count()} neighbor rows, " +
-          s"${cl.labelChanges.count()} cluster relabels, " +
-          s"$qualityFailing quality rules biting")
-        pairs.unpersist(); spans.unpersist(); topk.unpersist(); b.unpersist()
+          s"${c("pairs")} near-dup pairs, ${c("spans")} verbatim spans, " +
+          s"${c("neighbors")} neighbor rows, " +
+          s"${c("relabels")} cluster relabels, " +
+          s"${c("quality_invariants_biting")} quality invariants biting, " +
+          s"${c("quality_screens_biting")} screens biting")
+        b.unpersist()
         ()
       }
       .start()
     query.awaitTermination()
+  }
+
+  private def indexRoots(index: String): Seq[(String, SparkSession => Unit)] = Seq(
+    (s"$index/dedup", s => graft.streaming.IncrementalDedup.compact(s, s"$index/dedup")),
+    (s"$index/spans", s => graft.streaming.IncrementalSpanIndex.compact(s, s"$index/spans")),
+    (s"$index/ann/state", s => graft.streaming.IncrementalAnn.compact(s, s"$index/ann")),
+    (s"$index/clusters", s => graft.streaming.IncrementalCluster.compact(s, s"$index/clusters")),
+    (s"$index/quality", s => graft.streaming.IncrementalQuality.compact(s, s"$index/quality")))
+
+  /** Auto-compaction cadence (r14, VERDICT #6): compact any index whose
+    * delta log has accumulated `every` or more committed epochs since
+    * its last checkpoint — measured from the on-disk markers alone, so
+    * the trigger costs two directory listings per index and no data
+    * read. A cron'd monthly pipeline stays read-bounded (≤ `every`
+    * fragments per relation) without the operator ever passing
+    * `--compact`; `every <= 0` disables.
+    */
+  def maybeCompact(spark: SparkSession, index: String, every: Int): Unit = {
+    if (every <= 0) return
+    indexRoots(index).foreach { case (root, compactFn) =>
+      if (graft.streaming.StreamingState.exists(spark, root)) {
+        val cp = graft.streaming.StreamingState.currentCheckpoint(spark, root)
+        val pending = graft.streaming.StreamingState
+          .committedEpochs(spark, root).count(_ > cp)
+        if (pending >= every) {
+          compactFn(spark)
+          println(s"auto-compacted $root ($pending epochs since checkpoint)")
+        }
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -411,19 +523,30 @@ object GraftDrop {
     val threshold = Cli.arg(args, "--threshold").map(_.toDouble).getOrElse(0.5)
     val k = Cli.arg(args, "--k").map(_.toInt).getOrElse(3)
     val spark = Cli.session("graft-drop")
+    // --rules <file> (r14): a deployment's own quality rule set,
+    // declared as a RulePack JSON-lines file; --quality-by <cols>
+    // evaluates it at that grain (comma-separated, e.g. `source`)
+    val rules = Cli.arg(args, "--rules")
+      .map(p => graft.operators.RulePack.load(spark, p))
+      .getOrElse(graft.streaming.IncrementalQuality.dropRules)
+    val qualityBy = Cli.arg(args, "--quality-by")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
     run(spark, in, index, threshold = threshold,
       cfg = graft.streaming.IncrementalAnn.Config(k = k),
-      normalizeNfc = args.contains("--normalize-nfc"))
-    // --compact (r12): fold each index's per-drop delta log into one
-    // copy after draining — markers and reports stay, so replay
-    // detection and report reads survive; run it occasionally (e.g.
-    // yearly on a monthly cadence)
+      normalizeNfc = args.contains("--normalize-nfc"),
+      qualityRules = rules, qualityBy = qualityBy)
+    // --compact (r12): force-fold each index's per-drop delta log into
+    // one copy after draining — markers and reports stay, so replay
+    // detection and report reads survive. Without the flag, the
+    // auto-cadence below compacts any index whose pending-epoch count
+    // crossed --compact-every (default 16; 0 disables).
     if (args.contains("--compact")) {
-      graft.streaming.IncrementalDedup.compact(spark, s"$index/dedup")
-      graft.streaming.IncrementalSpanIndex.compact(spark, s"$index/spans")
-      graft.streaming.IncrementalAnn.compact(spark, s"$index/ann")
-      graft.streaming.IncrementalCluster.compact(spark, s"$index/clusters")
+      indexRoots(index).foreach { case (_, compactFn) => compactFn(spark) }
       println("drop indexes compacted")
+    } else {
+      val every = Cli.arg(args, "--compact-every").map(_.toInt).getOrElse(16)
+      maybeCompact(spark, index, every)
     }
     spark.stop()
   }
@@ -569,15 +692,17 @@ object GraftSnapshotDiff {
 object GraftExpect {
 
   /** Returns the number of failing INVARIANT rules (the exit signal);
-    * screening counts print but do not contribute.
+    * screening counts print but do not contribute. The rule set is a
+    * parameter (r14): `--rules <file>` swaps in a
+    * [[graft.operators.RulePack]] without recompiling.
     */
-  def run(spark: SparkSession, in: String, bySource: Boolean = false): Long = {
+  def run(spark: SparkSession, in: String, bySource: Boolean = false,
+      rules: Seq[graft.operators.Expectations.Rule] =
+        graft.operators.Expectations.documentRules): Long = {
     import graft.operators.Expectations
-    val severityOf = Expectations.documentRules
-      .map(r => r.name -> r.severity).toMap
-    val rep =
-      if (bySource) Expectations.qExpectationsBySource(spark, in)
-      else Expectations.qExpectations(spark, in)
+    val severityOf = rules.map(r => r.name -> r.severity).toMap
+    val rep = Expectations.evaluateBy(graft.Tables.documents(spark, in),
+      rules, if (bySource) Seq("source") else Nil)
     var failing = 0L
     rep.collect().foreach { r =>
       val n = r.getAs[Long]("n_violations")
@@ -596,7 +721,11 @@ object GraftExpect {
   def main(args: Array[String]): Unit = {
     val in = Cli.arg(args, "--in").getOrElse(sys.error("--in required"))
     val spark = Cli.session("graft-expect")
-    val failing = run(spark, in, bySource = args.contains("--by-source"))
+    val rules = Cli.arg(args, "--rules")
+      .map(p => graft.operators.RulePack.load(spark, p))
+      .getOrElse(graft.operators.Expectations.documentRules)
+    val failing = run(spark, in, bySource = args.contains("--by-source"),
+      rules = rules)
     spark.stop()
     if (failing > 0 && args.contains("--fail-on-violation")) sys.exit(2)
   }

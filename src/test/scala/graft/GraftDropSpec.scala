@@ -107,7 +107,8 @@ class GraftDropSpec extends AnyFunSuite {
     // one volume row per epoch, totals additive across drops
     val trend = graft.streaming.IncrementalQuality
       .readTrend(spark, s"$index/quality")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .collect().map(r => (r.getAs[Long]("epoch"), r.getAs[String]("rule"),
+        r.getAs[Long]("n_violations")))
     val epochs = trend.map(_._1).distinct.sorted
     assert(epochs.length == 2, s"one quality epoch per drop: ${epochs.toSeq}")
     assert(trend.count(_._1 == epochs.head)
@@ -116,7 +117,8 @@ class GraftDropSpec extends AnyFunSuite {
     // short_doc screen counts the genuinely short filler docs
     val totals = graft.streaming.IncrementalQuality
       .readTotals(spark, s"$index/quality")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations"))
+      .toMap
     assert(totals("doc_id_not_null") == 0L && totals("text_not_null") == 0L &&
       totals("doc_id_unique_in_batch") == 0L, s"invariant totals: $totals")
     assert(totals("text_not_empty") == 0L)
@@ -148,5 +150,97 @@ class GraftDropSpec extends AnyFunSuite {
       == graft.streaming.IncrementalQuality.dropRules.size.toLong)
     assert(graft.streaming.IncrementalQuality
       .readProfile(spark, s"$index/quality").count() == 2L)
+  }
+
+  private def writeSourcedDrop(dir: String, name: String,
+      docs: Seq[(Long, String, String)]): Unit = {
+    val lines = docs.map { case (id, text, src) =>
+      s"""{"doc_id": $id, "text": "$text", "source": "$src"}"""
+    }.mkString("\n")
+    Files.write(Paths.get(dir, name), lines.getBytes(UTF_8))
+  }
+
+  test("pluggable quality rules at the source grain fold across drops (r14)") {
+    val in = Files.createTempDirectory("drop_in_rules").toString
+    val index = Files.createTempDirectory("drop_index_rules").toString
+    // a deployment's own pack, as the --rules file would declare it
+    val rules = graft.operators.RulePack.parse(spark, Seq(
+      """{"name": "text_present", "predicate": "text IS NULL OR length(text) = 0"}""",
+      """{"name": "short_text", "predicate": "length(text) < 30", "severity": "screen"}"""))
+
+    writeSourcedDrop(in, "d1.json", Seq(
+      (1L, "this document is comfortably longer than thirty characters", "src_a"),
+      (2L, "tiny doc", "src_a"),
+      (3L, "another comfortably long document body for source b", "src_b")))
+    GraftDrop.run(spark, in, index, qualityRules = rules,
+      qualityBy = Seq("source"))
+    writeSourcedDrop(in, "d2.json", Seq((4L, "small", "src_a")))
+    GraftDrop.run(spark, in, index, qualityRules = rules,
+      qualityBy = Seq("source"))
+
+    // trend: rules × sources rows per epoch, scoped and severity-tagged
+    val trend = graft.streaming.IncrementalQuality
+      .readTrend(spark, s"$index/quality")
+      .collect().map(r => ((r.getAs[Long]("epoch"), r.getAs[String]("scope"),
+        r.getAs[String]("rule")),
+        (r.getAs[String]("severity"), r.getAs[Long]("n_violations"))))
+      .toMap
+    assert(trend((0L, "src_a", "short_text")) === ("screen", 1L))
+    assert(trend((0L, "src_b", "short_text")) === ("screen", 0L))
+    assert(trend((0L, "src_a", "text_present")) === ("invariant", 0L))
+    assert(trend((1L, "src_a", "short_text")) === ("screen", 1L))
+    assert(!trend.contains((1L, "src_b", "short_text")),
+      "drop 2 has no src_b rows — its scope must not appear in epoch 1")
+    // totals fold additively per scope
+    val totals = graft.streaming.IncrementalQuality
+      .readTotals(spark, s"$index/quality")
+      .collect().map(r => (r.getAs[String]("scope"), r.getAs[String]("rule"))
+        -> r.getAs[Long]("n_violations")).toMap
+    assert(totals(("src_a", "short_text")) === 2L, s"totals: $totals")
+    assert(totals(("src_b", "short_text")) === 0L)
+    assert(totals(("src_a", "text_present")) === 0L)
+    // the extra source column never leaked into the persisted indexes
+    assert(!graft.streaming.IncrementalDedup
+      .readIndex(spark, s"$index/dedup").columns.contains("source"))
+  }
+
+  test("auto-compaction cadence keeps the delta logs read-bounded without --compact (r14)") {
+    val in = Files.createTempDirectory("drop_in_auto").toString
+    val index = Files.createTempDirectory("drop_index_auto").toString
+    val S = graft.streaming.StreamingState
+    def pendingEpochs(root: String): Int = {
+      val cp = S.currentCheckpoint(spark, root)
+      S.committedEpochs(spark, root).count(_ > cp)
+    }
+    // six monthly drops, each a separate cron invocation: run + the
+    // auto-cadence check the CLI performs (threshold 3)
+    for (i <- 0 until 6) {
+      writeDrop(in, s"m$i.json", Seq(
+        (i * 10L + 1L, s"monthly document alpha of drop $i with body text"),
+        (i * 10L + 2L, s"monthly document beta of drop $i with other words")))
+      GraftDrop.run(spark, in, index)
+      GraftDrop.maybeCompact(spark, index, 3)
+      assert(pendingEpochs(s"$index/dedup") < 3,
+        s"dedup delta log unbounded at drop $i: ${pendingEpochs(s"$index/dedup")}")
+    }
+    // compaction actually happened (a checkpoint exists)…
+    assert(S.currentCheckpoint(spark, s"$index/dedup") >= 0L)
+    assert(S.currentCheckpoint(spark, s"$index/quality") >= 0L)
+    // …and every state survived it intact
+    assert(graft.streaming.IncrementalDedup
+      .readIndex(spark, s"$index/dedup").count() === 12L)
+    assert(graft.streaming.IncrementalQuality
+      .readProfile(spark, s"$index/quality").count() === 6L)
+    assert(graft.streaming.IncrementalQuality
+      .readTotals(spark, s"$index/quality")
+      .collect().map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations"))
+      .toMap.apply("doc_id_not_null") === 0L)
+    // a replayed batch id still resolves its persisted report after
+    // quality compaction (nothing was vacuumed)
+    val replay = graft.streaming.IncrementalQuality.processBatch(
+      spark.range(1).selectExpr("cast(id as long) as doc_id",
+        "'replay decoy' as text"), s"$index/quality", 0L)
+    assert(replay.count()
+      === graft.streaming.IncrementalQuality.dropRules.size.toLong)
   }
 }

@@ -141,11 +141,58 @@ class IncrementalClusterSpec extends AnyFunSuite {
     assert(IncrementalCluster.readSurvivors(spark, path)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       === survBefore)
+    // r14 (VERDICT #1): the compacted copy holds the RESOLVED rows,
+    // not the verbatim delta union — 13 current members, not the 15
+    // delta rows (12 + 3) the log accumulated
+    val cp0 = graft.streaming.StreamingState.currentCheckpoint(spark, path)
+    assert(spark.read.parquet(s"$path/compact-$cp0/members").count() === 13L,
+      "compacted members must be resolved-state-sized, not delta-log-sized")
+    assert(spark.read.parquet(s"$path/compact-$cp0/survivors").count() === 2L)
+
     // post-compaction drops keep folding correctly
     IncrementalCluster.update(spark, path, 2L,
       pairsDf(Seq((10L, 100L))), scoresDf(Seq.empty))
     val expect = ufLabels(bigChain ++ Seq((100L, 101L), (101L, 102L), (10L, 100L)))
     assert(collectMembers(path) === expect)
+
+    // drop 2 merged cluster 100 away (tombstone row in its epoch); a
+    // second compaction must physically DROP the tombstone and every
+    // superseded relabel row: 13 member rows, 1 live survivor row,
+    // zero null-survivor rows on disk
+    import org.apache.spark.sql.functions.col
+    val survAfterMerge = IncrementalCluster.readSurvivors(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    IncrementalCluster.compact(spark, path)
+    val cp1 = graft.streaming.StreamingState.currentCheckpoint(spark, path)
+    assert(cp1 === 2L)
+    val cm = spark.read.parquet(s"$path/compact-$cp1/members")
+    val cs = spark.read.parquet(s"$path/compact-$cp1/survivors")
+    assert(cm.count() === 13L, "stale relabel rows survived compaction")
+    assert(cm.select("doc_id").distinct().count() === 13L)
+    assert(cs.count() === 1L, "dead survivor rows survived compaction")
+    assert(cs.filter(col("survivor_id").isNull).count() === 0L,
+      "tombstones must be physically dropped by compaction")
+    assert(collectMembers(path) === expect)
+    assert(IncrementalCluster.readSurvivors(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === survAfterMerge)
+    // and folds after the second compaction still work
+    IncrementalCluster.update(spark, path, 3L,
+      pairsDf(Seq((200L, 201L))), scoresDf(Seq(200L -> 0.3, 201L -> 0.4)))
+    assert(collectMembers(path) === expect ++ Map(200L -> 200L, 201L -> 200L))
+  }
+
+  test("readers never create state: reading a nonexistent path leaves nothing on disk") {
+    val path = tmp("cl_ro")
+    assert(IncrementalCluster.readMembers(spark, path).count() === 0L)
+    assert(IncrementalCluster.readSurvivors(spark, path).count() === 0L)
+    assert(!new java.io.File(path).exists(),
+      "a pure read mkdir'd the state root (r13 ADVICE regression)")
+    // the writer stamps; readers then see the marker
+    IncrementalCluster.update(spark, path, 0L,
+      pairsDf(Seq((1L, 2L))), scoresDf(Seq(1L -> 0.1, 2L -> 0.2)))
+    assert(new java.io.File(s"$path/_graft_format_version").exists())
+    assert(collectMembers(path) === Map(1L -> 1L, 2L -> 1L))
   }
 
   test("randomized multi-drop folds converge to the union-find answer; survivors match direct election") {

@@ -241,7 +241,8 @@ class IncrementalCommitSpec extends AnyFunSuite {
     val batch0 = Seq((1L, "a sufficiently long first document text"),
       (2L, "short")).toDF("doc_id", "text")
     val rep0 = IncrementalQuality.processBatch(batch0, path, 0L)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations"))
+      .toMap
     assert(rep0("short_doc") === 1L && rep0("doc_id_not_null") === 0L)
 
     // crash mid-epoch-1: report rows on disk, no marker — invisible
@@ -255,14 +256,17 @@ class IncrementalCommitSpec extends AnyFunSuite {
     val batch1 = Seq((3L, "another long enough document here"))
       .toDF("doc_id", "text")
     val rep1 = IncrementalQuality.processBatch(batch1, path, 1L)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations"))
+      .toMap
     val replay = IncrementalQuality.processBatch(
         Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"), path, 1L)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations"))
+      .toMap
     assert(replay === rep1, "replay must return the persisted report")
     assert(replay("text_not_null") === 0L)
     val totals = IncrementalQuality.readTotals(spark, path)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations"))
+      .toMap
     assert(totals("short_doc") === 1L)
     assert(!totals.contains("ghost_rule"), "orphan epoch leaked into totals")
   }
