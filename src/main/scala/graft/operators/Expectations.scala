@@ -202,7 +202,7 @@ object Expectations {
     */
   def qRulePack(s: SparkSession, dir: String): DataFrame =
     evaluateBy(Tables.documents(s, dir),
-      RulePack.loadResource(s, "/rulepacks/documents.json"), Seq("source"))
+      RulePack.loadResource("/rulepacks/documents.json"), Seq("source"))
 
   val qRulePackOracle: String = """
     WITH a AS (

@@ -164,7 +164,7 @@ class GraftDropSpec extends AnyFunSuite {
     val in = Files.createTempDirectory("drop_in_rules").toString
     val index = Files.createTempDirectory("drop_index_rules").toString
     // a deployment's own pack, as the --rules file would declare it
-    val rules = graft.operators.RulePack.parse(spark, Seq(
+    val rules = graft.operators.RulePack.parse(Seq(
       """{"name": "text_present", "predicate": "text IS NULL OR length(text) = 0"}""",
       """{"name": "short_text", "predicate": "length(text) < 30", "severity": "screen"}"""))
 
@@ -202,6 +202,18 @@ class GraftDropSpec extends AnyFunSuite {
     // the extra source column never leaked into the persisted indexes
     assert(!graft.streaming.IncrementalDedup
       .readIndex(spark, s"$index/dedup").columns.contains("source"))
+
+    // --report-dir: the CSV/HTML dashboard composes off the folded
+    // state (rules × scopes × epochs rows, zero corpus passes)
+    val rep = Files.createTempDirectory("drop_report").toString
+    GraftDrop.writeQualityReport(spark, index, rep)
+    val trendCsv = Files.readString(Paths.get(rep, "trend.csv"))
+    assert(trendCsv.startsWith("epoch,scope,rule,severity,n_violations,pass"))
+    assert(trendCsv.contains("0,src_a,short_text,screen,1,false"), trendCsv)
+    val totalsCsv = Files.readString(Paths.get(rep, "totals.csv"))
+    assert(totalsCsv.contains("src_a,short_text,screen,2,false"), totalsCsv)
+    val html = Files.readString(Paths.get(rep, "index.html"))
+    assert(html.contains("<td>src_a</td>") && html.contains("Volume profile"))
   }
 
   test("auto-compaction cadence keeps the delta logs read-bounded without --compact (r14)") {

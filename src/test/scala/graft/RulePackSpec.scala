@@ -29,7 +29,7 @@ class RulePackSpec extends AnyFunSuite {
       (1L, "alpha", "en"), (2L, "beta", "fr"), (2L, "gamma", "en"),
       (3L, null.asInstanceOf[String], "en"))
       .toDF("doc_id", "text", "lang")
-    val pack = RulePack.parse(spark, Seq(
+    val pack = RulePack.parse(Seq(
       """{"name": "text_not_null", "predicate": "text IS NULL"}""",
       "",
       """{"name": "id_unique", "unique": "doc_id"}""",
@@ -44,7 +44,7 @@ class RulePackSpec extends AnyFunSuite {
   }
 
   test("unique_approx parses with rsd and stays a screen") {
-    val pack = RulePack.parse(spark,
+    val pack = RulePack.parse(
       Seq("""{"name": "ids_approx", "unique_approx": "doc_id", "rsd": 0.01}"""))
     assert(pack.head.severity === Expectations.Screen)
     import spark.implicits._
@@ -56,7 +56,7 @@ class RulePackSpec extends AnyFunSuite {
 
   test("malformed declarations fail loudly") {
     def fails(line: String, want: String): Unit = {
-      val e = intercept[Exception](RulePack.parse(spark, Seq(line)))
+      val e = intercept[Exception](RulePack.parse(Seq(line)))
       def msgs(t: Throwable): Seq[String] =
         if (t == null) Nil
         else Option(t.getMessage).toSeq ++ msgs(t.getCause)
@@ -72,11 +72,11 @@ class RulePackSpec extends AnyFunSuite {
       "cannot be an invariant")
     fails("""{"name": "has space", "predicate": "a"}""", "A-Za-z0-9_")
     fails("""not json at all""", "Malformed")
-    intercept[Exception](RulePack.parse(spark, Seq.empty))
+    intercept[Exception](RulePack.parse(Seq.empty))
   }
 
   test("the bundled t90 fixture loads and bites on the real corpus") {
-    val pack = RulePack.loadResource(spark, "/rulepacks/documents.json")
+    val pack = RulePack.loadResource("/rulepacks/documents.json")
     assert(pack.size === 6)
     assert(pack.count(_.severity == Expectations.Screen) === 3)
     val rep = Expectations.evaluateBy(
