@@ -575,9 +575,15 @@ object GraftDrop {
     val spark = Cli.session("graft-drop")
     // --rules <file> (r14): a deployment's own quality rule set,
     // declared as a RulePack JSON-lines file; --quality-by <cols>
-    // evaluates it at that grain (comma-separated, e.g. `source`)
+    // evaluates it at that grain (comma-separated, e.g. `source`);
+    // --ref-dir <tablesDir> resolves fk rules' parent tables (the drop
+    // input itself is batch-shaped, not a tables directory)
+    val refResolve = Cli.arg(args, "--ref-dir")
+      .map[String => org.apache.spark.sql.DataFrame](d =>
+        t => graft.Tables.table(spark, d, t))
+      .getOrElse(graft.operators.RulePack.noResolver)
     val rules = Cli.arg(args, "--rules")
-      .map(p => graft.operators.RulePack.load(spark, p))
+      .map(p => graft.operators.RulePack.load(spark, p, refResolve))
       .getOrElse(graft.streaming.IncrementalQuality.dropRules)
     val qualityBy = Cli.arg(args, "--quality-by")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -772,8 +778,11 @@ object GraftExpect {
   def main(args: Array[String]): Unit = {
     val in = Cli.arg(args, "--in").getOrElse(sys.error("--in required"))
     val spark = Cli.session("graft-expect")
+    // fk rules resolve their parent tables against the same --in
+    // directory the gated table lives in
     val rules = Cli.arg(args, "--rules")
-      .map(p => graft.operators.RulePack.load(spark, p))
+      .map(p => graft.operators.RulePack.load(spark, p,
+        t => graft.Tables.table(spark, in, t)))
       .getOrElse(graft.operators.Expectations.documentRules)
     val failing = run(spark, in, bySource = args.contains("--by-source"),
       rules = rules)

@@ -36,10 +36,14 @@ object Expectations {
   case object Screen extends Severity
 
   /** One expectation: `violations` must be an AGGREGATE expression
-    * counting violating rows (0 = pass).
+    * counting violating rows (0 = pass). `prepare` (r14) is the hook a
+    * two-table rule uses to staple its context onto the evaluated
+    * frame before the single aggregation pass — see [[referential]];
+    * single-table rules leave it None and the frame unchanged.
     */
   final case class Rule(name: String, violations: Column,
-      severity: Severity = Invariant) {
+      severity: Severity = Invariant,
+      prepare: Option[DataFrame => DataFrame] = None) {
     // names are interpolated into a stack() expr string (quoted and
     // back-quoted) and into oracle SQL — restrict to identifier chars
     // so a quote/backtick can neither break the parse nor smuggle an
@@ -76,6 +80,35 @@ object Expectations {
     Rule(name, greatest(lit(0L), count(c) - approx_count_distinct(c, rsd)),
       Screen)
 
+  /** Referential-integrity rule (r14 — the dbt `relationships` test,
+    * the one firewall rule kind a single-table predicate cannot
+    * express): counts non-null values of `fk` absent from `keys`'
+    * single column. NULL fks are NOT violations (declare a separate
+    * not-null rule if they should be — SQL FK semantics).
+    *
+    * Scale shape: `keys` is distinct-reduced and LEFT-joined onto the
+    * evaluation frame as a presence marker, so the fact table is still
+    * scanned ONCE for all rules and the violation is counted inside the
+    * same single aggregation pass. The parent side after distinct is
+    * key-sized — for real dimension tables Catalyst auto-broadcasts it
+    * from parquet stats; a genuinely huge parent degrades to one
+    * shuffled equi-join, never an all-pairs stage. The distinct join
+    * key makes the join 1:1, so stapling any number of referential
+    * rules multiplies no rows and perturbs no other rule's count.
+    */
+  def referential(name: String, fk: Column, keys: DataFrame,
+      severity: Severity = Invariant): Rule = {
+    require(keys.columns.length == 1,
+      s"referential rule $name: keys frame must have exactly one column, " +
+        s"got [${keys.columns.mkString(", ")}]")
+    val marker = s"__ref_$name"
+    val dim = keys.distinct().withColumnRenamed(keys.columns.head, marker)
+    Rule(name,
+      sum(when(fk.isNotNull && col(marker).isNull, 1L).otherwise(0L)),
+      severity,
+      Some(df => df.join(dim, fk === col(marker), "left")))
+  }
+
   /** Evaluate all rules in one aggregation pass:
     * (rule, n_violations, pass) sorted by rule name.
     */
@@ -98,11 +131,15 @@ object Expectations {
       "duplicate expectation names")
     require(groupCols.forall(g => rules.forall(_.name != g)),
       "a group column shares a name with a rule")
+    // staple each two-table rule's context (a 1:1 marker join) onto the
+    // frame; single-table rules contribute nothing here, so the common
+    // case is still a bare scan → aggregate
+    val prepared = rules.flatMap(_.prepare).foldLeft(df)((d, f) => f(d))
     val aggs = rules.map(r =>
       coalesce(r.violations, lit(0L)).cast("long").as(r.name))
     val wide =
-      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      if (groupCols.isEmpty) prepared.agg(aggs.head, aggs.tail: _*)
+      else prepared.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val stacked = rules.map(r => s"'${r.name}', `${r.name}`").mkString(", ")
     wide.select(groupCols.map(col) :+ expr(
         s"stack(${rules.size}, $stacked) as (rule, n_violations)"): _*)
@@ -225,9 +262,51 @@ object Expectations {
       UNION ALL SELECT source, 'long_doc', COALESCE(long_doc, 0) FROM a)
     ORDER BY source, rule"""
 
+  /** t91 (r14): referential integrity over the events stream — the
+    * two-table rule kind. One fk rule that PASSES (every event user is
+    * a known customer: pins that the presence join actually finds the
+    * keys), one against a FILTERED parent that BITES (users outside
+    * the "active nation" customer subset — the dbt `relationships +
+    * where` shape, corpus-derived non-zero count at every scale), plus
+    * a not-null rule pinning the NULL-fk-is-not-a-violation contract's
+    * other half. Both parents broadcast from parquet stats; the events
+    * scan stays single-pass.
+    */
+  def eventRules(s: SparkSession, dir: String): Seq[Rule] = Seq(
+    rowRule("user_id_not_null", col("user_id").isNull),
+    referential("user_known_customer", col("user_id"),
+      Tables.customer(s, dir).select(col("c_custkey"))),
+    referential("user_active_nation", col("user_id"),
+      Tables.customer(s, dir).filter(col("c_nationkey") < 10)
+        .select(col("c_custkey")), Screen))
+
+  def qReferential(s: SparkSession, dir: String): DataFrame =
+    evaluate(Tables.events(s, dir), eventRules(s, dir))
+
+  val qReferentialOracle: String = """
+    WITH a AS (
+      SELECT
+        SUM(CASE WHEN e.user_id IS NULL THEN 1 ELSE 0 END) AS user_id_not_null,
+        SUM(CASE WHEN e.user_id IS NOT NULL AND k.ck IS NULL THEN 1 ELSE 0 END) AS user_known_customer,
+        SUM(CASE WHEN e.user_id IS NOT NULL AND act.ck IS NULL THEN 1 ELSE 0 END) AS user_active_nation
+      FROM events e
+      LEFT JOIN (SELECT DISTINCT c_custkey AS ck FROM customer) k
+        ON e.user_id = k.ck
+      LEFT JOIN (SELECT DISTINCT c_custkey AS ck FROM customer
+                 WHERE c_nationkey < 10) act
+        ON e.user_id = act.ck)
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS pass
+    FROM (
+      SELECT 'user_id_not_null' AS rule, COALESCE(user_id_not_null, 0) AS n_violations FROM a
+      UNION ALL SELECT 'user_known_customer', COALESCE(user_known_customer, 0) FROM a
+      UNION ALL SELECT 'user_active_nation', COALESCE(user_active_nation, 0) FROM a)
+    ORDER BY rule"""
+
   val all: Seq[GateQuery] = Seq(
     GateQuery("t88_expectations", qExpectations, Some(qExpectationsOracle)),
     GateQuery("t89_expectations_by_source", qExpectationsBySource,
       Some(qExpectationsBySourceOracle)),
-    GateQuery("t90_rulepack", qRulePack, Some(qRulePackOracle)))
+    GateQuery("t90_rulepack", qRulePack, Some(qRulePackOracle)),
+    GateQuery("t91_referential", qReferential, Some(qReferentialOracle)))
 }

@@ -14,15 +14,21 @@ import org.apache.spark.sql.functions._
   *   {"name": "doc_id_unique",   "unique": "doc_id"}
   *   {"name": "lang_en_only",    "predicate": "lang <> 'en'", "severity": "screen"}
   *   {"name": "ids_unique_approx", "unique_approx": "doc_id", "rsd": 0.01}
+  *   {"name": "user_known", "fk": "user_id", "ref_table": "customer", "ref_key": "c_custkey"}
   * }}}
   *
   * Fields: `name` (required, `[A-Za-z0-9_]+` — enforced by
   * [[Expectations.Rule]] so a name can't smuggle SQL into the stack()
   * expr), `severity` (`invariant` default | `screen`), and EXACTLY ONE
   * of `predicate` (SQL boolean, TRUE = the row violates), `unique`
-  * (column whose surplus beyond distinct counts), or `unique_approx`
+  * (column whose surplus beyond distinct counts), `unique_approx`
   * (HLL surplus, optional `rsd`, Screen-only — a sketch estimate must
-  * never gate promotion).
+  * never gate promotion), or `fk` (referential integrity: the fk
+  * column, with required `ref_table`/`ref_key` naming the parent and
+  * an optional `ref_filter` SQL predicate restricting it — the dbt
+  * `relationships + where` shape). `fk` rules need the caller to pass
+  * a table resolver (the CLI wires the run's tables directory); a pack
+  * declaring one without a resolver fails loudly at parse.
   *
   * Parsing is DRIVER-SIDE Jackson (the JSON library Spark itself
   * ships) — a rule pack is tiny config, and parsing it must not run a
@@ -38,6 +44,14 @@ object RulePack {
 
   private def bad(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
+  /** What a pack with no `fk` rules gets by default: a resolver that
+    * refuses, so a referential rule can never be silently dropped.
+    */
+  val noResolver: String => org.apache.spark.sql.DataFrame = t =>
+    bad(s"rule pack declares an fk rule against table '$t' but the " +
+      "caller supplied no table resolver (graft-expect resolves against " +
+      "--in; graft-drop needs --ref-dir)")
+
   private def strField(node: com.fasterxml.jackson.databind.JsonNode,
       field: String): Option[String] =
     if (!node.hasNonNull(field)) None
@@ -45,7 +59,8 @@ object RulePack {
       bad(s"rule pack field '$field' must be a JSON string: ${node.get(field)}")
     else Some(node.get(field).asText())
 
-  private def parseLine(line: String): Expectations.Rule = {
+  private def parseLine(line: String,
+      resolve: String => org.apache.spark.sql.DataFrame): Expectations.Rule = {
     val node =
       try mapper.readTree(line)
       catch { case e: com.fasterxml.jackson.core.JacksonException =>
@@ -64,10 +79,11 @@ object RulePack {
     val pred = strField(node, "predicate")
     val uniq = strField(node, "unique")
     val uniqA = strField(node, "unique_approx")
-    (pred, uniq, uniqA) match {
-      case (Some(p), None, None) => Expectations.rowRule(name, expr(p), sev)
-      case (None, Some(c), None) => Expectations.unique(name, col(c), sev)
-      case (None, None, Some(c)) =>
+    val fk = strField(node, "fk")
+    (pred, uniq, uniqA, fk) match {
+      case (Some(p), None, None, None) => Expectations.rowRule(name, expr(p), sev)
+      case (None, Some(c), None, None) => Expectations.unique(name, col(c), sev)
+      case (None, None, Some(c), None) =>
         if (sev == Expectations.Invariant && sevField.isDefined)
           bad(s"rule $name: unique_approx is an HLL estimate and cannot be an " +
             "invariant — drop the severity field (it is Screen by contract) " +
@@ -78,35 +94,54 @@ object RulePack {
             bad(s"rule $name: 'rsd' must be a number: ${node.get("rsd")}")
           else node.get("rsd").asDouble()
         Expectations.uniqueApprox(name, col(c), rsd)
+      case (None, None, None, Some(fkCol)) =>
+        val refTable = strField(node, "ref_table").getOrElse(
+          bad(s"rule $name: fk rule requires 'ref_table'"))
+        val refKey = strField(node, "ref_key").getOrElse(
+          bad(s"rule $name: fk rule requires 'ref_key'"))
+        val parent = resolve(refTable)
+        val filtered = strField(node, "ref_filter")
+          .map(f => parent.filter(expr(f))).getOrElse(parent)
+        Expectations.referential(name, col(fkCol),
+          filtered.select(col(refKey)), sev)
       case _ => bad(
-        s"rule $name: exactly one of predicate | unique | unique_approx required")
+        s"rule $name: exactly one of predicate | unique | unique_approx | fk required")
     }
   }
 
-  /** Parse JSON-lines rule declarations (blank lines skipped). */
-  def parse(jsonLines: Seq[String]): Seq[Expectations.Rule] = {
+  /** Parse JSON-lines rule declarations (blank lines skipped).
+    * `resolve` maps an fk rule's `ref_table` name to its DataFrame —
+    * lazily built, no job runs; packs without fk rules never call it.
+    */
+  def parse(jsonLines: Seq[String],
+      resolve: String => org.apache.spark.sql.DataFrame = noResolver)
+      : Seq[Expectations.Rule] = {
     val lines = jsonLines.map(_.trim).filter(_.nonEmpty)
     if (lines.isEmpty) bad("rule pack declares no rules")
-    lines.map(parseLine)
+    lines.map(parseLine(_, resolve))
   }
 
   /** Load a rule pack from a file (local or any Hadoop-visible path —
     * the session is only used to resolve the filesystem, no job runs).
     */
-  def load(spark: SparkSession, path: String): Seq[Expectations.Rule] = {
+  def load(spark: SparkSession, path: String,
+      resolve: String => org.apache.spark.sql.DataFrame = noResolver)
+      : Seq[Expectations.Rule] = {
     val fs = graft.streaming.StreamingState.fsFor(spark, path)
     val in = fs.open(new org.apache.hadoop.fs.Path(path))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    parse(text.split("\n").toSeq)
+    parse(text.split("\n").toSeq, resolve)
   }
 
   /** Load a rule pack bundled on the classpath (the t90 gate fixture). */
-  def loadResource(resource: String): Seq[Expectations.Rule] = {
+  def loadResource(resource: String,
+      resolve: String => org.apache.spark.sql.DataFrame = noResolver)
+      : Seq[Expectations.Rule] = {
     val in = Option(getClass.getResourceAsStream(resource)).getOrElse(
       bad(s"rule pack resource not found: $resource"))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    parse(text.split("\n").toSeq)
+    parse(text.split("\n").toSeq, resolve)
   }
 }

@@ -115,6 +115,43 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(graft.app.GraftExpect.run(spark, dir) === 1L)
   }
 
+  test("referential rules: orphans counted, null fks exempt, other rules unperturbed") {
+    import spark.implicits._
+    val child = Seq(
+      ("a", Some(10L), 1L), ("a", Some(20L), 2L), ("a", Some(99L), 3L),
+      ("b", Some(20L), 4L), ("b", Some(99L), 5L), ("b", None, 6L))
+      .toDF("grp", "fk", "payload")
+    val parent = Seq(10L, 20L, 20L, 30L).toDF("pk") // dup key: distinct-reduced
+    val rules = Seq(
+      Expectations.referential("fk_known", col("fk"), parent),
+      Expectations.rowRule("payload_cap", col("payload") > 4L,
+        Expectations.Screen))
+    val global = Expectations.evaluate(child, rules)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // two rows carry fk=99 (orphan); the NULL fk row is exempt; the
+    // single-table rule's count is untouched by the stapled join (the
+    // distinct parent guarantees 1:1 — a dup pk must not double rows)
+    assert(global === Map("fk_known" -> 2L, "payload_cap" -> 2L))
+    // grouped grain routes each orphan to its group
+    val byGrp = Expectations.evaluateBy(child, rules, Seq("grp"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byGrp(("a", "fk_known")) === 1L && byGrp(("b", "fk_known")) === 1L)
+    // a multi-column keys frame is a declaration error, not a bad join
+    intercept[IllegalArgumentException](
+      Expectations.referential("bad", col("fk"), parent.withColumn("x", lit(1))))
+  }
+
+  test("t91 on the real corpus: known-customer passes, active-nation screen bites") {
+    val rep = Expectations.qReferential(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("user_id_not_null") === 0L)
+    assert(rep("user_known_customer") === 0L,
+      "every event user must resolve against the full customer table")
+    assert(rep("user_active_nation") > 0L,
+      "the filtered-parent screen must be non-vacuous on the corpus")
+  }
+
   test("document rule set on the real corpus: invariants pass, screens bite") {
     val rep = Expectations
       .qExpectations(spark, "/root/testdata/sf0.001")

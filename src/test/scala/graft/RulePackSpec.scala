@@ -75,6 +75,46 @@ class RulePackSpec extends AnyFunSuite {
     intercept[Exception](RulePack.parse(Seq.empty))
   }
 
+  test("fk rules parse with resolver, filter the parent, and count orphans") {
+    import spark.implicits._
+    val child = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
+      (4L, Some(30L)), (5L, None))
+      .toDF("id", "user_id")
+    val parent = Seq((10L, 1), (20L, 1), (30L, 5), (40L, 1))
+      .toDF("c_custkey", "c_nationkey")
+    val pack = RulePack.parse(Seq(
+      """{"name": "user_known", "fk": "user_id", "ref_table": "customer", "ref_key": "c_custkey"}""",
+      """{"name": "user_small_nation", "fk": "user_id", "ref_table": "customer", "ref_key": "c_custkey", "ref_filter": "c_nationkey < 3", "severity": "screen"}"""),
+      resolve = { case "customer" => parent })
+    assert(pack.map(_.severity) ===
+      Seq(Expectations.Invariant, Expectations.Screen))
+    val got = Expectations.evaluate(child, pack)
+      .collect().map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations"))
+      .toMap
+    // 99 is an orphan everywhere; 30's parent is filtered out of the
+    // small-nation subset; the NULL fk is never a violation
+    assert(got === Map("user_known" -> 1L, "user_small_nation" -> 2L))
+  }
+
+  test("fk declarations fail loudly when incomplete or unresolvable") {
+    def fails(line: String, want: String,
+        resolve: String => org.apache.spark.sql.DataFrame = RulePack.noResolver)
+        : Unit = {
+      val e = intercept[Exception](RulePack.parse(Seq(line), resolve))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(want)),
+        s"expected failure mentioning '$want', got: $e")
+    }
+    fails("""{"name": "x", "fk": "a"}""", "requires 'ref_table'")
+    fails("""{"name": "x", "fk": "a", "ref_table": "t"}""", "requires 'ref_key'")
+    fails("""{"name": "x", "fk": "a", "predicate": "b"}""", "exactly one")
+    // a pack with an fk rule but no resolver must refuse, not skip
+    fails("""{"name": "x", "fk": "a", "ref_table": "t", "ref_key": "k"}""",
+      "no table resolver")
+  }
+
   test("the bundled t90 fixture loads and bites on the real corpus") {
     val pack = RulePack.loadResource("/rulepacks/documents.json")
     assert(pack.size === 6)
