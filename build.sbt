@@ -31,5 +31,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Local-mode resilience for the big-heap scale campaigns: a full-GC
+  // pause on a ~100g heap can exceed the 120s default network timeout,
+  // and the HeartbeatReceiver then removes the one "executor" and
+  // shuts the context down mid-run (lost an sf10 sweep to exactly
+  // this). Heartbeats every 30s with a 600s tolerance ride out any
+  // realistic pause; both values are what a real cluster deployment
+  // would set for large-executor configs.
+  "-Dspark.network.timeout=600s",
+  "-Dspark.executor.heartbeatInterval=30s",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
