@@ -577,7 +577,11 @@ object GraftDrop {
     // declared as a RulePack JSON-lines file; --quality-by <cols>
     // evaluates it at that grain (comma-separated, e.g. `source`);
     // --ref-dir <tablesDir> resolves fk rules' parent tables (the drop
-    // input itself is batch-shaped, not a tables directory)
+    // input itself is batch-shaped, not a tables directory). Parents
+    // are resolved INSIDE each drop's quality evaluation (r15 —
+    // RulePack defers resolution into the rule's prepare hook), so a
+    // dimension table updated mid-campaign is re-read fresh at the
+    // next drop, never snapshotted at startup.
     val refResolve = Cli.arg(args, "--ref-dir")
       .map[String => org.apache.spark.sql.DataFrame](d =>
         t => graft.Tables.table(spark, d, t))

@@ -101,12 +101,38 @@ object Expectations {
     require(keys.columns.length == 1,
       s"referential rule $name: keys frame must have exactly one column, " +
         s"got [${keys.columns.mkString(", ")}]")
+    referentialLazy(name, fk, () => keys, severity)
+  }
+
+  /** [[referential]] with the parent frame supplied as a thunk, resolved
+    * only when the rule set is EVALUATED (r15, closing the r14 ADVICE
+    * items on RulePack): a declarative rule pack parses IO-free — no
+    * file listing, no schema inference, no job — and a long-running
+    * drop campaign re-resolves its parent tables at every evaluation,
+    * so a dimension table updated mid-campaign is seen fresh instead of
+    * snapshotted at parse. The prepare closure also rejects a marker
+    * collision (`__ref_<name>` already a column of the evaluated frame)
+    * as a clear declaration error rather than the ambiguous-column
+    * AnalysisException the join would otherwise throw.
+    */
+  def referentialLazy(name: String, fk: Column, keys: () => DataFrame,
+      severity: Severity = Invariant): Rule = {
     val marker = s"__ref_$name"
-    val dim = keys.distinct().withColumnRenamed(keys.columns.head, marker)
     Rule(name,
       sum(when(fk.isNotNull && col(marker).isNull, 1L).otherwise(0L)),
       severity,
-      Some(df => df.join(dim, fk === col(marker), "left")))
+      Some { df =>
+        require(!df.columns.contains(marker),
+          s"referential rule $name: the evaluated frame already has a " +
+            s"column named '$marker' (the rule's presence marker) — " +
+            "rename the column or the rule")
+        val k = keys()
+        require(k.columns.length == 1,
+          s"referential rule $name: keys frame must have exactly one " +
+            s"column, got [${k.columns.mkString(", ")}]")
+        val dim = k.distinct().withColumnRenamed(k.columns.head, marker)
+        df.join(dim, fk === col(marker), "left")
+      })
   }
 
   /** Evaluate all rules in one aggregation pass:

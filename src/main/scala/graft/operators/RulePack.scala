@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
   * never gate promotion), or `fk` (referential integrity: the fk
   * column, with required `ref_table`/`ref_key` naming the parent and
   * an optional `ref_filter` SQL predicate restricting it — the dbt
-  * `relationships + where` shape). `fk` rules need the caller to pass
-  * a table resolver (the CLI wires the run's tables directory); a pack
-  * declaring one without a resolver fails loudly at parse.
+  * `relationships + where` shape). Any field outside the matched
+  * kind's allowlist is a loud parse error — a typo'd `ref_filter` or a
+  * field mixed in from another kind must never silently weaken a rule.
+  * `fk` rules need the caller to pass a table resolver (the CLI wires
+  * the run's tables directory); a pack declaring one without a
+  * resolver fails loudly at first EVALUATION (resolution is deferred
+  * into the rule's prepare hook, so parsing itself stays IO-free).
   *
   * Parsing is DRIVER-SIDE Jackson (the JSON library Spark itself
   * ships) — a rule pack is tiny config, and parsing it must not run a
@@ -59,6 +63,33 @@ object RulePack {
       bad(s"rule pack field '$field' must be a JSON string: ${node.get(field)}")
     else Some(node.get(field).asText())
 
+  /** Per-kind field allowlists: a typo'd field (`ref_filter` →
+    * `where`), or a field from ANOTHER kind mixed in (`predicate` +
+    * `ref_table`, `rsd` on an fk rule), must be a loud parse error —
+    * otherwise the pack parses as some narrower rule and the dropped
+    * field silently weakens the firewall (r14 ADVICE, medium).
+    */
+  private val kindFields: Map[String, Set[String]] = Map(
+    "predicate"     -> Set("predicate"),
+    "unique"        -> Set("unique"),
+    "unique_approx" -> Set("unique_approx", "rsd"),
+    "fk"            -> Set("fk", "ref_table", "ref_key", "ref_filter"))
+
+  private def requireFields(node: com.fasterxml.jackson.databind.JsonNode,
+      name: String, kind: String): Unit = {
+    val allowed = kindFields(kind) ++ Set("name", "severity")
+    val fields = {
+      val it = node.fieldNames()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val extra = fields.filterNot(allowed)
+    if (extra.nonEmpty) bad(
+      s"rule $name: unexpected field(s) [${extra.mkString(", ")}] for a " +
+        s"'$kind' rule — allowed: ${allowed.toSeq.sorted.mkString(", ")}")
+  }
+
   private def parseLine(line: String,
       resolve: String => org.apache.spark.sql.DataFrame): Expectations.Rule = {
     val node =
@@ -81,9 +112,14 @@ object RulePack {
     val uniqA = strField(node, "unique_approx")
     val fk = strField(node, "fk")
     (pred, uniq, uniqA, fk) match {
-      case (Some(p), None, None, None) => Expectations.rowRule(name, expr(p), sev)
-      case (None, Some(c), None, None) => Expectations.unique(name, col(c), sev)
+      case (Some(p), None, None, None) =>
+        requireFields(node, name, "predicate")
+        Expectations.rowRule(name, expr(p), sev)
+      case (None, Some(c), None, None) =>
+        requireFields(node, name, "unique")
+        Expectations.unique(name, col(c), sev)
       case (None, None, Some(c), None) =>
+        requireFields(node, name, "unique_approx")
         if (sev == Expectations.Invariant && sevField.isDefined)
           bad(s"rule $name: unique_approx is an HLL estimate and cannot be an " +
             "invariant — drop the severity field (it is Screen by contract) " +
@@ -95,23 +131,34 @@ object RulePack {
           else node.get("rsd").asDouble()
         Expectations.uniqueApprox(name, col(c), rsd)
       case (None, None, None, Some(fkCol)) =>
+        requireFields(node, name, "fk")
         val refTable = strField(node, "ref_table").getOrElse(
           bad(s"rule $name: fk rule requires 'ref_table'"))
         val refKey = strField(node, "ref_key").getOrElse(
           bad(s"rule $name: fk rule requires 'ref_key'"))
-        val parent = resolve(refTable)
-        val filtered = strField(node, "ref_filter")
-          .map(f => parent.filter(expr(f))).getOrElse(parent)
-        Expectations.referential(name, col(fkCol),
-          filtered.select(col(refKey)), sev)
+        val refFilter = strField(node, "ref_filter")
+        // parent resolution is DEFERRED into the rule's prepare hook
+        // (referentialLazy): parsing a pack stays IO-free — no file
+        // listing, no schema inference — and a long-running drop
+        // campaign sees parent-table updates at every evaluation
+        // instead of a parse-time snapshot
+        Expectations.referentialLazy(name, col(fkCol), () => {
+          val parent = resolve(refTable)
+          val filtered = refFilter
+            .map(f => parent.filter(expr(f))).getOrElse(parent)
+          filtered.select(col(refKey))
+        }, sev)
       case _ => bad(
         s"rule $name: exactly one of predicate | unique | unique_approx | fk required")
     }
   }
 
   /** Parse JSON-lines rule declarations (blank lines skipped).
-    * `resolve` maps an fk rule's `ref_table` name to its DataFrame —
-    * lazily built, no job runs; packs without fk rules never call it.
+    * `resolve` maps an fk rule's `ref_table` name to its DataFrame.
+    * It is NOT called here: resolution happens inside the rule's
+    * prepare hook at each evaluation, so parsing runs no IO (no file
+    * listing, no schema-inference job) and a drop campaign re-reads
+    * updated parents fresh per drop.
     */
   def parse(jsonLines: Seq[String],
       resolve: String => org.apache.spark.sql.DataFrame = noResolver)

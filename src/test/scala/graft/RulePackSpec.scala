@@ -110,9 +110,72 @@ class RulePackSpec extends AnyFunSuite {
     fails("""{"name": "x", "fk": "a"}""", "requires 'ref_table'")
     fails("""{"name": "x", "fk": "a", "ref_table": "t"}""", "requires 'ref_key'")
     fails("""{"name": "x", "fk": "a", "predicate": "b"}""", "exactly one")
-    // a pack with an fk rule but no resolver must refuse, not skip
-    fails("""{"name": "x", "fk": "a", "ref_table": "t", "ref_key": "k"}""",
-      "no table resolver")
+    // a pack with an fk rule but no resolver parses (resolution is
+    // deferred, r15) but must refuse at EVALUATION, not skip the rule
+    import spark.implicits._
+    val pack = RulePack.parse(Seq(
+      """{"name": "x", "fk": "a", "ref_table": "t", "ref_key": "k"}"""))
+    val e = intercept[Exception](
+      Expectations.evaluate(Seq(1L).toDF("a"), pack).collect())
+    assert(e.getMessage.contains("no table resolver"))
+  }
+
+  test("unknown or cross-kind fields fail loudly per kind (r15, r14 ADVICE)") {
+    def fails(line: String, want: String): Unit = {
+      val e = intercept[IllegalArgumentException](RulePack.parse(Seq(line)))
+      assert(e.getMessage.contains(want),
+        s"expected failure mentioning '$want', got: ${e.getMessage}")
+    }
+    // dbt-style 'where' instead of 'ref_filter': silently gating against
+    // the UNFILTERED parent would be a firewall hole
+    fails("""{"name": "x", "fk": "a", "ref_table": "t", "ref_key": "k", "where": "n < 3"}""",
+      "unexpected field(s) [where]")
+    // a field from another kind mixed in parses as one kind — reject the strays
+    fails("""{"name": "x", "fk": "a", "ref_table": "t", "ref_key": "k", "rsd": 0.01}""",
+      "unexpected field(s) [rsd]")
+    fails("""{"name": "x", "predicate": "a IS NULL", "ref_table": "t"}""",
+      "unexpected field(s) [ref_table]")
+    fails("""{"name": "x", "unique": "a", "ref_filter": "b"}""",
+      "unexpected field(s) [ref_filter]")
+    // plain typos on any kind
+    fails("""{"name": "x", "predicate": "a IS NULL", "predciate_extra": 1}""",
+      "unexpected field(s) [predciate_extra]")
+  }
+
+  test("parsing an fk pack runs no resolver; evaluation re-resolves fresh each time (r15)") {
+    import spark.implicits._
+    var calls = 0
+    var parentKeys: Seq[Long] = Seq(10L, 20L)
+    val resolve: String => org.apache.spark.sql.DataFrame = { _ =>
+      calls += 1
+      parentKeys.toDF("pk")
+    }
+    val pack = RulePack.parse(Seq(
+      """{"name": "fk_known", "fk": "fk", "ref_table": "p", "ref_key": "pk"}"""),
+      resolve)
+    assert(calls === 0, "parse must not resolve parent tables (IO-free)")
+    val child = Seq(Some(10L), Some(20L), Some(99L)).toDF("fk")
+    def orphans(): Long = Expectations.evaluate(child, pack)
+      .collect().head.getAs[Long]("n_violations")
+    assert(orphans() === 1L)
+    assert(calls === 1)
+    // the parent "table" gains the missing key mid-campaign: the next
+    // evaluation must see it (fresh per-evaluation resolution, never a
+    // parse-time snapshot)
+    parentKeys = Seq(10L, 20L, 99L)
+    assert(orphans() === 0L)
+    assert(calls === 2)
+  }
+
+  test("a marker-name collision is a clear declaration error (r15, r14 ADVICE)") {
+    import spark.implicits._
+    val parent = Seq(10L).toDF("pk")
+    val rule = Expectations.referential("k", org.apache.spark.sql.functions.col("fk"), parent)
+    val clashing = Seq((Some(10L), 1)).toDF("fk", "__ref_k")
+    val e = intercept[IllegalArgumentException](
+      Expectations.evaluate(clashing, Seq(rule)).collect())
+    assert(e.getMessage.contains("__ref_k"),
+      s"expected the collision message to name the marker, got: ${e.getMessage}")
   }
 
   test("the bundled t90 fixture loads and bites on the real corpus") {
