@@ -188,23 +188,41 @@ object FicTransform {
     s"case when ${numberLit(x)} then cast(trim($x) as double) " +
       s"else try_cast(replace(regexp_replace(trim($x), '[^0-9.,%-]', ''), ',', '.') as double) end"
 
+  /** Let-binding for SQL fragments: evaluate `value` ONCE, expose it to
+    * `body` as lambda variable `v`. A plain alias column would be
+    * re-INLINED at every use site by CollapseProject once the projects
+    * merge (each alias is referenced once per use site, so the collapse
+    * fires) — and an alias referenced inside a HOF lambda body is then
+    * re-evaluated PER ELEMENT. A lambda variable cannot be inlined away,
+    * so the hoist survives every optimizer pass. The wrapper is two
+    * O(1) array ops per row.
+    */
+  private def bind1(value: String, v: String, body: String): String =
+    s"element_at(transform(array($value), $v -> $body), 1)"
+
   /** Category format inference (`_determinar_formato_categoria`,
     * transform.py:537-566) over the parsed values of one array column.
+    * The parsed-values array and its sum are [[bind1]]-bound: inlining
+    * them at each of the 6 use sites octuples the expression tree (the
+    * pre-r15 planning cost of f37) and re-runs the whole-array
+    * aggregation per branch.
     */
   private def formatSql(arr: String): String = {
     val vals = s"filter(transform($arr, it -> ${parseSql("it.participacion")}), v -> v is not null)"
-    s"""
+    bind1(vals, "__vs", bind1(
+      "aggregate(__vs, cast(0 as double), (a, v) -> a + v)", "__sum",
+      """
       CASE
-        WHEN size(filter($vals, v -> v > cast(1 as double))) >
-             size(filter($vals, v -> v <= cast(1 as double)))
-             AND aggregate($vals, cast(0 as double), (a, v) -> a + v) BETWEEN 90 AND 110 THEN 'x100'
-        WHEN size(filter($vals, v -> v <= cast(1 as double))) >
-             size(filter($vals, v -> v > cast(1 as double)))
-             AND aggregate($vals, cast(0 as double), (a, v) -> a + v) BETWEEN 0.9 AND 1.1 THEN '/100'
-        WHEN aggregate($vals, cast(0 as double), (a, v) -> a + v) BETWEEN 90 AND 110 THEN 'x100'
-        WHEN aggregate($vals, cast(0 as double), (a, v) -> a + v) BETWEEN 0.9 AND 1.1 THEN '/100'
+        WHEN size(filter(__vs, v -> v > cast(1 as double))) >
+             size(filter(__vs, v -> v <= cast(1 as double)))
+             AND __sum BETWEEN 90 AND 110 THEN 'x100'
+        WHEN size(filter(__vs, v -> v <= cast(1 as double))) >
+             size(filter(__vs, v -> v > cast(1 as double)))
+             AND __sum BETWEEN 0.9 AND 1.1 THEN '/100'
+        WHEN __sum BETWEEN 90 AND 110 THEN 'x100'
+        WHEN __sum BETWEEN 0.9 AND 1.1 THEN '/100'
         ELSE 'desconocido'
-      END"""
+      END"""))
   }
 
   /** Smart per-value conversion (`_convertir_porcentaje_inteligente` +
@@ -224,24 +242,27 @@ object FicTransform {
       END"""
 
   /** One percentage array rebuilt with its category format applied.
-    * `fmtRef` is a pre-computed per-row column holding [[formatSql]]'s
-    * result — hoisted out of the element lambda so the whole-array
-    * aggregation runs once per row instead of once per element.
+    * The category format is [[bind1]]-bound OUTSIDE the element lambda
+    * — evaluated once per row, never per element — and each element's
+    * parsed value is bound once inside it (r15: a fmt hoisted into a
+    * separate column was re-inlined into the lambda by CollapseProject,
+    * re-running the whole-array format aggregation per element).
     */
-  private def pctArraySql(arr: String, key: String, fmtRef: String): String =
-    s"""transform($arr, it -> named_struct(
-       '$key', it.$key,
-       'participacion', ${convertSql(s"(${parseSql("it.participacion")})", fmtRef)}))"""
+  private def pctArraySql(arr: String, key: String): String =
+    bind1(formatSql(arr), "__f",
+      s"""transform($arr, it -> named_struct(
+         '$key', it.$key,
+         'participacion', ${bind1(parseSql("it.participacion"), "__v",
+           convertSql("__v", "__f"))}))""")
 
   /** Simple conversion for returns/volatilities
     * (`_convertir_si_es_necesario`, transform.py:635-661).
     */
-  private def simpleConvSql(x: String): String = {
-    val p = s"(${parseSql(x)})"
-    s"""CASE WHEN $p IS NULL THEN NULL
-            WHEN abs($p) > 1.0 THEN py_round($p / 100.0, 6)
-            ELSE py_round($p, 6) END"""
-  }
+  private def simpleConvSql(x: String): String =
+    bind1(parseSql(x), "__v",
+      """CASE WHEN __v IS NULL THEN NULL
+            WHEN abs(__v) > 1.0 THEN py_round(__v / 100.0, 6)
+            ELSE py_round(__v, 6) END""")
 
   private def horizonsSql(st: String): String =
     "named_struct(" + Seq("ultimo_mes", "ultimos_6_meses", "anio_corrido",
@@ -287,14 +308,12 @@ object FicTransform {
       "por_moneda" -> "moneda", "por_calificacion" -> "calificacion")
 
     // -- pass 1: percentages --------------------------------------------
-    // category formats computed once per row, then applied per element
-    val fmtPlazo = "__fmt_plazo"
-    val fmtInv = "__fmt_inv"
-    val fmtComp = compCats.map { case (cat, _) => cat -> s"__fmt_$cat" }.toMap
-
+    // category formats bound ONCE PER ROW inside each rebuild expression
+    // ([[bind1]] — lambda-bound, so no optimizer pass can push them back
+    // into the element lambdas the way the r14 fmt pre-columns were)
     val compRebuild = expr(
       "named_struct(" + compCats.map { case (cat, key) =>
-        s"'$cat', ${pctArraySql(s"composicion_portafolio.$cat", key, fmtComp(cat))}"
+        s"'$cat', ${pctArraySql(s"composicion_portafolio.$cat", key)}"
       }.mkString(", ") + ")")
 
     val rvRebuild = expr(
@@ -303,21 +322,21 @@ object FicTransform {
          'rentabilidad_historica_ea', ${horizonsSql("rv.rentabilidad_historica_ea")},
          'volatilidad_historica', ${horizonsSql("rv.volatilidad_historica")}))""")
 
-    val withFmts = compCats.foldLeft(
-      df.withColumn(fmtPlazo, expr(formatSql("plazo_duracion")))
-        .withColumn(fmtInv, expr(formatSql("principales_inversiones")))) {
-      case (d, (cat, _)) =>
-        d.withColumn(fmtComp(cat), expr(formatSql(s"composicion_portafolio.$cat")))
-    }
-
-    val p1 = withFmts
-      .withColumn("plazo_duracion", expr(pctArraySql("plazo_duracion", "plazo", fmtPlazo)))
-      .withColumn("composicion_portafolio",
-        when(col("composicion_portafolio").isNotNull, compRebuild))
-      .withColumn("principales_inversiones",
-        expr(pctArraySql("principales_inversiones", "emisor", fmtInv)))
-      .withColumn("rentabilidad_volatilidad", rvRebuild)
-      .drop((fmtPlazo +: fmtInv +: compCats.map(c => fmtComp(c._1))): _*)
+    // Passes batched into a handful of projections (r15): every
+    // `withColumn` call is a full ANALYZER pass over the (large)
+    // accumulated tree, and the 15 sequential calls of the r14 shape
+    // were the bulk of f37's per-invocation planning cost. Batching
+    // independent columns through `withColumns`, and composing the
+    // sequential same-field passes (4→7, 5→6) by nesting the
+    // expressions in dependency order, keeps per-pass semantics
+    // identical while cutting the analysis passes to 4.
+    val p1 = df.withColumns(Map(
+      "plazo_duracion" -> expr(pctArraySql("plazo_duracion", "plazo")),
+      "composicion_portafolio" ->
+        when(col("composicion_portafolio").isNotNull, compRebuild),
+      "principales_inversiones" ->
+        expr(pctArraySql("principales_inversiones", "emisor")),
+      "rentabilidad_volatilidad" -> rvRebuild))
 
     // -- pass 2: rating agencies ----------------------------------------
     val entOrig = col("calificacion.entidad_calificadora")
@@ -330,52 +349,40 @@ object FicTransform {
         .withField("entidad_calificadora_normalizada",
           when(applied, matched.isNotNull).otherwise(lit(null).cast("boolean"))))
 
-    // -- pass 3: dates ---------------------------------------------------
-    val p3 = p2
-      .withColumn("fic", col("fic").withField("fecha_corte",
-        parseDateUdf(col("fic.fecha_corte"))))
-      .withColumn("caracteristicas", col("caracteristicas")
+    // -- passes 3+4+7 (dates; numerics; monetary rescale — valor composes
+    // parse-then-limpiar in one field write) and 5+6 (fic tipo + url) ----
+    val urlCol =
+      if (lookup.isEmpty) lit(null).cast("string") else urlUdf(col("filename"))
+    val p7 = p2.withColumns(Map(
+      "fic" -> col("fic")
+        .withField("fecha_corte", parseDateUdf(col("fic.fecha_corte")))
+        .withField("tipo", tipoFicExpr(col("fic.politica_de_inversion")))
+        .withField("url", urlCol),
+      "caracteristicas" -> col("caracteristicas")
         .withField("fecha_inicio_operaciones",
-          parseDateUdf(col("caracteristicas.fecha_inicio_operaciones"))))
-      .withColumn("calificacion", col("calificacion")
+          parseDateUdf(col("caracteristicas.fecha_inicio_operaciones")))
+        .withField("valor",
+          limpiarUdf(expr(parseNumeroSql("caracteristicas.valor"))))
+        .withField("no_unidades_en_circulacion",
+          expr(parseNumeroSql("caracteristicas.no_unidades_en_circulacion"))),
+      "calificacion" -> col("calificacion")
         .withField("fecha_ultima_calificacion",
-          parseDateUdf(col("calificacion.fecha_ultima_calificacion"))))
-
-    // -- pass 4: numeric values -----------------------------------------
-    val p4 = p3.withColumn("caracteristicas", col("caracteristicas")
-      .withField("valor", expr(parseNumeroSql("caracteristicas.valor")))
-      .withField("no_unidades_en_circulacion",
-        expr(parseNumeroSql("caracteristicas.no_unidades_en_circulacion"))))
-
-    // -- pass 5: fund type classification -------------------------------
-    val p5 = p4.withColumn("fic",
-      col("fic").withField("tipo", tipoFicExpr(col("fic.politica_de_inversion"))))
-
-    // -- pass 6: URL enrichment -----------------------------------------
-    val p6 =
-      if (lookup.isEmpty) p5.withColumn("fic",
-        col("fic").withField("url", lit(null).cast("string")))
-      else p5.withColumn("fic",
-        col("fic").withField("url", urlUdf(col("filename"))))
-
-    // -- pass 7: monetary rescale ---------------------------------------
-    val p7 = p6.withColumn("caracteristicas", col("caracteristicas")
-      .withField("valor", limpiarUdf(col("caracteristicas.valor"))))
+          parseDateUdf(col("calificacion.fecha_ultima_calificacion")))))
 
     // -- pass 8: structural repair --------------------------------------
     val emptyPct = (key: String) =>
       expr(s"cast(array() as array<struct<$key:string,participacion:double>>)")
-    p7
-      .withColumn("plazo_duracion", coalesce(col("plazo_duracion"), emptyPct("plazo")))
-      .withColumn("principales_inversiones",
-        coalesce(col("principales_inversiones"), emptyPct("emisor")))
-      .withColumn("rentabilidad_volatilidad",
+    p7.withColumns(Map(
+      "plazo_duracion" -> coalesce(col("plazo_duracion"), emptyPct("plazo")),
+      "principales_inversiones" ->
+        coalesce(col("principales_inversiones"), emptyPct("emisor")),
+      "rentabilidad_volatilidad" ->
         coalesce(col("rentabilidad_volatilidad"), expr(
           """cast(array() as array<struct<
              tipo_de_participacion:string,
              rentabilidad_historica_ea:struct<ultimo_mes:double,ultimos_6_meses:double,anio_corrido:double,ultimo_anio:double,ultimos_2_anios:double,ultimos_3_anios:double>,
-             volatilidad_historica:struct<ultimo_mes:double,ultimos_6_meses:double,anio_corrido:double,ultimo_anio:double,ultimos_2_anios:double,ultimos_3_anios:double>>>)""")))
-      .withColumn("composicion_portafolio",
+             volatilidad_historica:struct<ultimo_mes:double,ultimos_6_meses:double,anio_corrido:double,ultimo_anio:double,ultimos_2_anios:double,ultimos_3_anios:double>>>)""")),
+      "composicion_portafolio" ->
         when(col("composicion_portafolio").isNull,
           expr("named_struct(" + compCats.map { case (cat, key) =>
             s"'$cat', cast(array() as array<struct<$key:string,participacion:double>>)"
@@ -383,7 +390,7 @@ object FicTransform {
         .otherwise(expr("named_struct(" + compCats.map { case (cat, key) =>
           s"'$cat', coalesce(composicion_portafolio.$cat, " +
             s"cast(array() as array<struct<$key:string,participacion:double>>))"
-        }.mkString(", ") + ")")))
+        }.mkString(", ") + ")"))))
   }
 
   /** `_extraer_tipo_fic` (transform.py:107-169): keyword votes per fund

@@ -374,53 +374,66 @@ object Analytics {
         .groupBy(col("l_returnflag"), col("bin"))
         .agg(sum(col("vc")).as("cnt"))
     }
-    val wb = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val hcum = hist.withColumn("cum", sum(col("cnt")).over(wb))
-    val state = hist.groupBy(col("l_returnflag"))
-      .agg(sum(col("cnt")).as("n"),
+    // Per-group IN-ROW fold over the ≤[[QsB]]-element bin array (r15):
+    // the sketch state, the rank targets AND the estimate's
+    // (est_bin, prev) all derive from the same ≤256 (bin, cnt) pairs,
+    // so one collect_list aggregation + an `aggregate` HOF scan per
+    // (group, q) replaces the hcum window, the separate state
+    // aggregation and the ks×hcum join-groupBy of the r11 shape —
+    // 3 exchanges + a window sort collapse into 1 exchange of
+    // groups×≤QsB rows. Bounded by construction at ANY corpus size:
+    // the folded array never exceeds QsB elements.
+    val byGroup = hist.groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_list(struct(col("bin"), col("cnt")))).as("bins"),
+        sum(col("cnt")).as("n"),
         sum(col("bin") * col("cnt")).as("state_sum"),
         count(lit(1)).as("nonzero_bins"))
-    val ks = state
+    // first bin whose cumulative count reaches k, carrying the
+    // cumulative count strictly below it (prev) — in-row, no window
+    val est = byGroup
       .select(col("l_returnflag"), col("n"), col("state_sum"),
-        col("nonzero_bins"), explode(expr("array(50L, 95L, 99L)")).as("q"))
+        col("nonzero_bins"), col("bins"),
+        explode(expr("array(50L, 95L, 99L)")).as("q"))
       .withColumn("k", expr("(n * q + 99) div 100"))
-    // min(struct(bin, cum)) picks the first bin whose cumulative
-    // count reaches k AND carries that bin's cum along — prev (the
-    // count strictly below est_bin) falls out without a second join.
-    val est = ks.join(hcum, Seq("l_returnflag"))
-      .filter(col("cum") >= col("k"))
-      .groupBy(col("l_returnflag"), col("q"), col("n"), col("k"),
-        col("state_sum"), col("nonzero_bins"))
-      .agg(min(struct(col("bin"),
-        (col("cum") - col("cnt")).as("prev"))).as("eb"))
+      .withColumn("eb", expr(
+        """aggregate(bins,
+             named_struct('cum', 0L, 'bin', -1L, 'prev', 0L),
+             (acc, x) -> if(acc.bin >= 0, acc,
+               named_struct(
+                 'cum', acc.cum + x.cnt,
+                 'bin', if(acc.cum + x.cnt >= k, x.bin, -1L),
+                 'prev', if(acc.cum + x.cnt >= k, acc.cum, 0L))))"""))
       .select(col("l_returnflag"), col("q"), col("n"), col("k"),
         col("state_sum"), col("nonzero_bins"),
         col("eb.bin").as("est_bin"), col("eb.prev").as("prev"))
       .withColumn("est_edge_cents", col("est_bin") * lit(QsW))
     // BIN-LOCAL exact rank: the rank-k value provably lives in
     // est_bin (cumulative count through bins < est_bin is prev < k,
-    // through est_bin is ≥ k, and bin is monotone in cents), so the
-    // cumulative scan only needs the values INSIDE the ≤ groups×3
-    // target bins — a ≤QsW-distinct-values window per (group, q) —
-    // instead of the full per-group distinct-value relation the r10
-    // formulation sorted and fanned ×3 through the ks join (the
-    // judge-measured 0.9 s of its 2.3 s floor).
-    val wloc = Window.partitionBy(col("l_returnflag"), col("q"))
-      .orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val exact = vals
+    // through est_bin is ≥ k, and bin is monotone in cents), so only
+    // the values INSIDE the ≤ groups×3 target bins feed the scan —
+    // ≤[[QsW]] distinct values per (group, q) by bin width. r15: the
+    // scan is the same in-row fold as est (sorted value array + prev
+    // seed), and est's columns ride along as grouping keys (each is
+    // functionally dependent on (group, q)), so the old wloc window
+    // exchange AND the final est⋈exact join disappear outright.
+    vals
       .withColumn("bin", least(expr(s"cents div $QsW"), lit(QsB - 1L)))
-      .join(broadcast(est.select(col("l_returnflag"), col("q"),
-        col("k"), col("prev"), col("est_bin").as("bin"))),
+      .join(broadcast(est.withColumnRenamed("est_bin", "bin")),
         Seq("l_returnflag", "bin"))
-      .withColumn("lcum", sum(col("vc")).over(wloc) + col("prev"))
-      .filter(col("lcum") >= col("k"))
-      .groupBy(col("l_returnflag"), col("q"))
-      .agg(min(col("cents")).as("exact_cents"))
-    est.join(exact, Seq("l_returnflag", "q"))
+      .groupBy(col("l_returnflag"), col("q"), col("n"), col("k"),
+        col("bin"), col("est_edge_cents"), col("state_sum"),
+        col("nonzero_bins"), col("prev"))
+      .agg(sort_array(collect_list(struct(col("cents"), col("vc")))).as("vs"))
+      .withColumn("exact_cents", expr(
+        """aggregate(vs,
+             named_struct('cum', prev, 'c', -1L),
+             (acc, x) -> if(acc.c >= 0, acc,
+               named_struct(
+                 'cum', acc.cum + x.vc,
+                 'c', if(acc.cum + x.vc >= k, x.cents, -1L))),
+             acc -> acc.c)"""))
       .select(col("l_returnflag"), col("q"), col("n"), col("k"),
-        col("est_bin"), col("est_edge_cents"), col("exact_cents"),
+        col("bin").as("est_bin"), col("est_edge_cents"), col("exact_cents"),
         col("state_sum"), col("nonzero_bins"))
       .orderBy(col("l_returnflag"), col("q"))
   }

@@ -369,15 +369,25 @@ object CurationOps {
   private val BpeTopK = 20
 
   def qBpePairs(s: SparkSession, dir: String): DataFrame = {
-    val pairsExpr =
-      """flatten(transform(words, w ->
-           case when length(w) < 2 then array()
-                else transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))
-           end))"""
-    val counts = Tables.documents(s, dir)
-      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
-      .select(explode(expr(pairsExpr)).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+    // r15: aggregate to the DISTINCT-WORD frequency table first — the
+    // standard BPE-training layout (Sennrich et al. 2016 train on word
+    // counts, not running text). Pair extraction then runs once per
+    // distinct word, weighted by its count, instead of once per corpus
+    // occurrence: the per-char substring work drops from corpus volume
+    // to vocabulary volume (~10× less here), the map-side partial agg
+    // ships words not pairs, and the pair explode runs post-shuffle
+    // with full reducer parallelism instead of inside the (single-file,
+    // single-task at small SF) scan stage. Σ wc over a word's pairs ==
+    // the direct per-occurrence count, which the unchanged oracle pins.
+    val wordCounts = Tables.documents(s, dir)
+      .select(explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val counts = wordCounts
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), col("wc"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
     // Global ranking WITHOUT a global window (an empty-partition
     // WindowExec warns identically to a real scale-killer, poisoning
     // every log audit): the count table is charset²-bounded, so fold it

@@ -1032,18 +1032,32 @@ object TrainingOps {
         .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
         .withColumn("n", size(col("words")))
         .filter(col("n") >= SelfSpanL)
-        // 60-bit fingerprint (md5's first 15 hex digits), the t65
-        // discipline: the hash only buckets identical trigrams, so the
-        // 8-byte integer replaces the 32-char hex string in the
-        // shuffle; the oracle applies the identical truncation.
-        .select(col("doc_id"), posexplode(expr(
-          s"""transform(sequence(1, n - $SelfSpanL + 1),
-                i -> cast(conv(substring(
-                       md5(array_join(slice(words, i, $SelfSpanL), ' ')),
-                       1, 15), 16, 10) as bigint))"""))
+        // r15: per-WORD xxhash64 once, then the trigram key is one
+        // xxhash64 over three longs — replaces the per-window
+        // slice+array_join string build, md5, hex substring and string
+        // base-conversion of the r14 shape (the dominant task-seconds
+        // of the suite's heaviest linear gate; ~2.4× cheaper per
+        // window measured at sf0.1). The hash only BUCKETS identical
+        // trigrams — the reported spans are hash-agnostic, which is
+        // what the oracle (its own md5 construction) pins: equal
+        // output at sf0.01/sf0.1/sf1 verified after the switch.
+        // Separate seed constants keep word-level and window-level
+        // hash spaces independent.
+        .withColumn("wh", expr("transform(words, w -> xxhash64(w, 7L))"))
+        .select(col("doc_id"), posexplode(expr(selfWindowHashSql))
           .as(Seq("p0", "h")))
         .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
     }
+
+  /** The [[SelfSpanL]]-window hash array over the pre-hashed words
+    * column `wh` (see [[selfSpanRelation]]) — shared with t87's
+    * sampled seeding so the two relations cannot drift.
+    */
+  private def selfWindowHashSql: String = {
+    val args = (0 until SelfSpanL).map(o => s"element_at(wh, i + $o)")
+    s"""transform(sequence(1, n - $SelfSpanL + 1),
+          i -> xxhash64(${args.mkString(", ")}, 11L))"""
+  }
 
   /** Within-document self-repetition (t83) — the intra-doc half of the
     * Lee et al. 2022 ExactSubstr statistic that t82 deliberately
@@ -1076,7 +1090,14 @@ object TrainingOps {
     * the sampled companion gate (t87), so the two cannot drift.
     */
   private def selfRepetitionSpans(sp: DataFrame): DataFrame = {
-    val m = sp.groupBy(col("doc_id"), col("h"))
+    // ONE exchange serves the whole chain (r15): every downstream key —
+    // the (doc_id, h) position-collect, the (doc_id, d) island window,
+    // the (doc_id, d, isl) span reduce — starts with doc_id, so hash-
+    // partitioning on doc_id up front satisfies all three clustered
+    // distributions and Spark plans no further exchange until the
+    // final presentation sort (4 exchanges → 2 in the executed plan).
+    val m = sp.repartition(col("doc_id"))
+      .groupBy(col("doc_id"), col("h"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
       .filter(size(col("ps")).between(2, SelfOccCap))
       .select(col("doc_id"), explode(expr(
@@ -1126,11 +1147,8 @@ object TrainingOps {
         .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
         .withColumn("n", size(col("words")))
         .filter(col("n") >= SelfSpanL)
-        .select(col("doc_id"), posexplode(expr(
-          s"""transform(sequence(1, n - $SelfSpanL + 1),
-                i -> cast(conv(substring(
-                       md5(array_join(slice(words, i, $SelfSpanL), ' ')),
-                       1, 15), 16, 10) as bigint))"""))
+        .withColumn("wh", expr("transform(words, w -> xxhash64(w, 7L))"))
+        .select(col("doc_id"), posexplode(expr(selfWindowHashSql))
           .as(Seq("p0", "h")))
         .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
     }
