@@ -583,7 +583,13 @@ object Analytics {
     * explode).
     */
   def gapFill(events: DataFrame): DataFrame = {
+    // ONE user-keyed exchange serves the whole chain (r15): hash-
+    // partitioning on user_id satisfies the (user_id, h) closing-value
+    // window, the (user_id) fill window and the segment explode alike
+    // (subset-of-clustering rule), so the per-hour reduce no longer
+    // pays its own (user_id, h) exchange before the user-keyed one.
     val ev = events
+      .repartition(col("user_id"))
       .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
         col("ts"), col("event_id"), col("value"))
     // closing value per (user, hour): latest ts wins, event_id tie-break

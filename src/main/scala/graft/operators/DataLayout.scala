@@ -77,11 +77,14 @@ object DataLayout {
       bits: Int, bucketCol: String,
       materialize: DataFrame => DataFrame): DataFrame = {
     val b = 1L << bits
-    val ranked = Scale.distributedRank(
+    val (ranked, counts) = Scale.distributedRankWithCounts(
       df.withColumn("__zk", lit(1)).withColumn("__zo", struct(orderCol, idCol)),
       "__zk", "__zo", "__zr", materialize = materialize)
+    // n = Σ of the rank pass's per-slice counts (a tasks×1-row frame)
+    // — r15: the previous max(__zr) re-aggregated the corpus-sized
+    // ranked output, a full second pass per bucketed dimension
     ranked
-      .crossJoin(broadcast(ranked.agg(max(col("__zr")).as("__zn"))))
+      .crossJoin(broadcast(counts.agg(sum(col("__cnt")).as("__zn"))))
       .withColumn(bucketCol, expr(s"((__zr - 1) * $b) div __zn"))
       .drop("__zk", "__zo", "__zr", "__zn")
   }

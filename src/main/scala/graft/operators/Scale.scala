@@ -123,7 +123,21 @@ object Scale {
   def distributedRank(df: DataFrame, partKey: String, orderKey: String,
       rankCol: String, numPartitions: Option[Int] = None,
       materialize: DataFrame => DataFrame =
-        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame =
+    distributedRankWithCounts(df, partKey, orderKey, rankCol,
+      numPartitions, materialize)._1
+
+  /** [[distributedRank]] plus the per-(slice, group) COUNTS frame it
+    * already builds (tasks × groups rows). Callers needing group
+    * totals (e.g. equi-depth bucketing's n) aggregate THAT tiny frame
+    * instead of re-scanning the corpus-sized ranked output for
+    * max(rank) — one bounded aggregation replaces a full second pass.
+    */
+  def distributedRankWithCounts(df: DataFrame, partKey: String,
+      orderKey: String, rankCol: String,
+      numPartitions: Option[Int] = None,
+      materialize: DataFrame => DataFrame =
+        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): (DataFrame, DataFrame) = {
     val ranged = numPartitions
       .map(n => df.repartitionByRange(n, col(partKey), col(orderKey)))
       .getOrElse(df.repartitionByRange(col(partKey), col(orderKey)))
@@ -137,9 +151,10 @@ object Scale {
       .select(col("__pid"), col(partKey), col("__off"))
     val localW = Window.partitionBy(col("__pid"), col(partKey))
       .orderBy(col(orderKey))
-    parts.join(broadcast(offs), Seq("__pid", partKey))
+    val ranked = parts.join(broadcast(offs), Seq("__pid", partKey))
       .withColumn(rankCol, col("__off") + row_number().over(localW))
       .drop("__pid", "__off")
+    (ranked, counts)
   }
 
   /** Distributed EXCLUSIVE prefix sum of `valueCol` by global

@@ -1155,9 +1155,13 @@ object TextOps {
       // key: negating an IEEE double is exact, so ordering by -score is
       // ordering by score desc
       .withColumn("__ord", struct((-col("score")).as("ns"), col("doc_id")))
-    val ranked = Scale.distributedRank(scored, "source", "__ord", "src_rank",
+    val (ranked, counts) = Scale.distributedRankWithCounts(scored, "source",
+      "__ord", "src_rank",
       materialize = df => SessionMemo.persist("text:quantile-rank", s, dir)(df))
-    val sizes = ranked.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    // per-source totals from the rank pass's own per-slice counts
+    // (tasks × sources rows) — r15: the previous groupBy re-scanned
+    // the corpus-sized ranked frame for the same numbers
+    val sizes = counts.groupBy(col("source")).agg(sum(col("__cnt")).as("n_src"))
     ranked.join(broadcast(sizes), Seq("source"))
       .withColumn("keep", col("src_rank") * 10 <= col("n_src") * 7)
       .select(col("doc_id"), col("source"), col("score"),

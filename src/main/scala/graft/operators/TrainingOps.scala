@@ -1457,10 +1457,17 @@ object TrainingOps {
       .withColumn("cluster_rep", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("split_doc", splitCol(col("doc_id")))
       .withColumn("split_cluster", splitCol(col("cluster_rep")))
-    val leak = rep.groupBy(col("cluster_rep"))
-      .agg(countDistinct(col("split_doc")).as("nsplits"))
-    rep.join(leak, Seq("cluster_rep"))
-      .withColumn("leaky", col("nsplits") > 1)
+    // Leak detection as ONE cluster-keyed window pass (r15): the
+    // groupBy + self-join of the r14 shape executed the whole rep
+    // subtree (documents scan, label join, two md5 splits) TWICE —
+    // once for the counts, once for the probe side. `min ≠ max` over
+    // the (bounded, 3-valued) split strings is countDistinct > 1, and
+    // the window is cluster-partitioned (never unpartitioned), so one
+    // exchange and one scan replace two of each.
+    val wc = Window.partitionBy(col("cluster_rep"))
+    rep
+      .withColumn("leaky",
+        min(col("split_doc")).over(wc) =!= max(col("split_doc")).over(wc))
       .select(col("doc_id"), col("cluster_rep"), col("split_doc"),
         col("split_cluster"), col("leaky"))
       .orderBy(col("doc_id"))
