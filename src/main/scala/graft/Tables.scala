@@ -12,8 +12,21 @@ import org.apache.spark.sql.types.DecimalType
   * `.explain("formatted")` → `PushedFilters` / `ReadSchema`).
   */
 object Tables {
+  /** Resolved-relation memo (r15): `spark.read.parquet` re-runs file
+    * listing and footer schema inference on EVERY call — measured
+    * 20–50 ms of driver time per table per query invocation, which for
+    * a 6-table star (q5) was the bulk of its per-invocation planning
+    * cost. Real deployments resolve a table's schema once in a catalog;
+    * this memo is that catalog: the DataFrame (hence its resolved
+    * LogicalRelation) is built once per (session, path) and reused.
+    * No DATA is cached — every action still scans parquet. Entries are
+    * session-keyed and dropped by [[graft.operators.SessionMemo.release]]
+    * (Bench/Verify teardown, spec afterAll).
+    */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.operators.SessionMemo.memo(s"tables:$dir/$name", spark, dir) {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

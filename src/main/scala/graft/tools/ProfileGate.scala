@@ -34,10 +34,18 @@ object ProfileGate {
     val stages = new AtomicInteger
     val tasks = new AtomicInteger
     val taskMs = new AtomicLong
+    val verbose = sys.env.get("PROFILE_STAGES").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        if (verbose) {
+          val si = s.stageInfo
+          val dur = for {a <- si.completionTime; b <- si.submissionTime} yield a - b
+          println(f"    [stage ${si.stageId}%4d] ${dur.getOrElse(-1L)}%6d ms " +
+            f"${si.numTasks}%4d tasks  ${si.name.linesIterator.next().take(90)}")
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
