@@ -738,13 +738,24 @@ object TextOps {
     * both engines.
     */
   def qNovelty(s: SparkSession, dir: String): DataFrame = {
+    // r15: no shingle-sized join. A shingle with global df = 1 occurs
+    // in exactly ONE document, so its owner is min(doc_id) of its own
+    // df aggregate — per-doc unique counts then come from the
+    // vocabulary-sized df frame, and per-doc totals from a direct
+    // (map-side-combinable) count; the old shape shuffled the shingle
+    // relation a second time to join df back onto every occurrence.
+    // Both aggregates are doc-keyed and output-sized at any corpus.
     val sh = docShingles(s, dir)
       .select(col("doc_id"), explode(col("shs")).as("s"))
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    sh.join(dfreq, Seq("s"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    val uniq = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+      .filter(col("df") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(uniq, Seq("doc_id"), "left")
+      .withColumn("n_unique", coalesce(col("n_unique"), lit(0L)))
       .withColumn("novelty", col("n_unique") / col("n_shingles"))
       .orderBy(col("doc_id"))
   }

@@ -1603,13 +1603,22 @@ object TrainingOps {
     * work is two shuffles of chunk-hash-sized rows.
     */
   def qChunkDedup(s: SparkSession, dir: String): DataFrame = {
-    val chunks = chunkRelation(s, dir).select(col("doc_id"), col("chunk_hash"))
-    val hashDf = chunks.groupBy(col("chunk_hash"))
-      .agg(countDistinct(col("doc_id")).as("docs_with"))
-    chunks.join(hashDf, Seq("chunk_hash"))
+    // r15: no chunk-sized join back. Pre-aggregate to (hash, doc)
+    // occurrence counts (map-side combinable), learn docs_with as a
+    // hash-partitioned window count over that reduced relation — rows
+    // per hash = distinct docs, so the count IS countDistinct without
+    // the Expand doubling — and roll up per doc. The old shape joined
+    // the full chunk relation against the hash aggregate, shuffling
+    // chunk occurrences twice.
+    val perDoc = chunkRelation(s, dir)
+      .groupBy(col("chunk_hash"), col("doc_id"))
+      .agg(count(lit(1)).as("k"))
+    val wh = Window.partitionBy(col("chunk_hash"))
+    perDoc
+      .withColumn("docs_with", count(lit(1)).over(wh))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("n_boiler"))
+      .agg(sum(col("k")).as("n_chunks"),
+        sum(when(col("docs_with") > 1, col("k")).otherwise(0L)).as("n_boiler"))
       .withColumn("boiler_frac",
         col("n_boiler").cast("double") / col("n_chunks"))
       .orderBy(col("doc_id"))
