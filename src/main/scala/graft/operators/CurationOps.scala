@@ -1279,32 +1279,41 @@ object CurationOps {
     * fixed-point pattern), so the hash can't hinge on float fold order.
     */
   def qLangDivergence(s: SparkSession, dir: String): DataFrame = {
-    val counts = docBuckets(s, dir)
+    // r15: each language's whole 256-bucket distribution folds into
+    // ONE row (tot + a b→cnt map), pairs come from a broadcast-sized
+    // self cross-join of the langs-row frame, and the 256-term JS sum
+    // runs IN-ROW over `sequence(0, 255)` — the r14 shape exchanged
+    // five langs×256-bounded frames (grid crossJoin, left join, pair
+    // join, term groupBy) for the same arithmetic. The per-term
+    // expression is kept op-for-op (same double divisions, same `ln`,
+    // same floor→bigint quantization; the summation is exact long
+    // addition either way), so the gate hash is unchanged — verified
+    // at sf0.01 + sf0.1. Zero-count buckets smooth via the map's
+    // missing-key null → 0.
+    val perLang = docBuckets(s, dir)
       .groupBy(col("lang"), col("b"))
       .agg(sum(col("cnt")).as("cnt"))
-    val totals = counts.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
-    // full 256-bucket grid per lang: smoothing needs the zero-count rows
-    val grid = totals
-      .crossJoin(s.range(DsirBuckets).select(col("id").cast("int").as("b")))
-      .join(counts, Seq("lang", "b"), "left")
-      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-    val a = grid.select(col("b"), col("lang").as("lang_a"),
-      col("cnt").as("ca"), col("tot").as("tota"))
-    val bside = grid.select(col("b"), col("lang").as("lang_b"),
-      col("cnt").as("cb"), col("tot").as("totb"))
-    a.join(bside, Seq("b"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("tot"),
+        map_from_entries(collect_list(struct(col("b"), col("cnt")))).as("m"))
+    val a = perLang.select(col("lang").as("lang_a"), col("tot").as("tota"),
+      col("m").as("ma"))
+    val bside = perLang.select(col("lang").as("lang_b"), col("tot").as("totb"),
+      col("m").as("mb"))
+    a.crossJoin(bside)
       .filter(col("lang_a") < col("lang_b"))
-      .withColumn("p",
-        (col("ca") + 1).cast("double") / (col("tota") + DsirBuckets).cast("double"))
-      .withColumn("q",
-        (col("cb") + 1).cast("double") / (col("totb") + DsirBuckets).cast("double"))
-      .withColumn("m", (col("p") + col("q")) / 2)
-      .withColumn("tn", floor(
-        (col("p") * log(col("p") / col("m")) / 2 +
-         col("q") * log(col("q") / col("m")) / 2) * lit(1e9)).cast("long"))
-      .groupBy(col("lang_a"), col("lang_b"))
-      .agg(sum(col("tn")).as("js_nano"))
-      .withColumn("js", col("js_nano").cast("double") / lit(1e9))
+      .withColumn("js_nano", expr(
+        s"""aggregate(sequence(0, ${DsirBuckets - 1}), 0L, (acc, i) ->
+             acc + element_at(transform(array(named_struct(
+                 'p', cast(coalesce(element_at(ma, i), 0L) + 1 as double) /
+                      cast(tota + $DsirBuckets as double),
+                 'q', cast(coalesce(element_at(mb, i), 0L) + 1 as double) /
+                      cast(totb + $DsirBuckets as double))),
+               s -> cast(floor((s.p * ln(s.p / ((s.p + s.q) / 2)) / 2 +
+                                s.q * ln(s.q / ((s.p + s.q) / 2)) / 2)
+                               * 1e9) as bigint)), 1))"""))
+      .select(col("lang_a"), col("lang_b"), col("js_nano"),
+        (col("js_nano").cast("double") / lit(1e9)).as("js"))
       .orderBy(col("lang_a"), col("lang_b"))
   }
 

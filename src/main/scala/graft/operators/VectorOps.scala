@@ -1430,34 +1430,55 @@ object VectorOps {
     * the gate catches a regression in either constituent ranking.
     */
   def qHybridFusion(s: SparkSession, dir: String): DataFrame = {
+    // r15: each backend's top-[[RrfDepth]] comes from the bounded
+    // [[graft.functions.TopKAgg]] (the q31 discipline) instead of a
+    // query-partitioned row_number window: the window shape shuffles
+    // and sorts EVERY candidate row per query through one reducer —
+    // corpus-sized per query at scale — while the aggregate's partial
+    // buffers carry at most k pairs per (task, query). Tie semantics
+    // are identical by TopKAgg's contract ((value desc, id asc) ==
+    // row_number over (cosine desc, vec_id) / (hamming asc, vec_id) —
+    // hamming enters negated), so ranks and the gate hash are
+    // unchanged — verified at sf0.01 + sf0.1.
+    graft.functions.TopKAgg.register(s)
     val e = embs(s, dir).select(col("vec_id"), col("v"), col("nv"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("qnv"))
-    val wC = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
     val cosR = broadcast(q).crossJoin(e)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", dot("qv", "v") / (col("qnv") * col("nv")))
-      .withColumn("crank", row_number().over(wC).cast("long"))
-      .filter(col("crank") <= RrfDepth)
-      .select(col("query_id"), col("vec_id"), col("crank"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"top_k_by_value(cosine, vec_id, $RrfDepth)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p0", "p")))
+      .select(col("query_id"), col("p.id").as("vec_id"),
+        (col("p0") + 1).cast("long").as("crank"))
     val coded = binaryCodes(s, dir)
     val qc = coded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("code_lo").as("qlo"),
         col("code_hi").as("qhi"))
-    val wH = Window.partitionBy(col("query_id"))
-      .orderBy(col("hamming").asc, col("vec_id"))
     val hamR = broadcast(qc).crossJoin(coded)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("hamming",
         (bit_count(col("qlo").bitwiseXOR(col("code_lo"))) +
          bit_count(col("qhi").bitwiseXOR(col("code_hi")))).cast("long"))
-      .withColumn("hrank", row_number().over(wH).cast("long"))
-      .filter(col("hrank") <= RrfDepth)
-      .select(col("query_id"), col("vec_id"), col("hrank"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"top_k_by_value(cast(-hamming as double), vec_id, $RrfDepth)")
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p0", "p")))
+      .select(col("query_id"), col("p.id").as("vec_id"),
+        (col("p0") + 1).cast("long").as("hrank"))
+    // fusion as union + one grouped max per (query, item) — row-for-row
+    // the full-outer join (max over {rank, null} = rank; both-absent
+    // rows don't exist), but ONE query-keyed exchange serves the
+    // fusion aggregate AND the final rank window (subset rule) where
+    // the full_outer SMJ re-exchanged both rank lists
     val wF = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_score").desc, col("vec_id"))
-    cosR.join(hamR, Seq("query_id", "vec_id"), "full_outer")
+    cosR.withColumn("hrank", lit(null).cast("long"))
+      .unionByName(hamR.withColumn("crank", lit(null).cast("long")))
+      .repartition(col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("crank")).as("crank"), max(col("hrank")).as("hrank"))
       .withColumn("rrf_score",
         expr(s"coalesce($RrfScale div (60 + crank), 0L) + " +
           s"coalesce($RrfScale div (60 + hrank), 0L)"))
