@@ -1559,6 +1559,10 @@ object TrainingOps {
         .select(col("h"))
       tagged.join(capped, Seq("h"))
     }
+    // (r15 note: a grouped collect-then-cross-in-row variant was
+    // measured WORSE — the collect aggregates doc lists for every
+    // hash, matching or not, while this join only moves hashes both
+    // splits share. Left as the join.)
     val ev = screened.filter(col("split") === "eval")
       .select(col("h"), col("doc_id").as("eval_doc"))
     val tr = screened.filter(col("split") === "train")
