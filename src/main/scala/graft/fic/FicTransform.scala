@@ -311,73 +311,51 @@ object FicTransform {
     // category formats bound ONCE PER ROW inside each rebuild expression
     // ([[bind1]] — lambda-bound, so no optimizer pass can push them back
     // into the element lambdas the way the r14 fmt pre-columns were)
-    val compRebuild = expr(
-      "named_struct(" + compCats.map { case (cat, key) =>
-        s"'$cat', ${pctArraySql(s"composicion_portafolio.$cat", key)}"
-      }.mkString(", ") + ")")
-
     val rvRebuild = expr(
       s"""transform(rentabilidad_volatilidad, rv -> named_struct(
          'tipo_de_participacion', rv.tipo_de_participacion,
          'rentabilidad_historica_ea', ${horizonsSql("rv.rentabilidad_historica_ea")},
          'volatilidad_historica', ${horizonsSql("rv.volatilidad_historica")}))""")
 
-    // Passes batched into a handful of projections (r15): every
-    // `withColumn` call is a full ANALYZER pass over the (large)
-    // accumulated tree, and the 15 sequential calls of the r14 shape
-    // were the bulk of f37's per-invocation planning cost. Batching
-    // independent columns through `withColumns`, and composing the
-    // sequential same-field passes (4→7, 5→6) by nesting the
-    // expressions in dependency order, keeps per-pass semantics
-    // identical while cutting the analysis passes to 4.
-    val p1 = df.withColumns(Map(
-      "plazo_duracion" -> expr(pctArraySql("plazo_duracion", "plazo")),
-      "composicion_portafolio" ->
-        when(col("composicion_portafolio").isNotNull, compRebuild),
-      "principales_inversiones" ->
-        expr(pctArraySql("principales_inversiones", "emisor")),
-      "rentabilidad_volatilidad" -> rvRebuild))
-
-    // -- pass 2: rating agencies ----------------------------------------
+    // ONE projection for all 8 passes (r16, VERDICT #5): after the r15
+    // batching (15 withColumn → 4 withColumns) the residual f37 cost
+    // was the 4 remaining ANALYZER walks over the large nested-lambda
+    // tree. Every pass reads only ORIGINAL df columns (pass 7's
+    // calificacion write touches a field pass 2 passes through
+    // unchanged; pass 8's repairs read the pass-1 arrays, which fold as
+    // coalesce/when around the pass-1 expressions — each used exactly
+    // once, so nothing is duplicated), so the whole chain is a single
+    // withColumns and the analyzer walks the tree ONCE. The optimizer
+    // already collapsed the 4 projections into one physical Project
+    // (bind1 keeps the hoists), so the executed plan is unchanged —
+    // this cuts planning time only. Per-pass semantics are pinned by
+    // the FIC golden suites and the f37 oracle.
+    //
+    // Pass-8 fold equivalences (each checked against the r15 shape):
+    //  - pctArraySql(arr) and rvRebuild are null iff their input array
+    //    is null (transform(null) = null), so
+    //    coalesce(rebuild(arr), empty) == pass-8's
+    //    coalesce(pass-1 output, empty);
+    //  - composicion: pass 1 produced when(isNotNull, compRebuild) —
+    //    i.e. null iff the struct was null — and pass 8 re-wrapped
+    //    per-cat with coalesce; the fold evaluates compRebuild's
+    //    per-cat expression once inside the coalesce.
     val entOrig = col("calificacion.entidad_calificadora")
     val applied = entOrig.isNotNull && entOrig =!= ""
     val matched = agencyUdf(upper(trim(entOrig)))
-    val p2 = p1.withColumn("calificacion",
-      col("calificacion")
-        .withField("entidad_calificadora",
-          when(applied && matched.isNotNull, matched).otherwise(entOrig))
-        .withField("entidad_calificadora_normalizada",
-          when(applied, matched.isNotNull).otherwise(lit(null).cast("boolean"))))
-
-    // -- passes 3+4+7 (dates; numerics; monetary rescale — valor composes
-    // parse-then-limpiar in one field write) and 5+6 (fic tipo + url) ----
     val urlCol =
       if (lookup.isEmpty) lit(null).cast("string") else urlUdf(col("filename"))
-    val p7 = p2.withColumns(Map(
-      "fic" -> col("fic")
-        .withField("fecha_corte", parseDateUdf(col("fic.fecha_corte")))
-        .withField("tipo", tipoFicExpr(col("fic.politica_de_inversion")))
-        .withField("url", urlCol),
-      "caracteristicas" -> col("caracteristicas")
-        .withField("fecha_inicio_operaciones",
-          parseDateUdf(col("caracteristicas.fecha_inicio_operaciones")))
-        .withField("valor",
-          limpiarUdf(expr(parseNumeroSql("caracteristicas.valor"))))
-        .withField("no_unidades_en_circulacion",
-          expr(parseNumeroSql("caracteristicas.no_unidades_en_circulacion"))),
-      "calificacion" -> col("calificacion")
-        .withField("fecha_ultima_calificacion",
-          parseDateUdf(col("calificacion.fecha_ultima_calificacion")))))
-
-    // -- pass 8: structural repair --------------------------------------
     val emptyPct = (key: String) =>
       expr(s"cast(array() as array<struct<$key:string,participacion:double>>)")
-    p7.withColumns(Map(
-      "plazo_duracion" -> coalesce(col("plazo_duracion"), emptyPct("plazo")),
+    df.withColumns(Map(
+      // passes 1 + 8: percentage rebuilds with structural repair folded
+      "plazo_duracion" ->
+        coalesce(expr(pctArraySql("plazo_duracion", "plazo")), emptyPct("plazo")),
       "principales_inversiones" ->
-        coalesce(col("principales_inversiones"), emptyPct("emisor")),
+        coalesce(expr(pctArraySql("principales_inversiones", "emisor")),
+          emptyPct("emisor")),
       "rentabilidad_volatilidad" ->
-        coalesce(col("rentabilidad_volatilidad"), expr(
+        coalesce(rvRebuild, expr(
           """cast(array() as array<struct<
              tipo_de_participacion:string,
              rentabilidad_historica_ea:struct<ultimo_mes:double,ultimos_6_meses:double,anio_corrido:double,ultimo_anio:double,ultimos_2_anios:double,ultimos_3_anios:double>,
@@ -388,9 +366,30 @@ object FicTransform {
             s"'$cat', cast(array() as array<struct<$key:string,participacion:double>>)"
           }.mkString(", ") + ")"))
         .otherwise(expr("named_struct(" + compCats.map { case (cat, key) =>
-          s"'$cat', coalesce(composicion_portafolio.$cat, " +
+          s"'$cat', coalesce(${pctArraySql(s"composicion_portafolio.$cat", key)}, " +
             s"cast(array() as array<struct<$key:string,participacion:double>>))"
-        }.mkString(", ") + ")"))))
+        }.mkString(", ") + ")")),
+      // pass 2 + pass-7 date field (untouched by pass 2) composed
+      "calificacion" -> col("calificacion")
+        .withField("entidad_calificadora",
+          when(applied && matched.isNotNull, matched).otherwise(entOrig))
+        .withField("entidad_calificadora_normalizada",
+          when(applied, matched.isNotNull).otherwise(lit(null).cast("boolean")))
+        .withField("fecha_ultima_calificacion",
+          parseDateUdf(col("calificacion.fecha_ultima_calificacion"))),
+      // passes 3+4+7 (dates; numerics; monetary rescale — valor composes
+      // parse-then-limpiar in one field write) and 5+6 (fic tipo + url)
+      "fic" -> col("fic")
+        .withField("fecha_corte", parseDateUdf(col("fic.fecha_corte")))
+        .withField("tipo", tipoFicExpr(col("fic.politica_de_inversion")))
+        .withField("url", urlCol),
+      "caracteristicas" -> col("caracteristicas")
+        .withField("fecha_inicio_operaciones",
+          parseDateUdf(col("caracteristicas.fecha_inicio_operaciones")))
+        .withField("valor",
+          limpiarUdf(expr(parseNumeroSql("caracteristicas.valor"))))
+        .withField("no_unidades_en_circulacion",
+          expr(parseNumeroSql("caracteristicas.no_unidades_en_circulacion")))))
   }
 
   /** `_extraer_tipo_fic` (transform.py:107-169): keyword votes per fund

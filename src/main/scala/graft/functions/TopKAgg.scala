@@ -91,22 +91,32 @@ object TopKAgg {
 
   /** Fixed-capacity buffer ordered worst-first so eviction is O(log k).
     * "Better" = larger value, then smaller id.
+    *
+    * Value comparison matches Spark's ordering for the replaced
+    * `row_number() over (order by value DESC, id)` window on degenerate
+    * doubles (r16, ADVICE): NaN sorts ABOVE every value — so it ranks
+    * FIRST under desc — and -0.0 equals 0.0 (Spark normalizes the
+    * zeros). `java.lang.Double.compare` gets NaN right but splits the
+    * zeros, and the previous primitive `v > worst` test silently
+    * DROPPED a NaN once the buffer was full (NaN > x and NaN == x are
+    * both false). One normalized comparator now drives the offer test,
+    * the eviction heap and the final sort, so the rank contract holds
+    * even on e.g. a 0/0 cosine from a zero-norm embedding.
     */
   final class Buffer(k: Int) {
+    import Buffer.cmp
+
     private val heap = new java.util.PriorityQueue[(Double, Long)](
       math.max(k, 1),
-      // worst pair at the head: smallest value first, then LARGEST id
-      (a: (Double, Long), b: (Double, Long)) => {
-        val c = java.lang.Double.compare(a._1, b._1)
-        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
-      })
+      // worst pair at the head: ascending "betterness"
+      (a: (Double, Long), b: (Double, Long)) =>
+        cmp(a._1, a._2, b._1, b._2))
 
     def offer(v: Double, id: Long): Unit = {
       if (heap.size < k) heap.add((v, id))
       else {
         val worst = heap.peek()
-        val better = v > worst._1 || (v == worst._1 && id < worst._2)
-        if (better) { heap.poll(); heap.add((v, id)) }
+        if (cmp(v, id, worst._1, worst._2) > 0) { heap.poll(); heap.add((v, id)) }
       }
     }
 
@@ -118,9 +128,20 @@ object TopKAgg {
       val arr = new Array[(Double, Long)](heap.size)
       heap.toArray(arr)
       scala.util.Sorting.stableSort(arr,
-        (a: (Double, Long), b: (Double, Long)) =>
-          a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        (a: (Double, Long), b: (Double, Long)) => cmp(a._1, a._2, b._1, b._2) > 0)
       arr
+    }
+  }
+
+  object Buffer {
+    /** > 0 iff (v1, id1) is BETTER than (v2, id2): larger value first
+      * (NaN counts as largest, -0.0 == 0.0 — Spark's desc order), then
+      * smaller id.
+      */
+    private[functions] def cmp(v1: Double, id1: Long, v2: Double, id2: Long): Int = {
+      val c = java.lang.Double.compare(
+        if (v1 == 0.0) 0.0 else v1, if (v2 == 0.0) 0.0 else v2)
+      if (c != 0) c else java.lang.Long.compare(id2, id1)
     }
   }
 

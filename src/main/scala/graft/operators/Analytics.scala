@@ -395,13 +395,17 @@ object Analytics {
         col("nonzero_bins"), col("bins"),
         explode(expr("array(50L, 95L, 99L)")).as("q"))
       .withColumn("k", expr("(n * q + 99) div 100"))
+      // a boolean 'found' flag, not a bin sentinel (r16, ADVICE): a
+      // sentinel of -1L would misread a legitimately negative bin
+      // (negative cents) as not-yet-found; the flag is domain-agnostic
       .withColumn("eb", expr(
         """aggregate(bins,
-             named_struct('cum', 0L, 'bin', -1L, 'prev', 0L),
-             (acc, x) -> if(acc.bin >= 0, acc,
+             named_struct('cum', 0L, 'found', false, 'bin', 0L, 'prev', 0L),
+             (acc, x) -> if(acc.found, acc,
                named_struct(
                  'cum', acc.cum + x.cnt,
-                 'bin', if(acc.cum + x.cnt >= k, x.bin, -1L),
+                 'found', acc.cum + x.cnt >= k,
+                 'bin', if(acc.cum + x.cnt >= k, x.bin, 0L),
                  'prev', if(acc.cum + x.cnt >= k, acc.cum, 0L))))"""))
       .select(col("l_returnflag"), col("q"), col("n"), col("k"),
         col("state_sum"), col("nonzero_bins"),
@@ -424,13 +428,16 @@ object Analytics {
         col("bin"), col("est_edge_cents"), col("state_sum"),
         col("nonzero_bins"), col("prev"))
       .agg(sort_array(collect_list(struct(col("cents"), col("vc")))).as("vs"))
+      // same found-flag discipline as est's fold (negative cents would
+      // alias a -1L sentinel)
       .withColumn("exact_cents", expr(
         """aggregate(vs,
-             named_struct('cum', prev, 'c', -1L),
-             (acc, x) -> if(acc.c >= 0, acc,
+             named_struct('cum', prev, 'found', false, 'c', 0L),
+             (acc, x) -> if(acc.found, acc,
                named_struct(
                  'cum', acc.cum + x.vc,
-                 'c', if(acc.cum + x.vc >= k, x.cents, -1L))),
+                 'found', acc.cum + x.vc >= k,
+                 'c', if(acc.cum + x.vc >= k, x.cents, 0L))),
              acc -> acc.c)"""))
       .select(col("l_returnflag"), col("q"), col("n"), col("k"),
         col("bin").as("est_bin"), col("est_edge_cents"), col("exact_cents"),

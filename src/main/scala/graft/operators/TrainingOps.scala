@@ -1235,23 +1235,32 @@ object TrainingOps {
   /** The t84 merged (disjoint) cut intervals per document — shared by
     * the cut-plan report and the t85 apply step, so the plan a user
     * reviews and the cuts the engine makes are the same facts.
+    *
+    * Memoized per (session, dir) (r16, VERDICT #4): t84, t85 and
+    * graft-curate's apply stage each re-ran the distinct + two merge
+    * windows over the span relation per invocation; the merged
+    * interval set is a corpus-snapshot artifact exactly like the span
+    * relation it derives from (near-dup-pair sized, never
+    * corpus-sized), so it is built once and the per-gate work is only
+    * each gate's own aggregate/join.
     */
-  private[graft] def mergedCutIntervals(s: SparkSession, dir: String): DataFrame = {
-    val iv = exactSpanRelation(s, dir)
-      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
-        (col("start_b") + col("span_len") - 1).as("e"))
-      .distinct()
-    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    iv.withColumn("pm", max(col("e")).over(wPrev))
-      .withColumn("nf",
-        when(col("pm").isNull || col("s") > col("pm"), 1L).otherwise(0L))
-      .withColumn("gid", sum(col("nf")).over(wRun))
-      .groupBy(col("doc_id"), col("gid"))
-      .agg(min(col("s")).as("cs"), max(col("e")).as("ce"))
-  }
+  private[graft] def mergedCutIntervals(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.persist("training:cut-intervals", s, dir) {
+      val iv = exactSpanRelation(s, dir)
+        .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+          (col("start_b") + col("span_len") - 1).as("e"))
+        .distinct()
+      val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      iv.withColumn("pm", max(col("e")).over(wPrev))
+        .withColumn("nf",
+          when(col("pm").isNull || col("s") > col("pm"), 1L).otherwise(0L))
+        .withColumn("gid", sum(col("nf")).over(wRun))
+        .groupBy(col("doc_id"), col("gid"))
+        .agg(min(col("s")).as("cs"), max(col("e")).as("ce"))
+    }
 
   def qSubstringCutPlan(s: SparkSession, dir: String): DataFrame = {
     val merged = mergedCutIntervals(s, dir)
@@ -1557,7 +1566,10 @@ object TrainingOps {
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") <= AttribDfCap)
         .select(col("h"))
-      tagged.join(capped, Seq("h"))
+      // df-cap counts ALL splits (the oracle's sw includes test), but
+      // only eval/train rows are ever probed — test rows (~5% of docs)
+      // would ride the cache and both join-side scans dead (r16)
+      tagged.join(capped, Seq("h")).filter(col("split") =!= lit("test"))
     }
     // (r15 note: a grouped collect-then-cross-in-row variant was
     // measured WORSE — the collect aggregates doc lists for every

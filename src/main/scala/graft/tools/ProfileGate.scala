@@ -72,6 +72,10 @@ object ProfileGate {
         }
       }
     }
+    // PROFILE_RULES=1: dump cumulative Catalyst rule timings — which
+    // analyzer/optimizer rules a plan-heavy query actually pays for.
+    if (sys.env.get("PROFILE_RULES").contains("1"))
+      println(org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent())
     graft.operators.TextOps.releaseCache(spark)
     spark.stop()
   }

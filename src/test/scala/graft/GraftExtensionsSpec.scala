@@ -68,6 +68,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("top_k_by_value matches the row_number window on degenerate doubles") {
+    // r16 (ADVICE): the aggregate replaced query-partitioned row_number
+    // windows, so its ordering must match Spark's on the degenerate
+    // doubles too — NaN (a 0/0 cosine from a zero-norm embedding) ranks
+    // FIRST under desc, and -0.0 ties 0.0. The pre-fix buffer dropped a
+    // NaN arriving after the buffer filled and split the zeros.
+    graft.sql.GraftSql.registerFunctions(base)
+    graft.functions.TopKAgg.register(base)
+    import base.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1.0, 1L), (-0.0, 2L), (0.5, 3L), (Double.NaN, 4L), (Double.NaN, 5L),
+      (-0.5, 6L), (0.0, 7L), (-1.0, 8L), (0.0, 9L))
+    val df = rows.toDF("v", "id").repartition(3) // exercise merge() too
+    val viaAgg = df.groupBy()
+      .agg(expr("top_k_by_value(v, id, 6)").as("t"))
+      .select(posexplode(col("t")))
+      .select((col("pos") + 1).as("rk"), col("col.id").as("id"))
+      .as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").desc, col("id"))
+    val viaWindow = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 6)
+      .select(col("rk"), col("id")).as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(viaAgg == viaWindow)
+    // pin the semantics explicitly: NaNs first (id asc), zeros tie by id
+    assert(viaAgg.map(_._2) == Seq(4L, 5L, 1L, 3L, 2L, 7L))
+  }
+
   test("injected builders match the session-scoped register path exactly") {
     // same SQL through the legacy per-session registration on the base
     // session — results must agree with the extension path

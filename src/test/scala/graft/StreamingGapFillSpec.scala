@@ -119,4 +119,36 @@ class StreamingGapFillSpec extends AnyFunSuite {
         (1L, T0 + 5 * HourMs, true, 11.0)))
     } finally query.stop()
   }
+
+  test("micro-batch plan shuffles exactly once (no batch-side repartition leaks)") {
+    // r16 (VERDICT #8): the batch q36 operator gained an up-front
+    // repartition(user_id); StreamingGapFill is an independent
+    // flatMapGroupsWithState formulation sharing no code with it, so
+    // the streaming plan must stay at ONE exchange — the stateful
+    // operator's own groupByKey shuffle. AQE is off in micro-batch
+    // plans; an accidental second exchange would run every batch.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingGapFill.Ev]
+    val query = StreamingGapFill.fill(in.toDF(), watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("gapfill_plan")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        StreamingGapFill.Ev(1L, ts(600000), 1L, 3.0),
+        StreamingGapFill.Ev(1L, ts(2 * HourMs), 2L, 9.0))
+      query.processAllAvailable()
+      val exec = query
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val nExchanges = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.size
+      assert(nExchanges == 1,
+        s"expected exactly 1 shuffle in the micro-batch plan, got $nExchanges:\n$exec")
+      val nState = exec.toString.linesIterator
+        .count(_.contains("FlatMapGroupsWithState"))
+      assert(nState >= 1, "stateful operator missing from the micro-batch plan")
+    } finally query.stop()
+  }
 }
